@@ -1,0 +1,71 @@
+"""Host-side payload bit helpers.
+
+Capability parity with the reference's ``message_to_bits``
+(``/root/reference/src/codec.py:239-240``: 8 bits per ``ord(char)``) and the
+byte re-packing inside its ``decode_message``
+(``/root/reference/src/codec.py:779-787``), re-designed around *bytes*
+payloads so arbitrary binary data round-trips exactly (the reference silently
+corrupts any character with ``ord(c) > 255``).
+
+Bit order is MSB-first within each byte, matching ``f"{ord(c):08b}"``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "bytes_to_bits",
+    "bits_to_bytes",
+    "message_to_bits",
+    "bits_to_message",
+    "pack_bits",
+    "unpack_bits",
+]
+
+
+def bytes_to_bits(payload: bytes) -> np.ndarray:
+    """``bytes`` -> uint8 array of 0/1 bits, MSB-first per byte."""
+    if len(payload) == 0:
+        return np.zeros((0,), dtype=np.uint8)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return np.unpackbits(arr)  # MSB-first, matches the reference bit order
+
+
+def bits_to_bytes(bits: np.ndarray) -> bytes:
+    """uint8 0/1 bit array -> bytes; trailing partial bytes are dropped,
+    mirroring the reference's ``if len(byte_bits) == 8`` guard
+    (``src/codec.py:782``)."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    n_full = (bits.size // 8) * 8
+    if n_full == 0:
+        return b""
+    return np.packbits(bits[:n_full]).tobytes()
+
+
+def message_to_bits(message: str) -> np.ndarray:
+    """UTF-8 encode then bit-expand.
+
+    For pure-ASCII messages this is bit-identical to the reference's
+    ``''.join(f"{ord(c):08b}")`` (``src/codec.py:240``); for non-ASCII it is a
+    correct generalization (the reference emits >8-bit chunks and breaks).
+    """
+    return bytes_to_bits(message.encode("utf-8"))
+
+
+def bits_to_message(bits: np.ndarray) -> str:
+    """Inverse of :func:`message_to_bits`; decodes UTF-8 with replacement,
+    matching ``bytes(message_bytes).decode('utf-8', errors='replace')``
+    (``src/codec.py:786``)."""
+    return bits_to_bytes(bits).decode("utf-8", errors="replace")
+
+
+def pack_bits(bits: np.ndarray) -> bytes:
+    """Dense-pack a 0/1 array into bytes (MSB-first), padding with zeros."""
+    return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
+
+
+def unpack_bits(data: bytes, n_bits: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`, truncated to ``n_bits``."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return np.unpackbits(arr)[:n_bits]

@@ -1,0 +1,52 @@
+"""Test harness configuration.
+
+Tests run on a *virtual 8-device CPU mesh* so data-parallel/sharded paths are
+exercised without TPU hardware (SURVEY.md §4 test strategy item 4). Env vars
+must be set before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# float64 on CPU for oracle-exact host math checks
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+TESTS_DIR = os.path.join(REPO_ROOT, "tests")
+if TESTS_DIR not in sys.path:
+    sys.path.insert(0, TESTS_DIR)
+
+import numpy as np
+import pytest
+
+PE_DCM = "/root/reference/images/pe.dcm"
+TORAX_DCM = "/root/reference/images/torax.dcm"
+
+
+@pytest.fixture(scope="session")
+def pe_image() -> np.ndarray:
+    from codec_tcc_tpu.io import dicom
+
+    arr, _ = dicom.load_image(PE_DCM)
+    return arr
+
+
+@pytest.fixture(scope="session")
+def torax_image() -> np.ndarray:
+    from codec_tcc_tpu.io import dicom
+
+    arr, _ = dicom.load_image(TORAX_DCM)
+    return arr
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(1234)
