@@ -1,0 +1,114 @@
+"""Device histograms + exact host-side entropy / mutual-information math.
+
+The reference's decomposition hot loop builds a 131,072-bin *joint* histogram
+per bit plane (``/root/reference/src/codec.py:546-551`` — 63-126 ms on CPU for
+a single 512x512 uint16 image, SURVEY §6). The TPU design collapses all of it
+into **one value histogram of the image**, because a bit plane is a
+deterministic function of the pixel value:
+
+    P(bit=b, value=v) = P(value=v) * [bit_i(v) == b]
+
+so the joint histogram for plane i is just the value histogram split by
+``bit_i(v)``, the plane's marginal is two partial sums of it, and
+``I(plane_i; image) == H(plane_i)`` exactly. The device computes the single
+histogram; the host then *replays the reference's float64 evaluation order*
+(same filtered count arrays, same ``np.sum`` pairwise summation) so the cut
+point ``s`` is bit-identical to NumPy (SURVEY §7 hard part #1: "bit-exact
+parity under fusion ... compare in float64 on host").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "value_histogram",
+    "entropy_from_counts",
+    "mutual_information_from_counts",
+    "plane_mi_curve",
+]
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def value_histogram(image: jax.Array, nbins: int) -> jax.Array:
+    """Exact integer histogram of pixel values: ``(H, W) -> (nbins,) int32``.
+
+    One scatter-add pass; on TPU XLA lowers this to a sorted segmented
+    reduction. ``nbins`` must exceed the max pixel value (use the dtype range:
+    256 or 65536, matching ``max_val`` at src/codec.py:536-540).
+    """
+    flat = image.reshape(-1).astype(jnp.int32)
+    return jnp.zeros((nbins,), jnp.int32).at[flat].add(1)
+
+
+def entropy_from_counts(counts: np.ndarray, size: int) -> float:
+    """Shannon entropy replayed exactly as ``calculate_entropy``
+    (src/codec.py:489-502): filter zero counts (ascending value order), float64
+    probabilities, single ``np.sum`` (pairwise summation)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    probs = counts[counts > 0] / float(size)
+    return float(-np.sum(probs * np.log2(probs)))
+
+
+def mutual_information_from_counts(
+    counts: np.ndarray, size: int, plane: int, max_val: int
+) -> float:
+    """Replay ``calculate_mutual_information`` (src/codec.py:504-559) for bit
+    plane ``plane`` using only the image value histogram.
+
+    Reconstructs the exact arrays the reference feeds to ``np.sum``:
+      * counts_x = [#pixels with bit=0, #pixels with bit=1]
+      * counts_y = histogram padded to ``max_val + 1`` bins
+      * joint    = [counts where bit=0 (asc v), counts where bit=1 (asc v)]
+    so every float64 operation happens on identical operands in identical
+    order, producing the identical result (including the ~1e-15 noise between
+    H(Y) and H(X,Y) that the reference's ``max(0.0, mi)`` clamps).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n = max_val + 1
+    counts_y = np.zeros(n, dtype=np.int64)
+    counts_y[: counts.size] = counts[:n]
+
+    values = np.arange(n, dtype=np.int64)
+    bit = (values >> plane) & 1
+
+    c1 = int(counts_y[bit == 1].sum())
+    c0 = size - c1
+    # reference shortcut: constant plane or constant image -> 0.0
+    if c0 == 0 or c1 == 0 or np.count_nonzero(counts_y) <= 1:
+        return 0.0
+
+    counts_x = np.array([c0, c1], dtype=np.int64)
+    probs_x = counts_x[counts_x > 0] / float(size)
+    h_x = -np.sum(probs_x * np.log2(probs_x))
+
+    probs_y = counts_y[counts_y > 0] / float(size)
+    h_y = -np.sum(probs_y * np.log2(probs_y))
+
+    joint = np.concatenate([np.where(bit == 0, counts_y, 0), np.where(bit == 1, counts_y, 0)])
+    joint_probs = joint[joint > 0] / float(size)
+    h_xy = -np.sum(joint_probs * np.log2(joint_probs))
+
+    return max(0.0, float(h_x + h_y - h_xy))
+
+
+def plane_mi_curve(
+    counts: np.ndarray, size: int, nbits: int, max_val: int
+) -> Tuple[np.ndarray, float]:
+    """Per-plane MI for all ``nbits`` planes plus total image entropy, from a
+    single histogram. Returns ``(mi[nbits] float64, H float64)``."""
+    counts = np.asarray(counts, dtype=np.int64)
+    # calculate_entropy bincounts without minlength -> length max_present+1;
+    # filtering zeros makes the operand array identical either way.
+    max_present = int(np.max(np.nonzero(counts)[0])) if counts.any() else 0
+    h = entropy_from_counts(counts[: max_present + 1], size)
+    mi = np.array(
+        [mutual_information_from_counts(counts, size, p, max_val) for p in range(nbits)],
+        dtype=np.float64,
+    )
+    return mi, h

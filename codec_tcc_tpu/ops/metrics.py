@@ -1,0 +1,116 @@
+"""Fused on-device quality metrics.
+
+The reference computes MSE / PSNR / global-SSIM / diff statistics in separate
+float64 NumPy passes on host (``/root/reference/src/mse.py:74-179,202-209``).
+Per the north star ("mse.py's MSE/PSNR checks become on-device fused
+reductions"), here all statistics for a pair of images come out of **one**
+jitted program: a single traversal producing every sum the formulas need, so
+the images are read from HBM once. Batch aggregation across a device mesh uses
+``psum`` (see :mod:`codec_tcc_tpu.parallel`).
+
+Beyond parity, :func:`ssim_windowed` adds standard sliding-window SSIM (the
+reference's "simplified" SSIM uses one global mean/variance, src/mse.py:163-179
+— kept as ``ssim_global`` for compatibility).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pair_stats", "quality_report", "psnr_from_mse", "ssim_windowed"]
+
+
+@jax.jit
+def pair_stats(a: jax.Array, b: jax.Array) -> Dict[str, jax.Array]:
+    """One-pass fused sums for an image pair (float32 accumulate).
+
+    Returns raw moments; combine with :func:`quality_report` (host) or
+    ``jax.lax.psum`` across shards before finalizing.
+    """
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    diff = af - bf
+    adiff = jnp.abs(diff)
+    return {
+        "n": jnp.array(a.size, jnp.float32),
+        "sum_a": jnp.sum(af),
+        "sum_b": jnp.sum(bf),
+        "sum_a2": jnp.sum(af * af),
+        "sum_b2": jnp.sum(bf * bf),
+        "sum_ab": jnp.sum(af * bf),
+        "sum_sqdiff": jnp.sum(diff * diff),
+        "sum_absdiff": jnp.sum(adiff),
+        "max_absdiff": jnp.max(adiff),
+        "changed": jnp.sum((a != b).astype(jnp.float32)),
+        "max_a": jnp.max(af),
+        "max_b": jnp.max(bf),
+    }
+
+
+def psnr_from_mse(mse: float, max_value: float) -> float:
+    """``10*log10(MAX^2/MSE)``, inf when identical (src/mse.py:118-133)."""
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10((max_value**2) / mse))
+
+
+def quality_report(stats: Dict[str, jax.Array], max_value: float | None = None) -> Dict[str, float]:
+    """Finalize fused sums into the reference's metric set
+    (MSE src/mse.py:112-116, PSNR :126-133, global SSIM :163-179, diff stats
+    :202-209). ``max_value`` defaults to max(max_a, max_b) — the array-input
+    behavior of ``calcular_mse``/``calcular_psnr``."""
+    s = {k: float(v) for k, v in stats.items()}
+    n = s["n"]
+    mse = s["sum_sqdiff"] / n
+    if max_value is None:
+        max_value = max(s["max_a"], s["max_b"])
+    mu1 = s["sum_a"] / n
+    mu2 = s["sum_b"] / n
+    var1 = s["sum_a2"] / n - mu1 * mu1
+    var2 = s["sum_b2"] / n - mu2 * mu2
+    cov = s["sum_ab"] / n - mu1 * mu2
+    c1 = (0.01 * max_value) ** 2
+    c2 = (0.03 * max_value) ** 2
+    ssim = ((2 * mu1 * mu2 + c1) * (2 * cov + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (var1 + var2 + c2)
+    )
+    return {
+        "mse": mse,
+        "psnr": psnr_from_mse(mse, max_value),
+        "ssim": ssim,
+        "mean_abs_diff": s["sum_absdiff"] / n,
+        "max_abs_diff": s["max_absdiff"],
+        "changed_pixels": s["changed"],
+        "changed_percent": 100.0 * s["changed"] / n,
+        "max_value": max_value,
+    }
+
+
+@partial(jax.jit, static_argnames=("window",))
+def ssim_windowed(a: jax.Array, b: jax.Array, max_value: float, window: int = 8) -> jax.Array:
+    """Standard mean windowed SSIM (uniform ``window x window`` patches) — a
+    capability upgrade over the reference's global-statistics variant."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    k = float(window * window)
+
+    def box(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (window, window), (window, window), "VALID"
+        ) / k
+
+    mu1, mu2 = box(af), box(bf)
+    s11 = box(af * af) - mu1 * mu1
+    s22 = box(bf * bf) - mu2 * mu2
+    s12 = box(af * bf) - mu1 * mu2
+    c1 = (0.01 * max_value) ** 2
+    c2 = (0.03 * max_value) ** 2
+    ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (s11 + s22 + c2)
+    )
+    return jnp.mean(ssim_map)
