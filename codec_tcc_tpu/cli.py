@@ -1,0 +1,230 @@
+"""Command-line interface: ``encode`` / ``decode`` / ``analyze`` subcommands.
+
+Replaces the reference's hardcoded demo ``main()``
+(``/root/reference/src/codec.py:847-926``) and the two-positional-arg
+``mse.py`` CLI (``/root/reference/src/mse.py:353-384``) with a single
+configurable entry point (SURVEY §5 config plan):
+
+    python -m codec_tcc_tpu encode in.dcm out.stgc --message "..." [--beta ...]
+    python -m codec_tcc_tpu decode out.stgc --output-prefix decoded
+    python -m codec_tcc_tpu analyze original.dcm stego.dcm
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .config import STRATEGIES, EncodeConfig
+from .io import dicom
+from .io.codecs import available_names
+from .utils.logging import get_logger, set_verbosity, write_json_report
+
+logger = get_logger("cli")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="codec_tcc_tpu",
+        description="TPU-native reversible steganography codec for DICOM images",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    enc = sub.add_parser("encode", help="embed a payload into a DICOM image")
+    enc.add_argument("input", help="input DICOM file")
+    enc.add_argument("output", help="output .stgc container")
+    g = enc.add_mutually_exclusive_group(required=True)
+    g.add_argument("--message", help="text payload")
+    g.add_argument("--payload-file", help="binary payload file")
+    enc.add_argument("--beta", type=float, default=0.4,
+                     help="entropy retention target (reference default 0.4)")
+    enc.add_argument("--strategy", choices=STRATEGIES, default="hybrid")
+    enc.add_argument("--codec", default="deflate",
+                     help=f"transport codec (available: {available_names()})")
+    enc.add_argument("--block-size", type=int, default=8)
+    enc.add_argument("--search-block-size", type=int, default=16)
+    enc.add_argument("--align-across-planes", action="store_true")
+    enc.add_argument("--seed", type=int, default=42)
+    enc.add_argument("--nbits", type=int, default=None,
+                     help="bit planes to consider (default: DICOM BitsStored)")
+    enc.add_argument("--ignore-bits-stored", action="store_true",
+                     help="reproduce reference defect B6 (use dtype width)")
+    enc.add_argument("--pee-threshold", type=int, default=2)
+    enc.add_argument("--no-bitmaps", action="store_true",
+                     help="omit XOR location maps (smaller file, no restore)")
+    enc.add_argument("--container-version", type=int, default=2, choices=(1, 2))
+    enc.add_argument("--report", help="write a JSON run report here")
+
+    dec = sub.add_parser("decode", help="extract payload + images from a container")
+    dec.add_argument("input", help=".stgc container")
+    dec.add_argument("--output-prefix", default="decoded")
+    dec.add_argument("--no-restore", action="store_true",
+                     help="skip original-image restoration")
+    dec.add_argument("--report", help="write a JSON run report here")
+
+    ana = sub.add_parser("analyze", help="quality metrics between two images")
+    ana.add_argument("original")
+    ana.add_argument("stego")
+    ana.add_argument("--report", help="write a JSON run report here")
+    return p
+
+
+def _load_any(path: str) -> np.ndarray:
+    if path.lower().endswith(".dcm"):
+        arr, _ = dicom.load_image(path)
+        return arr
+    from PIL import Image
+
+    arr = np.array(Image.open(path))
+    if arr.dtype == np.int32:
+        arr = arr.astype(np.uint16)
+    return arr
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    from . import pipeline
+
+    if args.message is not None:
+        payload: object = args.message
+    else:
+        with open(args.payload_file, "rb") as f:
+            payload = f.read()
+
+    config = EncodeConfig(
+        beta=args.beta,
+        strategy=args.strategy,
+        codec=args.codec,
+        block_size=args.block_size,
+        search_block_size=args.search_block_size,
+        align_across_planes=args.align_across_planes,
+        seed=args.seed,
+        nbits=args.nbits,
+        use_bits_stored=not args.ignore_bits_stored,
+        pee_threshold=args.pee_threshold,
+        store_bitmaps=not args.no_bitmaps,
+        container_version=args.container_version,
+    )
+    result = pipeline.encode_dicom(args.input, payload, config)
+    with open(args.output, "wb") as f:
+        f.write(result.container)
+
+    print(f"cut point s          : {result.s}")
+    print(f"strategy             : {result.meta.strategy}")
+    print(f"codec                : {result.meta.codec}")
+    print(f"payload bits         : {result.meta.payload_bits}")
+    print(f"container bytes      : {len(result.container)}")
+    if result.metrics:
+        print(f"MSE / PSNR / SSIM    : {result.metrics['mse']:.6f} / "
+              f"{result.metrics['psnr']:.2f} dB / {result.metrics['ssim']:.6f}")
+        print(f"pixels changed       : {int(result.metrics['changed_pixels'])}"
+              f" ({result.metrics['changed_percent']:.3f}%)")
+    if args.report:
+        write_json_report(args.report, {
+            "command": "encode",
+            "input": args.input,
+            "output": args.output,
+            "s": result.s,
+            "entropy": result.decomposition.entropy,
+            "mi_curve": result.decomposition.mi.tolist(),
+            "meta": {
+                "strategy": result.meta.strategy,
+                "codec": result.meta.codec,
+                "payload_bits": result.meta.payload_bits,
+                "container_bytes": len(result.container),
+            },
+            "metrics": result.metrics,
+        })
+    return 0
+
+
+def cmd_decode(args: argparse.Namespace) -> int:
+    from . import pipeline
+
+    result = pipeline.decode_file(args.input)
+    prefix = args.output_prefix
+
+    payload = result.payload
+    msg_path = f"{prefix}_message.txt"
+    try:
+        text = payload.decode("utf-8")
+        with open(msg_path, "w", encoding="utf-8") as f:
+            f.write(text)
+    except UnicodeDecodeError:
+        msg_path = f"{prefix}_payload.bin"
+        with open(msg_path, "wb") as f:
+            f.write(payload)
+
+    stego_path = f"{prefix}_stego.dcm"
+    dicom.save_image(result.stego, stego_path)
+    print(f"payload bits         : {result.payload_bits.size}")
+    print(f"payload written to   : {msg_path}")
+    print(f"stego image          : {stego_path}")
+    if result.original is not None:
+        orig_path = f"{prefix}_original.dcm"
+        dicom.save_image(result.original, orig_path)
+        print(f"restored original    : {orig_path}")
+    if args.report:
+        write_json_report(args.report, {
+            "command": "decode",
+            "input": args.input,
+            "payload_bits": int(result.payload_bits.size),
+            "strategy": result.meta.strategy,
+            "codec": result.meta.codec,
+            "restored_original": result.original is not None,
+        })
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from . import pipeline
+
+    orig = _load_any(args.original)
+    stego = _load_any(args.stego)
+    rep = pipeline.analyze_pair(orig, stego)
+    print(f"MSE                  : {rep['mse']:.6f}")
+    print(f"PSNR                 : {rep['psnr']:.2f} dB")
+    print(f"SSIM (global)        : {rep['ssim']:.6f}")
+    print(f"mean abs diff        : {rep['mean_abs_diff']:.4f}")
+    print(f"max abs diff         : {rep['max_abs_diff']:.0f}")
+    print(f"pixels changed       : {int(rep['changed_pixels'])}"
+          f" ({rep['changed_percent']:.3f}%)")
+    # the reference's quality verdicts (src/mse.py:224-241)
+    if rep["mse"] == 0:
+        verdict = "identical images"
+    elif rep["psnr"] > 40:
+        verdict = "excellent (imperceptible steganography)"
+    elif rep["psnr"] > 30:
+        verdict = "good (minimal changes)"
+    elif rep["psnr"] > 20:
+        verdict = "fair (visible changes)"
+    else:
+        verdict = "poor (significant changes)"
+    print(f"verdict              : {verdict}")
+    if args.report:
+        write_json_report(args.report, {"command": "analyze", **rep})
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.verbose:
+        set_verbosity("DEBUG")
+    handler = {"encode": cmd_encode, "decode": cmd_decode, "analyze": cmd_analyze}[
+        args.command
+    ]
+    try:
+        return handler(args)
+    except (ValueError, RuntimeError, FileNotFoundError) as exc:
+        if args.verbose:
+            raise
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Configuration for the encode/decode/analyze pipelines.
+
+The reference has no config system — every knob is hardcoded in ``main()``
+(``/root/reference/src/codec.py:847-926``: input path, message, beta=0.4,
+strategy, block size, codec='jxl', output path; SURVEY §5 "config/flag
+system: absent"). This dataclass + the CLI in :mod:`codec_tcc_tpu.cli` expose
+every knob the survey identifies: beta, nbits / BitsStored override, strategy,
+block sizes, alignment, codec, seed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+from .utils.rng import DEFAULT_SEGMENT_SHUFFLE_SEED
+
+STRATEGIES = ("multi_plane", "block_adaptive", "hybrid", "pee")
+
+
+@dataclass(frozen=True)
+class EncodeConfig:
+    # decomposition (src/codec.py:561-599)
+    beta: float = 0.4
+    nbits: Optional[int] = None        # None -> dtype width (reference default)
+    use_bits_stored: bool = True       # fix for defect B6: honor DICOM BitsStored
+    # embedding strategy (src/codec.py:276-487)
+    strategy: str = "hybrid"
+    block_size: int = 8                # block-adaptive tile size
+    search_block_size: int = 16        # hybrid start-block search size
+    align_across_planes: bool = False
+    seed: int = DEFAULT_SEGMENT_SHUFFLE_SEED
+    # PEE parameters (north-star scheme; see ops/pee.py)
+    pee_threshold: int = 2
+    # transport codec (src/codec.py:108-209)
+    codec: str = "deflate"
+    # container
+    store_bitmaps: bool = True
+    container_version: int = 2
+    # reporting
+    compute_metrics: bool = True
+
+    def validate(self) -> "EncodeConfig":
+        if self.strategy not in STRATEGIES:
+            raise ValueError(f"strategy must be one of {STRATEGIES}")
+        if not (0.0 < self.beta <= 1.0):
+            raise ValueError("beta must be in (0, 1]")
+        if self.block_size < 1 or self.search_block_size < 1:
+            raise ValueError("block sizes must be >= 1")
+        if self.container_version not in (1, 2):
+            raise ValueError("container_version must be 1 or 2")
+        return self
+
+    def with_overrides(self, **kwargs) -> "EncodeConfig":
+        return replace(self, **kwargs).validate()

@@ -1,0 +1,316 @@
+"""Symmetric lossless image codec registry.
+
+The reference's transport-codec layer (``/root/reference/src/codec.py:108-209``)
+is asymmetric and partly broken: ``compress_image`` returns whole-DICOM-file
+bytes for j2k/jls while ``decompress_image`` stuffs them unencapsulated into a
+dummy dataset (defect B3, SURVEY §2.4), and the JXL path shells out to
+Windows-named binaries. This registry fixes that with one contract
+(SURVEY §7 stage 4):
+
+    encode(array: np.ndarray) -> bytes      # self-describing payload
+    decode(data: bytes) -> np.ndarray       # exact inverse
+
+Backends (capability-detected at runtime, ``available()``):
+
+* ``deflate`` — zlib with a tiny shape/dtype header; always available.
+* ``png``     — PIL PNG (8-bit L / 16-bit I;16), always available here.
+* ``j2k``     — PIL/OpenJPEG reversible JPEG 2000 (replaces ``gdcmconv --j2k``).
+* ``jls``     — native C++ JPEG-LS (ITU-T T.87) via ctypes (replaces
+  ``gdcmconv --jpegls``); see ``codec_tcc_tpu/native/jpegls.cpp``.
+* ``jxl``     — external ``cjxl``/``djxl`` binaries when present on PATH
+  (the reference hardcodes ``cjxl.exe``, src/codec.py:121,175).
+
+Codec ids 1-4 keep the reference's container mapping
+(``{'png':1,'j2k':2,'jls':3,'jxl':4}``, src/codec.py:616); deflate is 5.
+"""
+
+from __future__ import annotations
+
+import abc
+import struct
+import zlib
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = [
+    "Codec",
+    "get",
+    "by_id",
+    "names",
+    "available_names",
+    "register",
+    "decode_transfer_syntax_frame",
+]
+
+
+class Codec(abc.ABC):
+    name: str = ""
+    codec_id: int = 0
+
+    @abc.abstractmethod
+    def available(self) -> bool: ...
+
+    @abc.abstractmethod
+    def encode(self, image: np.ndarray) -> bytes: ...
+
+    @abc.abstractmethod
+    def decode(self, data: bytes) -> np.ndarray: ...
+
+
+_REGISTRY: Dict[str, Codec] = {}
+
+
+def register(codec: Codec) -> Codec:
+    _REGISTRY[codec.name] = codec
+    return codec
+
+
+def get(name: str) -> Codec:
+    try:
+        codec = _REGISTRY[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"Codec '{name}' not supported (have: {sorted(_REGISTRY)})"
+        ) from None
+    if not codec.available():
+        raise RuntimeError(
+            f"Codec '{name}' is registered but unavailable in this environment"
+        )
+    return codec
+
+
+def by_id(codec_id: int) -> Codec:
+    for codec in _REGISTRY.values():
+        if codec.codec_id == codec_id:
+            return codec
+    raise ValueError(f"Unknown codec id {codec_id}")
+
+
+def names() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def available_names() -> List[str]:
+    return sorted(n for n, c in _REGISTRY.items() if c.available())
+
+
+# ---------------------------------------------------------------------------
+# deflate — always-available baseline (SURVEY §7 stage 3: "deflate as the only
+# codec of the minimum slice, pure-Python zlib, no external binaries")
+# ---------------------------------------------------------------------------
+
+_DEFLATE_MAGIC = b"SDFL"
+_DTYPE_CODES = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 2}
+_CODE_DTYPES = {1: np.uint8, 2: np.uint16}
+
+
+class DeflateCodec(Codec):
+    name = "deflate"
+    codec_id = 5
+
+    def available(self) -> bool:
+        return True
+
+    def encode(self, image: np.ndarray) -> bytes:
+        code = _DTYPE_CODES[np.dtype(image.dtype)]
+        header = _DEFLATE_MAGIC + struct.pack(">BII", code, *image.shape)
+        return header + zlib.compress(np.ascontiguousarray(image).tobytes(), 6)
+
+    def decode(self, data: bytes) -> np.ndarray:
+        if data[:4] != _DEFLATE_MAGIC:
+            raise ValueError("Not a deflate codec payload")
+        code, h, w = struct.unpack(">BII", data[4:13])
+        raw = zlib.decompress(data[13:])
+        return np.frombuffer(raw, dtype=_CODE_DTYPES[code]).reshape(h, w).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG / JPEG 2000 via PIL
+# ---------------------------------------------------------------------------
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _to_pil(image: np.ndarray):
+    from PIL import Image
+
+    # PIL maps uint16 -> I;16 and uint8 -> L automatically
+    return Image.fromarray(image)
+
+
+def _from_pil(img) -> np.ndarray:
+    arr = np.array(img)
+    if arr.dtype == np.int32:  # PIL 'I' mode for 16-bit sources
+        arr = arr.astype(np.uint16)
+    return arr
+
+
+class PngCodec(Codec):
+    name = "png"
+    codec_id = 1
+
+    def available(self) -> bool:
+        return _pil_available()
+
+    def encode(self, image: np.ndarray) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        _to_pil(image).save(buf, format="PNG", optimize=True)
+        return buf.getvalue()
+
+    def decode(self, data: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        return _from_pil(Image.open(io.BytesIO(data)))
+
+
+class J2kCodec(Codec):
+    """Reversible (lossless) JPEG 2000 via PIL/OpenJPEG — symmetric
+    replacement for the reference's ``gdcmconv --j2k`` round (defect B3)."""
+
+    name = "j2k"
+    codec_id = 2
+
+    def available(self) -> bool:
+        if not _pil_available():
+            return False
+        from PIL import features
+
+        return bool(features.check("jpg_2000"))
+
+    def encode(self, image: np.ndarray) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        _to_pil(image).save(buf, format="JPEG2000", irreversible=False)
+        return buf.getvalue()
+
+    def decode(self, data: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        return _from_pil(Image.open(io.BytesIO(data)))
+
+
+# ---------------------------------------------------------------------------
+# JPEG-LS via the native C++ library (ctypes binding)
+# ---------------------------------------------------------------------------
+
+
+class JlsCodec(Codec):
+    name = "jls"
+    codec_id = 3
+
+    def _lib(self):
+        from ..jpegls_binding import load_library
+
+        return load_library()
+
+    def available(self) -> bool:
+        try:
+            return self._lib() is not None
+        except Exception:
+            return False
+
+    def encode(self, image: np.ndarray) -> bytes:
+        from ..jpegls_binding import encode as jls_encode
+
+        return jls_encode(image)
+
+    def decode(self, data: bytes) -> np.ndarray:
+        from ..jpegls_binding import decode as jls_decode
+
+        return jls_decode(data)
+
+
+# ---------------------------------------------------------------------------
+# JPEG XL via external binaries (gated; absent in this environment)
+# ---------------------------------------------------------------------------
+
+
+class JxlCodec(Codec):
+    name = "jxl"
+    codec_id = 4
+
+    def _tools(self) -> Optional[tuple]:
+        import shutil
+
+        # accept both unix and the reference's Windows names (src/codec.py:121)
+        for enc, dec in (("cjxl", "djxl"), ("cjxl.exe", "djxl.exe")):
+            e, d = shutil.which(enc), shutil.which(dec)
+            if e and d:
+                return e, d
+        return None
+
+    def available(self) -> bool:
+        return self._tools() is not None
+
+    def encode(self, image: np.ndarray) -> bytes:
+        import subprocess
+        import tempfile
+        import os
+
+        tools = self._tools()
+        if tools is None:
+            raise RuntimeError("cjxl/djxl not found on PATH")
+        enc, _ = tools
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.png")
+            dst = os.path.join(td, "out.jxl")
+            _to_pil(image).save(src, format="PNG")
+            subprocess.run(
+                [enc, src, dst, "-d", "0", "-e", "3"],
+                check=True, capture_output=True, timeout=120,
+            )
+            with open(dst, "rb") as f:
+                return f.read()
+
+    def decode(self, data: bytes) -> np.ndarray:
+        import subprocess
+        import tempfile
+        import os
+
+        from PIL import Image
+
+        tools = self._tools()
+        if tools is None:
+            raise RuntimeError("cjxl/djxl not found on PATH")
+        _, dec = tools
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.jxl")
+            dst = os.path.join(td, "out.png")
+            with open(src, "wb") as f:
+                f.write(data)
+            subprocess.run([dec, src, dst], check=True, capture_output=True, timeout=120)
+            return _from_pil(Image.open(dst))
+
+
+register(DeflateCodec())
+register(PngCodec())
+register(J2kCodec())
+register(JlsCodec())
+register(JxlCodec())
+
+
+def decode_transfer_syntax_frame(fragment: bytes, transfer_syntax: str) -> np.ndarray:
+    """Decode one encapsulated DICOM pixel-data fragment (used by
+    :mod:`codec_tcc_tpu.io.dicom` for JPEG2000/JPEG-LS transfer syntaxes)."""
+    from ..dicom import JPEG2000_LOSSLESS, JPEGLS_LOSSLESS
+
+    if transfer_syntax == JPEG2000_LOSSLESS:
+        return get("j2k").decode(fragment)
+    if transfer_syntax == JPEGLS_LOSSLESS:
+        return get("jls").decode(fragment)
+    raise ValueError(f"Unsupported encapsulated transfer syntax {transfer_syntax}")

@@ -1,0 +1,301 @@
+"""STGC container format — v1 (reference-compatible) and v2 (native).
+
+Reference format (``/root/reference/src/codec.py:601-750``):
+
+    b"STGC" | >I header_len | header | bitmaps_blob | compressed_stego
+    header = >BBBBHHH (version=1, codec_id, s, align_flag, width, height,
+             start_offset) + {s}H segment_lengths + {s}B segment_indices
+             + I bitmaps_blob_size
+
+v1 is kept for interchange, with its verified limits intact (defect B5:
+``>H`` caps start_offset and per-segment lengths at 65,535 — below the
+262,143 max raster offset of even a 512x512 image).
+
+**v2** is the native format (SURVEY §2.4 B5 disposition: "widen to >I ... keep
+a version byte"): 32-bit geometry/offsets/lengths, signed planned sizes (the
+reference's excess correction can legitimately produce a negative bucket),
+explicit strategy/seed/dtype/bits-stored fields so a decoder can rebuild the
+exact embedding plan without re-deriving anything, and an extension block for
+strategy-specific parameters (block size, PEE threshold...). Layout:
+
+    b"STGC" | >I header_len | header_v2 | bitmaps_blob | stego_blob
+    header_v2 =
+      >BBBBBBBB  version=2, codec_id, strategy, s, nbits, bits_stored,
+                 dtype_code (1=u8, 2=u16), flags (bit0: align_across_planes,
+                 bit1: has_bitmaps)
+      >IIII      width, height, start_offset, seed
+      >Q         payload_bits
+      {s}i       planned sizes           (plane-indexed, may be negative)
+      {s}B       segment indices         (segment order k -> plane)
+      {s}I       effective lengths       (plane-indexed, embedded bit counts)
+      {s}I       plane start offsets     (plane-indexed)
+      >I         ext_len | ext bytes     (strategy-specific)
+      >I         bitmaps_blob_size
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+MAGIC = b"STGC"
+
+STRATEGY_MULTI_PLANE = 1
+STRATEGY_BLOCK_ADAPTIVE = 2
+STRATEGY_HYBRID = 3
+STRATEGY_PEE = 4
+
+STRATEGY_NAMES = {
+    STRATEGY_MULTI_PLANE: "multi_plane",
+    STRATEGY_BLOCK_ADAPTIVE: "block_adaptive",
+    STRATEGY_HYBRID: "hybrid",
+    STRATEGY_PEE: "pee",
+}
+STRATEGY_IDS = {v: k for k, v in STRATEGY_NAMES.items()}
+
+_V1_CODEC_NAMES = {1: "png", 2: "j2k", 3: "jls", 4: "jxl"}
+_CODEC_NAMES = {**_V1_CODEC_NAMES, 5: "deflate"}
+_CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
+
+FLAG_ALIGN = 1
+FLAG_HAS_BITMAPS = 2
+
+_DTYPE_CODES = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 2}
+_CODE_DTYPES = {1: np.dtype(np.uint8), 2: np.dtype(np.uint16)}
+
+
+@dataclass
+class ContainerMeta:
+    version: int
+    codec: str
+    strategy: str
+    s: int
+    nbits: int
+    bits_stored: int
+    dtype: np.dtype
+    width: int
+    height: int
+    start_offset: int
+    seed: int
+    payload_bits: int
+    align_across_planes: bool
+    has_bitmaps: bool
+    sizes: Tuple[int, ...]          # planned, plane-indexed (v2) / seg lens (v1)
+    indices: Tuple[int, ...]        # segment order k -> plane
+    eff_lengths: Tuple[int, ...]    # plane-indexed
+    plane_starts: Tuple[int, ...]   # plane-indexed
+    ext: bytes = b""
+
+    @property
+    def codec_id(self) -> int:
+        return _CODEC_IDS[self.codec]
+
+
+@dataclass
+class Container:
+    meta: ContainerMeta
+    bitmaps_blob: bytes             # zlib of stacked (s, H, W) uint8 maps
+    stego_blob: bytes               # codec payload
+
+    def bitmaps(self) -> Optional[np.ndarray]:
+        """Decompress the XOR location maps to ``(s, H, W) uint8``."""
+        if not self.meta.has_bitmaps:
+            return None
+        raw = zlib.decompress(self.bitmaps_blob)
+        m = self.meta
+        return np.frombuffer(raw, dtype=np.uint8).reshape(m.s, m.height, m.width)
+
+
+def compress_bitmaps(maps: np.ndarray) -> bytes:
+    """zlib the stacked maps exactly like the reference
+    (``zlib.compress(np.stack(bitmaps).tobytes())``, src/codec.py:888-889)."""
+    return zlib.compress(np.ascontiguousarray(maps, dtype=np.uint8).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# v2 pack / parse
+# ---------------------------------------------------------------------------
+
+
+def pack(meta: ContainerMeta, bitmaps_blob: bytes, stego_blob: bytes) -> bytes:
+    s = meta.s
+    flags = (FLAG_ALIGN if meta.align_across_planes else 0) | (
+        FLAG_HAS_BITMAPS if meta.has_bitmaps else 0
+    )
+    header = struct.pack(
+        ">BBBBBBBB",
+        2,
+        meta.codec_id,
+        STRATEGY_IDS[meta.strategy],
+        s,
+        meta.nbits,
+        meta.bits_stored,
+        _DTYPE_CODES[np.dtype(meta.dtype)],
+        flags,
+    )
+    header += struct.pack(
+        ">IIII", meta.width, meta.height, meta.start_offset, meta.seed
+    )
+    header += struct.pack(">Q", meta.payload_bits)
+    header += struct.pack(f">{s}i", *meta.sizes)
+    header += struct.pack(f">{s}B", *meta.indices)
+    header += struct.pack(f">{s}I", *meta.eff_lengths)
+    header += struct.pack(f">{s}I", *meta.plane_starts)
+    header += struct.pack(">I", len(meta.ext)) + meta.ext
+    header += struct.pack(">I", len(bitmaps_blob))
+    return MAGIC + struct.pack(">I", len(header)) + header + bitmaps_blob + stego_blob
+
+
+def parse(data: bytes) -> Container:
+    if data[:4] != MAGIC:
+        raise ValueError("Invalid file: bad STGC signature")
+    (header_len,) = struct.unpack_from(">I", data, 4)
+    header = data[8 : 8 + header_len]
+    body = data[8 + header_len :]
+    version = header[0]
+    if version == 1:
+        return _parse_v1(header, body)
+    if version == 2:
+        return _parse_v2(header, body)
+    raise ValueError(f"Unsupported container version {version}")
+
+
+def _parse_v2(header: bytes, body: bytes) -> Container:
+    off = 0
+    (version, codec_id, strategy_id, s, nbits, bits_stored, dtype_code, flags) = (
+        struct.unpack_from(">BBBBBBBB", header, off)
+    )
+    off += 8
+    width, height, start_offset, seed = struct.unpack_from(">IIII", header, off)
+    off += 16
+    (payload_bits,) = struct.unpack_from(">Q", header, off)
+    off += 8
+    sizes = struct.unpack_from(f">{s}i", header, off)
+    off += 4 * s
+    indices = struct.unpack_from(f">{s}B", header, off)
+    off += s
+    eff_lengths = struct.unpack_from(f">{s}I", header, off)
+    off += 4 * s
+    plane_starts = struct.unpack_from(f">{s}I", header, off)
+    off += 4 * s
+    (ext_len,) = struct.unpack_from(">I", header, off)
+    off += 4
+    ext = header[off : off + ext_len]
+    off += ext_len
+    (bitmaps_size,) = struct.unpack_from(">I", header, off)
+
+    meta = ContainerMeta(
+        version=2,
+        codec=_CODEC_NAMES.get(codec_id, "unknown"),
+        strategy=STRATEGY_NAMES.get(strategy_id, "unknown"),
+        s=s,
+        nbits=nbits,
+        bits_stored=bits_stored,
+        dtype=_CODE_DTYPES[dtype_code],
+        width=width,
+        height=height,
+        start_offset=start_offset,
+        seed=seed,
+        payload_bits=payload_bits,
+        align_across_planes=bool(flags & FLAG_ALIGN),
+        has_bitmaps=bool(flags & FLAG_HAS_BITMAPS),
+        sizes=tuple(sizes),
+        indices=tuple(indices),
+        eff_lengths=tuple(eff_lengths),
+        plane_starts=tuple(plane_starts),
+        ext=ext,
+    )
+    return Container(meta, body[:bitmaps_size], body[bitmaps_size:])
+
+
+# ---------------------------------------------------------------------------
+# v1 (reference format) pack / parse — interchange compatibility
+# ---------------------------------------------------------------------------
+
+
+def pack_v1(
+    codec: str,
+    s: int,
+    segments_lengths,
+    segments_indices,
+    bitmaps_blob: bytes,
+    stego_blob: bytes,
+    width: int,
+    height: int,
+    start_offset: int,
+    align_across_planes: bool,
+) -> bytes:
+    """Write the reference's exact v1 layout (src/codec.py:601-670), including
+    its ``>H`` field limits (struct.error beyond 65,535 — defect B5 preserved
+    for fidelity; use v2 for real work)."""
+    codec_id = {v: k for k, v in _V1_CODEC_NAMES.items()}.get(codec.lower(), 0)
+    header = struct.pack(
+        ">BBBBHHH", 1, codec_id, s, 1 if align_across_planes else 0,
+        width, height, start_offset,
+    )
+    header += struct.pack(f">{s}H", *segments_lengths)
+    header += struct.pack(f">{s}B", *segments_indices)
+    header += struct.pack(">I", len(bitmaps_blob))
+    return MAGIC + struct.pack(">I", len(header)) + header + bitmaps_blob + stego_blob
+
+
+def _parse_v1(header: bytes, body: bytes) -> Container:
+    base = struct.calcsize(">BBBBHHH")
+    version, codec_id, s, align_flag, width, height, start_offset = struct.unpack(
+        ">BBBBHHH", header[:base]
+    )
+    off = base
+    seg_lengths = struct.unpack_from(f">{s}H", header, off)
+    off += 2 * s
+    seg_indices = struct.unpack_from(f">{s}B", header, off)
+    off += s
+    (bitmaps_size,) = struct.unpack_from(">I", header, off)
+    meta = ContainerMeta(
+        version=1,
+        codec=_V1_CODEC_NAMES.get(codec_id, "unknown"),
+        strategy="unknown",  # v1 does not record it (the reference hardcodes
+        # the hybrid strategy in main(), src/codec.py:874)
+        s=s,
+        nbits=0,
+        bits_stored=0,
+        dtype=np.dtype(np.uint16),
+        width=width,
+        height=height,
+        start_offset=start_offset,
+        seed=42,
+        payload_bits=sum(seg_lengths),
+        align_across_planes=bool(align_flag),
+        has_bitmaps=True,
+        sizes=tuple(seg_lengths),
+        indices=tuple(seg_indices),
+        eff_lengths=tuple(seg_lengths),
+        plane_starts=tuple([0] * s),
+        ext=b"",
+    )
+    return Container(meta, body[:bitmaps_size], body[bitmaps_size:])
+
+
+# ---------------------------------------------------------------------------
+# strategy extension blocks
+# ---------------------------------------------------------------------------
+
+
+def pack_block_ext(block_size: int) -> bytes:
+    return struct.pack(">I", block_size)
+
+
+def parse_block_ext(ext: bytes) -> int:
+    return struct.unpack(">I", ext[:4])[0] if len(ext) >= 4 else 0
+
+
+def pack_pee_ext(threshold: int, passes: int, map_bits: int) -> bytes:
+    return struct.pack(">IIQ", threshold, passes, map_bits)
+
+
+def parse_pee_ext(ext: bytes) -> Dict[str, int]:
+    t, p, m = struct.unpack(">IIQ", ext[:16])
+    return {"threshold": t, "passes": p, "map_bits": m}

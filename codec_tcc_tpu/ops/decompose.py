@@ -54,7 +54,14 @@ def decompose(
     size = int(image.size)
 
     if histogram_counts is None:
-        histogram_counts = np.asarray(hist_ops.value_histogram(image, max_val + 1))
+        if isinstance(image, np.ndarray):
+            # host image: np.bincount is exact and faster than a device
+            # round-trip for a single image
+            histogram_counts = hist_ops.host_histogram(image, max_val + 1)
+        else:
+            histogram_counts = np.asarray(
+                hist_ops.value_histogram(image, max_val + 1)
+            )
 
     mi, h = hist_ops.plane_mi_curve(histogram_counts, size, nbits, max_val)
 

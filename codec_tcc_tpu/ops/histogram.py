@@ -38,12 +38,30 @@ __all__ = [
 def value_histogram(image: jax.Array, nbins: int) -> jax.Array:
     """Exact integer histogram of pixel values: ``(H, W) -> (nbins,) int32``.
 
-    One scatter-add pass; on TPU XLA lowers this to a sorted segmented
-    reduction. ``nbins`` must exceed the max pixel value (use the dtype range:
-    256 or 65536, matching ``max_val`` at src/codec.py:536-540).
+    Scatter-free TPU formulation (XLA's scatter-add lowering for 65,536 bins
+    takes ~100 s to *compile* on TPU — measured this session; SURVEY §7
+    flagged exactly this hard part): sort the pixels, then binary-search the
+    ``nbins+1`` bin boundaries and difference the insertion points. Sort is
+    O(N log N) on the VPU and searchsorted is ~17 gather rounds — both
+    compile in seconds and run in microseconds. ``nbins`` must exceed the max
+    pixel value (use the dtype range: 256 or 65536, matching ``max_val`` at
+    src/codec.py:536-540).
     """
-    flat = image.reshape(-1).astype(jnp.int32)
-    return jnp.zeros((nbins,), jnp.int32).at[flat].add(1)
+    flat = jnp.sort(image.reshape(-1).astype(jnp.int32))
+    edges = jnp.arange(nbins + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(flat, edges, side="left")
+    return jnp.diff(idx).astype(jnp.int32)
+
+
+def host_histogram(image, nbins: int):
+    """Exact host histogram (``np.bincount``) — the default for single-image
+    pipelines where the image already sits on host (0.5 ms for 512x512; no
+    device round-trip or compile cost). The device variant exists for mesh
+    pipelines that ``psum`` per-shard histograms."""
+    import numpy as _np
+
+    arr = _np.asarray(image)
+    return _np.bincount(arr.ravel(), minlength=nbins)[:nbins]
 
 
 def entropy_from_counts(counts: np.ndarray, size: int) -> float:

@@ -1,0 +1,176 @@
+"""DICOM I/O, codec registry, and container format unit tests."""
+
+import numpy as np
+import pytest
+import zlib
+
+from codec_tcc_tpu.io import container as container_io
+from codec_tcc_tpu.io import dicom
+from codec_tcc_tpu.io import codecs
+
+
+# ---------------------------------------------------------------------------
+# DICOM
+# ---------------------------------------------------------------------------
+
+
+def test_read_bundled_images_metadata():
+    """Facts verified by the survey's manual tag parse (SURVEY §0 table)."""
+    ds = dicom.read_file("/root/reference/images/pe.dcm")
+    assert ds.transfer_syntax == dicom.EXPLICIT_VR_LE
+    assert (ds.rows, ds.columns) == (512, 512)
+    assert ds.bits_allocated == 16 and ds.bits_stored == 12 and ds.high_bit == 11
+    assert ds.modality == "MR"
+    arr = ds.pixel_array
+    assert arr.dtype == np.uint16 and int(arr.max()) == 836
+
+    ds2 = dicom.read_file("/root/reference/images/torax.dcm")
+    assert ds2.transfer_syntax == dicom.IMPLICIT_VR_LE
+    assert ds2.bits_allocated == 8 and ds2.bits_stored == 8
+    arr2 = ds2.pixel_array
+    assert arr2.dtype == np.uint8 and int(arr2.max()) == 255
+
+
+@pytest.mark.parametrize("dtype,maxv", [(np.uint8, 255), (np.uint16, 836)])
+def test_secondary_capture_roundtrip(rng, dtype, maxv):
+    img = rng.integers(0, maxv + 1, size=(96, 64)).astype(dtype)
+    data = dicom.to_bytes(dicom.build_secondary_capture(img))
+    ds = dicom.read_bytes(data)
+    np.testing.assert_array_equal(ds.pixel_array, img)
+    # BitsStored = ceil(log2(max+1)) rule (src/codec.py:30-32)
+    assert ds.bits_stored == max(1, int(img.max()).bit_length())
+    assert ds.get_str((0x0010, 0x0010)) == "STEGO^"
+    assert ds.photometric_interpretation == "MONOCHROME2"
+
+
+def test_deflated_transfer_syntax_roundtrip(rng):
+    img = rng.integers(0, 4096, size=(40, 56)).astype(np.uint16)
+    data = dicom.to_bytes(dicom.build_secondary_capture(img), deflated=True)
+    ds = dicom.read_bytes(data)
+    assert ds.transfer_syntax == dicom.DEFLATED_EXPLICIT_VR_LE
+    np.testing.assert_array_equal(ds.pixel_array, img)
+
+
+def test_invalid_inputs():
+    with pytest.raises(ValueError):
+        dicom.build_secondary_capture(np.zeros((4, 4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        dicom.build_secondary_capture(np.zeros((4, 4), dtype=np.int32))
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["deflate", "png", "j2k"])
+@pytest.mark.parametrize("dtype,hi", [(np.uint8, 256), (np.uint16, 65536)])
+def test_codec_symmetry(rng, name, dtype, hi):
+    """Property-tested encode/decode round-trip — the defect-B3 fix contract."""
+    codec = codecs.get(name)
+    img = rng.integers(0, hi, size=(64, 48)).astype(dtype)
+    blob = codec.encode(img)
+    out = codec.decode(blob)
+    assert out.dtype == img.dtype
+    np.testing.assert_array_equal(out, img)
+
+
+def test_codec_registry():
+    assert set(codecs.names()) == {"deflate", "png", "j2k", "jls", "jxl"}
+    avail = codecs.available_names()
+    assert "deflate" in avail and "png" in avail and "j2k" in avail
+    with pytest.raises(ValueError):
+        codecs.get("nope")
+    # jxl binaries are absent in this environment -> clear runtime error
+    if "jxl" not in avail:
+        with pytest.raises(RuntimeError):
+            codecs.get("jxl")
+
+
+def test_codec_ids_match_reference():
+    """Container ids must keep the reference mapping (src/codec.py:616)."""
+    assert codecs.get("png").codec_id == 1
+    assert codecs.get("j2k").codec_id == 2
+    assert codecs.by_id(3).name == "jls"
+    assert codecs.by_id(4).name == "jxl"
+    assert codecs.get("deflate").codec_id == 5
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+
+def _meta(**kw):
+    defaults = dict(
+        version=2, codec="deflate", strategy="hybrid", s=3, nbits=8,
+        bits_stored=8, dtype=np.dtype(np.uint8), width=64, height=48,
+        start_offset=1234, seed=42, payload_bits=999,
+        align_across_planes=False, has_bitmaps=True,
+        sizes=(500, 300, 199), indices=(2, 0, 1), eff_lengths=(500, 300, 199),
+        plane_starts=(10, 20, 30), ext=b"",
+    )
+    defaults.update(kw)
+    return container_io.ContainerMeta(**defaults)
+
+
+def test_v2_pack_parse_roundtrip():
+    meta = _meta()
+    maps = np.zeros((3, 48, 64), dtype=np.uint8)
+    blob = container_io.pack(meta, container_io.compress_bitmaps(maps), b"STEGO")
+    cont = container_io.parse(blob)
+    m = cont.meta
+    assert (m.version, m.codec, m.strategy, m.s) == (2, "deflate", "hybrid", 3)
+    assert (m.width, m.height, m.start_offset, m.seed) == (64, 48, 1234, 42)
+    assert m.payload_bits == 999
+    assert m.sizes == (500, 300, 199)
+    assert m.indices == (2, 0, 1)
+    assert m.plane_starts == (10, 20, 30)
+    assert cont.stego_blob == b"STEGO"
+    np.testing.assert_array_equal(cont.bitmaps(), maps)
+
+
+def test_v2_negative_planned_size():
+    """The reference's excess correction can go negative (SURVEY B-edge);
+    v2 stores signed sizes."""
+    meta = _meta(sizes=(-1, 2, 1), eff_lengths=(0, 2, 1), payload_bits=2)
+    blob = container_io.pack(meta, b"", b"")
+    assert container_io.parse(blob).meta.sizes == (-1, 2, 1)
+
+
+def test_v2_wide_fields():
+    """Defect B5 fixed: fields the v1 >H format cannot hold."""
+    meta = _meta(width=70_000, height=70_000, start_offset=1_000_000,
+                 eff_lengths=(300_000, 200_000, 100_000), payload_bits=600_000)
+    cont = container_io.parse(container_io.pack(meta, b"", b""))
+    assert cont.meta.width == 70_000
+    assert cont.meta.start_offset == 1_000_000
+    assert cont.meta.eff_lengths == (300_000, 200_000, 100_000)
+
+
+def test_v1_limits_preserved():
+    """v1 keeps the reference's struct caps (defect B5 documented behavior)."""
+    import struct
+
+    with pytest.raises(struct.error):
+        container_io.pack_v1("png", 1, [70_000], [0], b"", b"", 512, 512, 0, False)
+
+
+def test_v1_pack_parse_roundtrip():
+    blob = container_io.pack_v1(
+        "jxl", 2, [100, 200], [1, 0], zlib.compress(b"\0" * 8), b"IMG",
+        512, 512, 77, True,
+    )
+    cont = container_io.parse(blob)
+    assert cont.meta.version == 1
+    assert cont.meta.codec == "jxl"
+    assert cont.meta.s == 2
+    assert cont.meta.start_offset == 77
+    assert cont.meta.align_across_planes is True
+    assert cont.meta.sizes == (100, 200)
+    assert cont.stego_blob == b"IMG"
+
+
+def test_bad_magic():
+    with pytest.raises(ValueError):
+        container_io.parse(b"NOPE" + b"\0" * 100)
