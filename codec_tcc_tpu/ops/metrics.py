@@ -66,14 +66,33 @@ def quality_report(stats: Dict[str, jax.Array], max_value: float | None = None) 
     behavior of ``calcular_mse``/``calcular_psnr``."""
     s = {k: float(v) for k, v in stats.items()}
     n = s["n"]
-    mse = s["sum_sqdiff"] / n
+    # range normalization branch of calcular_mse (src/mse.py:100-110): when
+    # the two arrays have different maxima, both are rescaled to the larger
+    # range before differencing. The normalized MSE comes from the fused
+    # moments: ||a*alpha - b*beta||^2 = a2*alpha^2 + b2*beta^2 - 2ab*alpha*beta
+    # (mild float32 cancellation in this branch; the common equal-range case
+    # uses the directly-accumulated squared diff, which is cancellation-free).
+    max_a, max_b = s["max_a"], s["max_b"]
     if max_value is None:
-        max_value = max(s["max_a"], s["max_b"])
-    mu1 = s["sum_a"] / n
-    mu2 = s["sum_b"] / n
-    var1 = s["sum_a2"] / n - mu1 * mu1
-    var2 = s["sum_b2"] / n - mu2 * mu2
-    cov = s["sum_ab"] / n - mu1 * mu2
+        max_value = max(max_a, max_b) if (max_a or max_b) else 255.0
+    if max_a != max_b and max_a > 0 and max_b > 0:
+        alpha = max_value / max_a
+        beta = max_value / max_b
+    else:
+        alpha = beta = 1.0
+    if alpha == beta == 1.0:
+        mse = s["sum_sqdiff"] / n
+    else:
+        mse = max(
+            0.0,
+            (alpha * alpha * s["sum_a2"] + beta * beta * s["sum_b2"]
+             - 2.0 * alpha * beta * s["sum_ab"]) / n,
+        )
+    mu1 = alpha * s["sum_a"] / n
+    mu2 = beta * s["sum_b"] / n
+    var1 = alpha * alpha * s["sum_a2"] / n - mu1 * mu1
+    var2 = beta * beta * s["sum_b2"] / n - mu2 * mu2
+    cov = alpha * beta * s["sum_ab"] / n - mu1 * mu2
     c1 = (0.01 * max_value) ** 2
     c2 = (0.03 * max_value) ** 2
     ssim = ((2 * mu1 * mu2 + c1) * (2 * cov + c2)) / (
@@ -87,6 +106,47 @@ def quality_report(stats: Dict[str, jax.Array], max_value: float | None = None) 
         "max_abs_diff": s["max_absdiff"],
         "changed_pixels": s["changed"],
         "changed_percent": 100.0 * s["changed"] / n,
+        "max_value": max_value,
+    }
+
+
+def host_pair_report(a, b, max_value: float | None = None) -> Dict[str, float]:
+    """Float64 host computation of the full metric set — used for the
+    reference's range-normalization branch (different maxima), where float32
+    fused moments lose the signal to cancellation (sum(a^2) ~ 5e9 vs a
+    normalized-MSE numerator ~ 1e5). Single images only; the fused device path
+    (:func:`pair_stats`) is for batch/mesh throughput and the equal-range
+    case, which is cancellation-free."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    max_a, max_b = float(a.max()), float(b.max())
+    if max_value is None:
+        max_value = max(max_a, max_b) if (max_a or max_b) else 255.0
+    raw_absdiff = np.abs(a - b)
+    if max_a != max_b and max_a > 0 and max_b > 0:
+        an = (a / max_a) * max_value
+        bn = (b / max_b) * max_value
+    else:
+        an, bn = a, b
+    diff = an - bn
+    mse = float(np.mean(diff * diff))
+    mu1, mu2 = float(np.mean(an)), float(np.mean(bn))
+    var1, var2 = float(np.var(an)), float(np.var(bn))
+    cov = float(np.mean((an - mu1) * (bn - mu2)))
+    c1 = (0.01 * max_value) ** 2
+    c2 = (0.03 * max_value) ** 2
+    ssim = ((2 * mu1 * mu2 + c1) * (2 * cov + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (var1 + var2 + c2)
+    )
+    changed = float(np.sum(a != b))
+    return {
+        "mse": mse,
+        "psnr": psnr_from_mse(mse, max_value),
+        "ssim": ssim,
+        "mean_abs_diff": float(np.mean(raw_absdiff)),
+        "max_abs_diff": float(np.max(raw_absdiff)),
+        "changed_pixels": changed,
+        "changed_percent": 100.0 * changed / a.size,
         "max_value": max_value,
     }
 

@@ -1,0 +1,180 @@
+"""Prediction-Error Expansion (PEE) reversible embedding — TPU kernels.
+
+The reference's README and the driver north star describe the project as PEE
+("PEE neighbor predictor, prediction-error histogram, expansion-and-shift"),
+but the committed reference code contains no predictor at all (SURVEY.md §0
+"naming caution": the only primitives are LSB substitutions at
+``src/codec.py:306,394,472``). This module provides the *true* PEE embedder
+the north star names, built TPU-first:
+
+* **Rhombus predictor on a checkerboard lattice** (the classic two-pass
+  scheme): pixels split into cross ((y+x) even) and dot ((y+x) odd) sets; a
+  pixel is predicted as the floor-average of its 4-neighbors, all of which
+  belong to the other set, so each pass's predictions depend only on values
+  the decoder can reconstruct. Pass 0 embeds into cross using original dots;
+  pass 1 embeds into dot using the *modified* cross; decoding inverts pass 1
+  first, then pass 0.
+* **Expansion and shift**: prediction error ``e = x - pred``; expandable
+  errors (``-T <= e < T``) become ``e' = 2e + bit``; larger errors shift
+  outward by ``T``. Fully invertible integer math.
+* **Overflow location map**: pixels whose expansion/shift would leave
+  ``[0, max_val]`` stay untouched and are flagged in a bitmask (packed +
+  zlib'd into the container's map slot).
+* **Processed-prefix boundary**: each pass embeds into in-set pixels in
+  raster order and stops after ``n_proc`` of them (stored in the container),
+  so distortion scales with the payload instead of the full capacity, and the
+  decoder can reproduce the exact embedded set with no ambiguity.
+
+Everything is dense int32 arithmetic — pad/shift neighbor sums, cumulative
+sums for ranks, one gather of the message per pass — no scatter on the
+embed path and a single drop-mode scatter to collect extracted bits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "rhombus_predict",
+    "capacity",
+    "embed_pass",
+    "extract_pass",
+    "parity_mask",
+]
+
+_BIG = jnp.int32(2**31 - 1)
+
+
+def rhombus_predict(img: jax.Array) -> jax.Array:
+    """Floor-average of the 4-neighborhood with edge replication. int32."""
+    x = img.astype(jnp.int32)
+    p = jnp.pad(x, 1, mode="edge")
+    s = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+    return s // 4
+
+
+def parity_mask(h: int, w: int, parity: int) -> jax.Array:
+    """Checkerboard set membership, **interior pixels only**.
+
+    Border pixels are excluded from processing: with edge-replicated padding a
+    border pixel is its own 4-neighbor, so its prediction would depend on its
+    own (modified) value and decoding could not invert it. The 1-pixel frame
+    always passes through unchanged.
+    """
+    y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (y > 0) & (y < h - 1) & (x > 0) & (x < w - 1)
+    return (((y + x) & 1) == parity) & interior
+
+
+def _classify(img: jax.Array, parity: int, t: int, max_val: int):
+    """Shared encode-side classification for one pass.
+
+    Returns (pred, e, in_set, expandable, overflow) — all over the full image.
+    """
+    h, w = img.shape
+    x = img.astype(jnp.int32)
+    pred = rhombus_predict(img)
+    e = x - pred
+    in_set = parity_mask(h, w, parity)
+    expandable = (e >= -t) & (e < t)
+    # worst-case expansion target must stay in range for either bit value
+    exp_over = (pred + 2 * e + 1 > max_val) | (pred + 2 * e < 0)
+    shift_over = jnp.where(e >= t, x + t > max_val, x - t < 0)
+    overflow = in_set & jnp.where(expandable, exp_over, shift_over)
+    return pred, e, in_set, expandable, overflow
+
+
+@partial(jax.jit, static_argnames=("parity", "t", "max_val"))
+def capacity(img: jax.Array, parity: int, t: int, max_val: int) -> jax.Array:
+    """Number of embeddable bits this pass offers (eligible pixels)."""
+    _, _, in_set, expandable, overflow = _classify(img, parity, t, max_val)
+    return jnp.sum((in_set & expandable & ~overflow).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("parity", "t", "max_val"))
+def embed_pass(
+    img: jax.Array,          # (H, W) uint8/uint16
+    msg_bits: jax.Array,     # (Lpad,) uint8, zero-padded
+    msg_base: jax.Array,     # scalar int32: this pass's first message bit
+    want_bits: jax.Array,    # scalar int32: bits this pass should embed
+    parity: int,
+    t: int,
+    max_val: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One PEE pass. Returns (stego, overflow_map_bool, used_bits, n_proc)."""
+    h, w = img.shape
+    pred, e, in_set, expandable, overflow = _classify(img, parity, t, max_val)
+    eligible = in_set & expandable & ~overflow
+
+    set_rank = jnp.cumsum(in_set.reshape(-1).astype(jnp.int32)).reshape(h, w)
+    elig_cum = jnp.cumsum(eligible.reshape(-1).astype(jnp.int32)).reshape(h, w)
+    total_cap = elig_cum.reshape(-1)[-1]
+    used = jnp.minimum(want_bits, total_cap)
+
+    # smallest processed prefix (in set_rank counting) covering `used` bits
+    hit = eligible & (elig_cum == used)
+    n_proc = jnp.where(
+        used > 0,
+        jnp.min(jnp.where(hit, set_rank, _BIG)),
+        0,
+    )
+    processed = in_set & (set_rank <= n_proc)
+
+    embeds = eligible & processed
+    rank = elig_cum - 1  # 0-based among eligible
+    lpad = msg_bits.shape[0]
+    midx = jnp.clip(msg_base + rank, 0, lpad - 1)
+    b = jnp.take(msg_bits, midx, mode="clip").astype(jnp.int32)
+
+    e_new = jnp.where(
+        expandable, 2 * e + jnp.where(embeds, b, 0), e + jnp.where(e >= t, t, -t)
+    )
+    x_new = pred + e_new
+    # un-embedded expandable pixels inside the processed prefix cannot occur
+    # (the prefix ends exactly at the used-th eligible pixel), but guard
+    # anyway: only expand where a bit was embedded, otherwise only shift
+    modify = processed & ~overflow & (embeds | ~expandable)
+    out = jnp.where(modify, x_new, img.astype(jnp.int32)).astype(img.dtype)
+    return out, overflow & processed, used, n_proc
+
+
+@partial(jax.jit, static_argnames=("parity", "t", "max_val", "out_len"))
+def extract_pass(
+    stego: jax.Array,
+    overflow_map: jax.Array,  # (H, W) bool
+    n_proc: jax.Array,        # scalar int32
+    parity: int,
+    t: int,
+    max_val: int,
+    out_len: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Invert one PEE pass. Returns (restored, bits[out_len], n_bits)."""
+    h, w = stego.shape
+    x2 = stego.astype(jnp.int32)
+    pred = rhombus_predict(stego)
+    e2 = x2 - pred
+    in_set = parity_mask(h, w, parity)
+    set_rank = jnp.cumsum(in_set.reshape(-1).astype(jnp.int32)).reshape(h, w)
+    processed = in_set & (set_rank <= n_proc) & ~overflow_map
+
+    expanded = processed & (e2 >= -2 * t) & (e2 < 2 * t)
+    b = e2 & 1  # floor-mod 2 for int32
+    e = jnp.where(
+        expanded,
+        (e2 - b) >> 1,
+        e2 + jnp.where(e2 >= 2 * t, -t, t),
+    )
+    restored = jnp.where(processed, pred + e, x2).astype(stego.dtype)
+
+    rank = jnp.cumsum(expanded.reshape(-1).astype(jnp.int32)).reshape(h, w) - 1
+    n_bits = jnp.sum(expanded.astype(jnp.int32))
+    idx = jnp.where(expanded, rank, out_len)  # park non-expanded out of range
+    bits = jnp.zeros(out_len + 1, dtype=jnp.uint8).at[idx.reshape(-1)].max(
+        jnp.where(expanded, b, 0).astype(jnp.uint8).reshape(-1), mode="drop"
+    )
+    return restored, bits[:out_len], n_bits

@@ -343,7 +343,13 @@ def decode_file(path: str) -> DecodeResult:
 def analyze_pair(
     original: ArrayLike, stego: ArrayLike, max_value: Optional[float] = None
 ) -> Dict[str, float]:
-    """Fused on-device quality metrics for an image pair (the reference's
-    ``mse.py`` analysis as one device pass)."""
-    stats = metric_ops.pair_stats(np.asarray(original), np.asarray(stego))
+    """Quality metrics for an image pair (the reference's ``mse.py``
+    analysis). Uses the fused device pass for the common equal-range case;
+    the range-normalized branch (different maxima) routes through exact
+    float64 host math, where float32 moments would cancel."""
+    original = np.asarray(original)
+    stego = np.asarray(stego)
+    stats = metric_ops.pair_stats(original, stego)
+    if float(stats["max_a"]) != float(stats["max_b"]):
+        return metric_ops.host_pair_report(original, stego, max_value)
     return metric_ops.quality_report(stats, max_value)

@@ -8,7 +8,39 @@ must be set before the first ``import jax`` anywhere in the test process.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a clean CPU run. The session environment registers the experimental
+# axon TPU plugin in *every* interpreter via /root/.axon_site/sitecustomize.py
+# (gated on PALLAS_AXON_POOL_IPS) and exports JAX_PLATFORMS=axon; the plugin's
+# client init costs ~60-80 s per process and grabs the real chip. Re-exec the
+# test process once with the gate variable stripped so sitecustomize skips
+# registration entirely and the suite runs on an 8-device virtual CPU mesh.
+def pytest_configure(config):
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+        "_CODEC_TCC_TPU_TEST_REEXEC"
+    ):
+        # stop pytest's fd-level capture so the re-exec'd process writes to
+        # the real terminal again
+        cap = config.pluginmanager.getplugin("capturemanager")
+        if cap is not None:
+            try:
+                cap.stop_global_capturing()
+            except Exception:
+                pass
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["_CODEC_TCC_TPU_TEST_REEXEC"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        os.execvpe(
+            sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+        )
+
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

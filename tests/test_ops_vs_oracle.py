@@ -279,21 +279,39 @@ def test_xor_maps_and_restore(rng):
 
 
 def test_fused_metrics_match_oracle(pe_image, rng):
+    """Range-normalized branch (max 836 vs 837 here) routes through exact
+    float64 host math — must match the oracle formulas exactly."""
+    from codec_tcc_tpu.pipeline import analyze_pair
+
     stego = pe_image.copy()
     flip = rng.integers(0, 2, size=pe_image.shape).astype(np.uint16)
     stego ^= flip  # flip ~half the LSBs
-    stats = metric_ops.pair_stats(pe_image, stego)
-    rep = metric_ops.quality_report(stats)
+    assert float(stego.max()) != float(pe_image.max())
+    rep = analyze_pair(pe_image, stego)
     m_ref, max_range = oracle.mse(
         pe_image, stego, float(pe_image.max()), float(stego.max())
     )
-    assert rep["mse"] == pytest.approx(m_ref, rel=1e-5)
-    assert rep["psnr"] == pytest.approx(oracle.psnr(m_ref, max_range), rel=1e-5)
+    assert rep["mse"] == pytest.approx(m_ref, rel=1e-12)
+    assert rep["psnr"] == pytest.approx(oracle.psnr(m_ref, max_range), rel=1e-12)
     ssim_ref = oracle.ssim_global(
         pe_image, stego, float(pe_image.max()), float(stego.max())
     )
-    assert rep["ssim"] == pytest.approx(ssim_ref, rel=1e-4)
+    assert rep["ssim"] == pytest.approx(ssim_ref, rel=1e-12)
     assert rep["changed_pixels"] == float(np.sum(pe_image != stego))
+
+
+def test_fused_metrics_equal_range_exact(pe_image, rng):
+    """Equal-range pairs use the cancellation-free direct squared-diff sum."""
+    stego = pe_image.copy()
+    idx = rng.integers(0, pe_image.size, size=500)
+    stego.ravel()[idx] ^= 1
+    stego[0, 0] = pe_image.max()  # pin equal maxima
+    rep = metric_ops.quality_report(metric_ops.pair_stats(pe_image, stego))
+    m_ref, max_range = oracle.mse(
+        pe_image, stego, float(pe_image.max()), float(stego.max())
+    )
+    assert rep["mse"] == pytest.approx(m_ref, rel=1e-6)
+    assert rep["psnr"] == pytest.approx(oracle.psnr(m_ref, max_range), rel=1e-6)
 
 
 def test_windowed_ssim_bounds(pe_image):
