@@ -1,0 +1,96 @@
+"""Benchmark: embed+extract throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference's measured single-thread CPU embed+merge throughput of
+~10.3 MPix/s on pe.dcm-like uint16 images (BASELINE.md, measured by executing
+/root/reference/src/codec.py:412-487 this session; the reference publishes no
+numbers of its own). North star: >= 1 GPix/s/chip (BASELINE.json).
+
+Method: a batch of 512x512 uint16 images (pe.dcm replicated with varied
+payloads) runs the full fused device cycle — multi-plane embed, XOR location
+maps, extraction — with all inputs device-resident; pixels are counted once
+per embed+extract cycle. Median of timed repeats after warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.io import dicom
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    B = 32
+    image, _ = dicom.load_image("/root/reference/images/pe.dcm")
+    h, w = image.shape
+    rng = np.random.default_rng(0)
+    imgs = np.broadcast_to(image, (B, h, w)).copy()
+    # vary the LSBs so no degenerate constant-batch optimization applies
+    imgs ^= rng.integers(0, 2, size=imgs.shape).astype(np.uint16)
+    payloads = [rng.integers(0, 2, size=100_000).astype(np.uint8) for _ in range(B)]
+
+    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
+
+    imgs_d = jax.device_put(jnp.asarray(imgs))
+    msgs_d = jax.device_put(jnp.asarray(plan.msgs))
+    starts_d = jax.device_put(jnp.asarray(plan.starts))
+    lengths_d = jax.device_put(jnp.asarray(plan.lengths))
+    offsets_d = jax.device_put(jnp.asarray(plan.offsets))
+    s_d = jax.device_put(jnp.asarray(plan.s))
+
+    from codec_tcc_tpu.ops import embed as embed_ops
+
+    nbits = plan.nbits
+
+    @jax.jit
+    def cycle(im, ms, st, ln, of, s):
+        stego = jax.vmap(
+            embed_ops.embed, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(im, ms, st, ln, of, s, nbits)
+        bits = jax.vmap(
+            embed_ops.extract, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(stego, st, ln, of, s, nbits, plan.lpad)
+        # fold bits so extraction cannot be dead-code eliminated
+        return stego, jnp.sum(bits, dtype=jnp.int32)
+
+    # warmup / compile
+    stego, chk = cycle(imgs_d, msgs_d, starts_d, lengths_d, offsets_d, s_d)
+    jax.block_until_ready((stego, chk))
+
+    times = []
+    reps = 5
+    inner = 4
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            stego, chk = cycle(imgs_d, msgs_d, starts_d, lengths_d, offsets_d, s_d)
+        jax.block_until_ready((stego, chk))
+        times.append((time.perf_counter() - t0) / inner)
+
+    sec = float(np.median(times))
+    mpix_per_s = (B * h * w) / sec / 1e6
+    baseline = 10.3  # MPix/s, reference CPU embed+merge (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "embed+extract throughput (512x512 uint16, batch 32)",
+                "value": round(mpix_per_s, 1),
+                "unit": "MPix/s/chip",
+                "vs_baseline": round(mpix_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

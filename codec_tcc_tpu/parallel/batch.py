@@ -1,0 +1,167 @@
+"""Batched (data-parallel) encode/extract over a device mesh.
+
+The reference processes one image per process, serially
+(``/root/reference/src/mse.py:265-295`` even loops pairs in Python). Here a
+batch of images is a ``(B, H, W)`` tensor sharded over the mesh's ``dp`` axis
+with ``NamedSharding``; the per-image kernels from :mod:`codec_tcc_tpu.ops`
+are ``vmap``-ped, and XLA inserts the collectives (per the scaling-book
+recipe: pick a mesh, annotate shardings, let the compiler place ``psum``).
+
+Per-image *plans* (cut point, segment windows) stay host work: each image's
+histogram comes back from one vmapped device pass, the exact float64 cut-point
+replay runs per image on host (microseconds), and the resulting plane-plan
+arrays ship back as ``(B, nbits) int32`` tensors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EncodeConfig
+from ..ops import decompose as decompose_ops
+from ..ops import embed as embed_ops
+from ..ops import histogram as hist_ops
+from ..ops import segments as segment_ops
+from ..utils import bits as bit_utils
+
+__all__ = ["BatchPlan", "plan_batch", "encode_batch", "extract_batch", "batched_histograms"]
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def batched_histograms(images: jax.Array, nbins: int) -> jax.Array:
+    """(B, H, W) -> (B, nbins) exact histograms (vmapped sort-based)."""
+    return jax.vmap(lambda im: hist_ops.value_histogram(im, nbins))(images)
+
+
+_embed_batch = jax.jit(
+    jax.vmap(embed_ops.embed, in_axes=(0, 0, 0, 0, 0, 0, None)),
+    static_argnames=("nbits",),
+)
+
+_extract_batch = jax.jit(
+    jax.vmap(embed_ops.extract, in_axes=(0, 0, 0, 0, 0, None, None)),
+    static_argnames=("nbits", "out_len"),
+)
+
+
+@dataclass
+class BatchPlan:
+    s: np.ndarray            # (B,) per-image cut points
+    starts: np.ndarray       # (B, nbits)
+    lengths: np.ndarray      # (B, nbits)
+    offsets: np.ndarray      # (B, nbits)
+    msgs: np.ndarray         # (B, Lpad) padded message bits
+    payload_bits: np.ndarray # (B,)
+    nbits: int
+    lpad: int
+
+
+def plan_batch(
+    images: np.ndarray,
+    payloads: Sequence[Union[bytes, str, np.ndarray]],
+    config: EncodeConfig = EncodeConfig(),
+    *,
+    histograms: Optional[np.ndarray] = None,
+) -> BatchPlan:
+    """Host-side planning for a batch: per-image decomposition (from one
+    vmapped histogram pass) + segment plans, padded to a common ``Lpad``."""
+    b, h, w = images.shape
+    n = h * w
+    itemsize = np.dtype(images.dtype).itemsize
+    nbits = itemsize * 8
+    max_val = 255 if itemsize == 1 else 65535
+
+    if histograms is None:
+        histograms = np.asarray(batched_histograms(images, max_val + 1))
+
+    bit_arrays: List[np.ndarray] = []
+    for p in payloads:
+        if isinstance(p, str):
+            bit_arrays.append(bit_utils.message_to_bits(p))
+        elif isinstance(p, (bytes, bytearray)):
+            bit_arrays.append(bit_utils.bytes_to_bits(bytes(p)))
+        else:
+            bit_arrays.append(np.asarray(p, dtype=np.uint8))
+
+    s_arr = np.zeros(b, dtype=np.int32)
+    starts = np.zeros((b, nbits), dtype=np.int32)
+    lengths = np.zeros((b, nbits), dtype=np.int32)
+    offsets = np.zeros((b, nbits), dtype=np.int32)
+    payload_bits = np.array([int(x.size) for x in bit_arrays], dtype=np.int64)
+
+    max_need = 0
+    for i in range(b):
+        dec = decompose_ops.decompose(
+            images[i], beta=config.beta, nbits=nbits,
+            histogram_counts=histograms[i],
+        )
+        s_arr[i] = dec.s
+        plan = segment_ops.distribute_segments(dec.s, int(payload_bits[i]), config.seed)
+        pp = segment_ops.raster_plane_plan(plan, n, nbits, 0, True)
+        starts[i] = pp.starts
+        lengths[i] = pp.lengths
+        offsets[i] = pp.offsets
+        max_need = max(max_need, int(pp.offsets.max(initial=0)) + n, int(payload_bits[i]))
+
+    lpad = 1 << max(3, (max_need - 1).bit_length())
+    msgs = np.zeros((b, lpad), dtype=np.uint8)
+    for i, bits in enumerate(bit_arrays):
+        msgs[i, : bits.size] = bits
+
+    return BatchPlan(
+        s=s_arr, starts=starts, lengths=lengths, offsets=offsets,
+        msgs=msgs, payload_bits=payload_bits, nbits=nbits, lpad=lpad,
+    )
+
+
+def encode_batch(
+    images: np.ndarray,
+    plan: BatchPlan,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Fused batched embed; with a mesh, inputs are sharded on ``dp``."""
+    imgs = jnp.asarray(images)
+    msgs = jnp.asarray(plan.msgs)
+    if mesh is not None:
+        shard3 = NamedSharding(mesh, P("dp", None, None))
+        shard2 = NamedSharding(mesh, P("dp", None))
+        shard1 = NamedSharding(mesh, P("dp"))
+        imgs = jax.device_put(imgs, shard3)
+        msgs = jax.device_put(msgs, shard2)
+        args = [
+            jax.device_put(jnp.asarray(a), shard2)
+            for a in (plan.starts, plan.lengths, plan.offsets)
+        ]
+        s = jax.device_put(jnp.asarray(plan.s), shard1)
+    else:
+        args = [jnp.asarray(a) for a in (plan.starts, plan.lengths, plan.offsets)]
+        s = jnp.asarray(plan.s)
+    return _embed_batch(imgs, msgs, *args, s, plan.nbits)
+
+
+def extract_batch(
+    stego: jax.Array,
+    plan: BatchPlan,
+    mesh: Optional[Mesh] = None,
+    out_len: Optional[int] = None,
+) -> jax.Array:
+    out_len = out_len or plan.lpad
+    st = jnp.asarray(stego)
+    if mesh is not None:
+        st = jax.device_put(st, NamedSharding(mesh, P("dp", None, None)))
+    return _extract_batch(
+        st,
+        jnp.asarray(plan.starts),
+        jnp.asarray(plan.lengths),
+        jnp.asarray(plan.offsets),
+        jnp.asarray(plan.s),
+        plan.nbits,
+        out_len,
+    )

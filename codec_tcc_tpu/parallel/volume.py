@@ -1,0 +1,175 @@
+"""Tiled volume embed/extract across the mesh.
+
+BASELINE.json config[3]: "Synthetic 64x512x512 uint16 volume, vmapped tiled
+embed/extract across DP mesh". Semantics chosen for the volume workload
+(SURVEY §5 "long-context" disposition — tiling *is* this domain's sequence
+axis):
+
+* one **global** cut point ``s`` for the whole volume, from the summed
+  per-slice histograms (a ``psum``-shaped reduction: the per-slice histograms
+  are computed sharded and summed; with a mesh the sum crosses shards via the
+  collective XLA inserts);
+* the payload is split across slices **capacity-aware** (contiguous chunks,
+  each bounded by the slice capacity s*H*W), and every slice embeds its chunk
+  with the standard per-slice segment plan — embedding positions are pure
+  functions of per-slice metadata, so each shard writes only its own tiles
+  with zero communication;
+* metrics / fidelity aggregate with one cross-shard reduction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EncodeConfig
+from ..ops import decompose as decompose_ops
+from ..ops import histogram as hist_ops
+from ..ops import metrics as metric_ops
+from . import batch as batch_par
+from ..utils import bits as bit_utils
+
+__all__ = ["VolumeResult", "encode_volume", "extract_volume", "volume_cut_point"]
+
+
+@dataclass
+class VolumeResult:
+    stego: np.ndarray
+    s: int
+    plan: batch_par.BatchPlan
+    slice_bits: np.ndarray      # (D,) payload bits per slice
+    metrics: Optional[dict] = None
+
+
+def volume_cut_point(
+    volume: np.ndarray, beta: float, mesh: Optional[Mesh] = None
+) -> Tuple[int, np.ndarray]:
+    """Global cut point from the psum of per-slice histograms."""
+    d, h, w = volume.shape
+    itemsize = np.dtype(volume.dtype).itemsize
+    nbits = itemsize * 8
+    max_val = 255 if itemsize == 1 else 65535
+    vol = jnp.asarray(volume)
+    if mesh is not None:
+        vol = jax.device_put(vol, NamedSharding(mesh, P("dp", None, None)))
+    hists = batch_par.batched_histograms(vol, max_val + 1)
+    total = np.asarray(jnp.sum(hists, axis=0))  # cross-shard reduction
+    dec = decompose_ops.decompose(
+        volume.reshape(d * h, w), beta=beta, nbits=nbits, histogram_counts=total
+    )
+    return dec.s, total
+
+
+def encode_volume(
+    volume: np.ndarray,
+    payload: Union[bytes, str, np.ndarray],
+    config: EncodeConfig = EncodeConfig(),
+    mesh: Optional[Mesh] = None,
+) -> VolumeResult:
+    d, h, w = volume.shape
+    n = h * w
+    if isinstance(payload, str):
+        bits = bit_utils.message_to_bits(payload)
+    elif isinstance(payload, (bytes, bytearray)):
+        bits = bit_utils.bytes_to_bits(bytes(payload))
+    else:
+        bits = np.asarray(payload, dtype=np.uint8)
+    total = int(bits.size)
+
+    s, hist_total = volume_cut_point(volume, config.beta, mesh)
+
+    # capacity-aware contiguous split: the per-slice segment distribution
+    # oversubscribes its lowest plane (quadratic weights), so the usable
+    # per-slice capacity is the distribution's own effective total, probed
+    # once (it only depends on s and the chunk size)
+    per_slice_cap = s * n
+    # conservative usable fraction: plane0 holds 9/14.. of the chunk; cap the
+    # chunk so no plane overflows n pixels
+    from ..ops.segments import distribute_segments
+
+    def usable(chunk: int) -> int:
+        plan = distribute_segments(s, chunk, config.seed)
+        return sum(min(e, n) for e in plan.eff_lengths)
+
+    # binary search the largest chunk that is fully recoverable
+    lo, hi = 0, per_slice_cap
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if usable(mid) >= mid:
+            lo = mid
+        else:
+            hi = mid - 1
+    chunk_cap = lo
+    if chunk_cap * d < total:
+        raise ValueError(
+            f"payload of {total} bits exceeds volume capacity {chunk_cap * d}"
+        )
+
+    slice_bits = np.zeros(d, dtype=np.int64)
+    remaining = total
+    for i in range(d):
+        slice_bits[i] = min(remaining, chunk_cap)
+        remaining -= slice_bits[i]
+
+    payloads = []
+    off = 0
+    for i in range(d):
+        payloads.append(bits[off : off + int(slice_bits[i])])
+        off += int(slice_bits[i])
+
+    # force the global s for every slice: plan_batch recomputes per-image s,
+    # so we bypass it with explicit per-slice plans at the shared s
+    from ..ops.segments import raster_plane_plan
+
+    nbits = np.dtype(volume.dtype).itemsize * 8
+    starts = np.zeros((d, nbits), dtype=np.int32)
+    lengths = np.zeros((d, nbits), dtype=np.int32)
+    offsets = np.zeros((d, nbits), dtype=np.int32)
+    max_need = n
+    for i in range(d):
+        plan_i = distribute_segments(s, int(slice_bits[i]), config.seed)
+        pp = raster_plane_plan(plan_i, n, nbits, 0, True)
+        starts[i], lengths[i], offsets[i] = pp.starts, pp.lengths, pp.offsets
+        max_need = max(max_need, int(pp.offsets.max(initial=0)) + n)
+    lpad = 1 << max(3, (max_need - 1).bit_length())
+    msgs = np.zeros((d, lpad), dtype=np.uint8)
+    for i in range(d):
+        msgs[i, : int(slice_bits[i])] = payloads[i]
+
+    plan = batch_par.BatchPlan(
+        s=np.full(d, s, dtype=np.int32),
+        starts=starts, lengths=lengths, offsets=offsets,
+        msgs=msgs, payload_bits=slice_bits, nbits=nbits, lpad=lpad,
+    )
+    stego = batch_par.encode_batch(volume, plan, mesh)
+    stego_np = np.asarray(stego)
+
+    metrics = None
+    if config.compute_metrics:
+        stats = jax.vmap(metric_ops.pair_stats)(jnp.asarray(volume), stego)
+        agg = {k: float(jnp.sum(v)) for k, v in stats.items()
+               if k not in ("max_absdiff", "max_a", "max_b")}
+        agg["max_absdiff"] = float(jnp.max(stats["max_absdiff"]))
+        agg["max_a"] = float(jnp.max(stats["max_a"]))
+        agg["max_b"] = float(jnp.max(stats["max_b"]))
+        metrics = metric_ops.quality_report(agg)  # type: ignore[arg-type]
+
+    return VolumeResult(
+        stego=stego_np, s=s, plan=plan, slice_bits=slice_bits, metrics=metrics
+    )
+
+
+def extract_volume(
+    stego: np.ndarray, result_plan: batch_par.BatchPlan, mesh: Optional[Mesh] = None
+) -> np.ndarray:
+    """Recover the full payload bit array from a stego volume."""
+    bits = np.asarray(batch_par.extract_batch(stego, result_plan, mesh))
+    out = []
+    for i in range(stego.shape[0]):
+        out.append(bits[i, : int(result_plan.payload_bits[i])])
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.uint8)

@@ -1,0 +1,105 @@
+"""Data-parallel batch + tiled-volume tests on the virtual 8-device CPU mesh
+(SURVEY §4 item 4: multi-chip correctness without TPUs)."""
+
+import jax
+import numpy as np
+import pytest
+
+from oracle import numpy_ref as oracle
+from codec_tcc_tpu import EncodeConfig
+from codec_tcc_tpu.parallel import batch as batch_par
+from codec_tcc_tpu.parallel import mesh as mesh_par
+from codec_tcc_tpu.parallel import volume as volume_par
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return mesh_par.make_mesh(8, axes=("dp",))
+
+
+def _make_batch(rng, b=8, h=64, w=64, dtype=np.uint16, hi=837):
+    return rng.integers(0, hi, size=(b, h, w)).astype(dtype)
+
+
+def test_batched_histograms_exact(rng):
+    imgs = _make_batch(rng, b=4)
+    hists = np.asarray(batch_par.batched_histograms(imgs, 65536))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            hists[i], np.bincount(imgs[i].ravel(), minlength=65536)
+        )
+
+
+def test_batch_plan_matches_single_image(rng):
+    imgs = _make_batch(rng, b=4)
+    payloads = [rng.integers(0, 2, size=500).astype(np.uint8) for _ in range(4)]
+    plan = batch_par.plan_batch(imgs, payloads)
+    for i in range(4):
+        s_ref, _, _ = oracle.adaptive_decomposition(imgs[i], beta=0.4)
+        assert plan.s[i] == s_ref
+
+
+def test_batch_encode_extract_sharded(mesh8, rng):
+    """Sharded batched embed must equal the per-image oracle bit-for-bit and
+    round-trip every payload."""
+    b = 8
+    imgs = _make_batch(rng, b=b)
+    payloads = [
+        rng.integers(0, 2, size=int(k)).astype(np.uint8)
+        for k in rng.integers(10, 1200, size=b)
+    ]
+    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
+    stego = batch_par.encode_batch(imgs, plan, mesh8)
+    stego_np = np.asarray(stego)
+
+    for i in range(b):
+        s = int(plan.s[i])
+        local = oracle.split_planes(imgs[i], 16)[:s]
+        res = oracle.embed_multi_plane(local, payloads[i])
+        ref = oracle.merge_planes(oracle.split_planes(imgs[i], 16)[s:], res.stego_planes)
+        np.testing.assert_array_equal(stego_np[i], ref)
+
+    bits = np.asarray(batch_par.extract_batch(stego, plan, mesh8))
+    for i in range(b):
+        nb = int(plan.payload_bits[i])
+        np.testing.assert_array_equal(bits[i, :nb], payloads[i])
+
+
+def test_batch_unsharded_equals_sharded(mesh8, rng):
+    imgs = _make_batch(rng, b=8, dtype=np.uint8, hi=256)
+    payloads = [rng.integers(0, 2, size=300).astype(np.uint8)] * 8
+    plan = batch_par.plan_batch(imgs, payloads)
+    a = np.asarray(batch_par.encode_batch(imgs, plan, None))
+    b_ = np.asarray(batch_par.encode_batch(imgs, plan, mesh8))
+    np.testing.assert_array_equal(a, b_)
+
+
+def test_volume_roundtrip_sharded(mesh8, rng):
+    """BASELINE config[3] shape (scaled down): uint16 volume, tiled
+    embed/extract across the DP mesh, global cut point, psum'd histogram."""
+    vol = rng.integers(0, 4096, size=(16, 64, 64)).astype(np.uint16)
+    payload = rng.integers(0, 2, size=60_000).astype(np.uint8)
+    cfg = EncodeConfig(beta=0.8, compute_metrics=True)
+    res = volume_par.encode_volume(vol, payload, cfg, mesh8)
+
+    # global s equals a host decomposition of the concatenated volume
+    s_ref, _, _ = oracle.adaptive_decomposition(vol.reshape(16 * 64, 64), beta=0.8)
+    assert res.s == s_ref
+
+    got = volume_par.extract_volume(res.stego, res.plan, mesh8)
+    np.testing.assert_array_equal(got, payload)
+    assert res.metrics is not None and res.metrics["psnr"] > 30
+
+
+def test_volume_capacity_error(rng):
+    vol = rng.integers(0, 4096, size=(2, 32, 32)).astype(np.uint16)
+    too_big = np.ones(2 * 16 * 32 * 32 + 1, dtype=np.uint8)
+    with pytest.raises(ValueError, match="capacity"):
+        volume_par.encode_volume(vol, too_big, EncodeConfig(compute_metrics=False))
+
+
+def test_mesh_construction():
+    m = mesh_par.make_mesh(8, axes=("dp", "tile"), shape=(4, 2))
+    assert m.devices.shape == (4, 2)
+    assert m.axis_names == ("dp", "tile")
