@@ -59,6 +59,8 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="omit XOR location maps (smaller file, no restore)")
     enc.add_argument("--container-version", type=int, default=2, choices=(1, 2))
     enc.add_argument("--report", help="write a JSON run report here")
+    enc.add_argument("--profile-dir",
+                     help="capture an XLA trace (TensorBoard/Perfetto) here")
 
     dec = sub.add_parser("decode", help="extract payload + images from a container")
     dec.add_argument("input", help=".stgc container")
@@ -109,9 +111,14 @@ def cmd_encode(args: argparse.Namespace) -> int:
         store_bitmaps=not args.no_bitmaps,
         container_version=args.container_version,
     )
-    result = pipeline.encode_dicom(args.input, payload, config)
+    from .profiling import get_profiler, trace_to
+
+    with trace_to(getattr(args, "profile_dir", None)):
+        result = pipeline.encode_dicom(args.input, payload, config)
     with open(args.output, "wb") as f:
         f.write(result.container)
+    if args.verbose:
+        get_profiler().log_report()
 
     print(f"cut point s          : {result.s}")
     print(f"strategy             : {result.meta.strategy}")

@@ -31,6 +31,7 @@ from .ops import metrics as metric_ops
 from .ops import segments as segment_ops
 from .utils import bits as bit_utils
 from .utils.logging import get_logger
+from .profiling import stage
 
 logger = get_logger("pipeline")
 
@@ -128,7 +129,8 @@ def encode_array(
     total_bits = int(msg_bits.size)
 
     # 1. decomposition: one device histogram + exact host cut-point math
-    dec = decompose_ops.decompose(image, beta=config.beta, nbits=nbits)
+    with stage("decompose"):
+        dec = decompose_ops.decompose(image, beta=config.beta, nbits=nbits)
     s = dec.s
 
     # 2. segment plan (host scalar work)
@@ -160,32 +162,36 @@ def encode_array(
     if lpad != msg_pad.size:
         msg_pad = np.pad(msg_pad, (0, lpad - msg_pad.size))
 
-    if config.strategy == "block_adaptive":
-        bases = _block_bases(image, kernel_bits, s, config.block_size, h, w)
-        stego_dev = embed_ops.embed_block_adaptive(
-            image, msg_pad, bases, pp.lengths, pp.offsets,
-            np.int32(s), kernel_bits, config.block_size,
-        )
-    else:
-        stego_dev = embed_ops.embed(
-            image, msg_pad, pp.starts, pp.lengths, pp.offsets,
-            np.int32(s), kernel_bits,
-        )
+    with stage("embed"):
+        if config.strategy == "block_adaptive":
+            bases = _block_bases(image, kernel_bits, s, config.block_size, h, w)
+            stego_dev = embed_ops.embed_block_adaptive(
+                image, msg_pad, bases, pp.lengths, pp.offsets,
+                np.int32(s), kernel_bits, config.block_size,
+            )
+        else:
+            stego_dev = embed_ops.embed(
+                image, msg_pad, pp.starts, pp.lengths, pp.offsets,
+                np.int32(s), kernel_bits,
+            )
 
-    # 4. XOR location maps (device) + metrics (fused, device)
-    maps_dev = embed_ops.xor_maps(image, stego_dev)
-    metrics = None
-    if config.compute_metrics:
-        stats = metric_ops.pair_stats(image, stego_dev)
-        metrics = metric_ops.quality_report(stats)
+        # 4. XOR location maps (device) + metrics (fused, device)
+        maps_dev = embed_ops.xor_maps(image, stego_dev)
+        metrics = None
+        if config.compute_metrics:
+            stats = metric_ops.pair_stats(image, stego_dev)
+            metrics = metric_ops.quality_report(stats)
 
-    stego = np.asarray(stego_dev)
-    maps = np.asarray(maps_dev)[:s]
+        stego = np.asarray(stego_dev)
+        maps = np.asarray(maps_dev)[:s]
 
     # 5. transport codec + container
-    codec = get_codec(config.codec)
-    stego_blob = codec.encode(stego)
-    bitmaps_blob = container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
+    with stage("transport_codec"):
+        codec = get_codec(config.codec)
+        stego_blob = codec.encode(stego)
+        bitmaps_blob = (
+            container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
+        )
 
     ext = b""
     if config.strategy == "block_adaptive":

@@ -63,7 +63,7 @@ def test_invalid_inputs():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("name", ["deflate", "png", "j2k"])
+@pytest.mark.parametrize("name", ["deflate", "png", "j2k", "jls"])
 @pytest.mark.parametrize("dtype,hi", [(np.uint8, 256), (np.uint16, 65536)])
 def test_codec_symmetry(rng, name, dtype, hi):
     """Property-tested encode/decode round-trip — the defect-B3 fix contract."""
@@ -78,7 +78,7 @@ def test_codec_symmetry(rng, name, dtype, hi):
 def test_codec_registry():
     assert set(codecs.names()) == {"deflate", "png", "j2k", "jls", "jxl"}
     avail = codecs.available_names()
-    assert "deflate" in avail and "png" in avail and "j2k" in avail
+    assert {"deflate", "png", "j2k", "jls"} <= set(avail)
     with pytest.raises(ValueError):
         codecs.get("nope")
     # jxl binaries are absent in this environment -> clear runtime error

@@ -115,7 +115,7 @@ def test_large_payload_v2_exceeds_v1_limits(pe_image, rng):
     )
 
 
-@pytest.mark.parametrize("codec", ["deflate", "png", "j2k"])
+@pytest.mark.parametrize("codec", ["deflate", "png", "j2k", "jls"])
 def test_transport_codecs_end_to_end(torax_image, codec):
     cfg = EncodeConfig(codec=codec, compute_metrics=False)
     res = encode_array(torax_image, MESSAGE, cfg)
