@@ -283,9 +283,11 @@ def test_fused_metrics_match_oracle(pe_image, rng):
     float64 host math — must match the oracle formulas exactly."""
     from codec_tcc_tpu.pipeline import analyze_pair
 
+    local_rng = np.random.default_rng(7)  # independent of the shared fixture
     stego = pe_image.copy()
-    flip = rng.integers(0, 2, size=pe_image.shape).astype(np.uint16)
+    flip = local_rng.integers(0, 2, size=pe_image.shape).astype(np.uint16)
     stego ^= flip  # flip ~half the LSBs
+    stego.ravel()[int(np.argmax(pe_image))] = pe_image.max() + 1  # force range split
     assert float(stego.max()) != float(pe_image.max())
     rep = analyze_pair(pe_image, stego)
     m_ref, max_range = oracle.mse(
