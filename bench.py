@@ -57,11 +57,11 @@ def main() -> None:
         stego = jax.vmap(
             embed_ops.embed, in_axes=(0, 0, 0, 0, 0, 0, None)
         )(im, ms, st, ln, of, s, nbits)
-        bits = jax.vmap(
-            embed_ops.extract, in_axes=(0, 0, 0, 0, 0, None, None)
-        )(stego, st, ln, of, s, nbits, plan.lpad)
+        aligned = jax.vmap(
+            embed_ops.extract_aligned, in_axes=(0, 0, 0, 0, None)
+        )(stego, st, ln, s, nbits)
         # fold bits so extraction cannot be dead-code eliminated
-        return stego, jnp.sum(bits, dtype=jnp.int32)
+        return stego, jnp.sum(aligned, dtype=jnp.int32)
 
     # warmup / compile
     stego, chk = cycle(imgs_d, msgs_d, starts_d, lengths_d, offsets_d, s_d)

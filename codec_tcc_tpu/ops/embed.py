@@ -63,13 +63,78 @@ def embed(
         seg = jax.lax.dynamic_slice(msg_bits, (msg_off[p],), (n,))
         in_seg = iota < seg_len[p]
         bits = jnp.roll(jnp.where(in_seg, seg, 0), plane_start[p])
-        window = jnp.roll(in_seg, plane_start[p])
-        active = window & (p < s)
+        # window membership computed arithmetically instead of rolling the
+        # mask: position n is written iff (n - start) mod N < len
+        rel = iota - plane_start[p]
+        rel = jnp.where(rel < 0, rel + n, rel)
+        active = (rel < seg_len[p]) & (p < s)
         newv = (acc & _dtype_keep_mask(image.dtype, p)) | (
             bits.astype(image.dtype) << p
         )
         acc = jnp.where(active, newv, acc)
     return acc.reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def extract_aligned(
+    stego: jax.Array,
+    plane_start: jax.Array,
+    seg_len: jax.Array,
+    s: jax.Array,
+    nbits: int,
+) -> jax.Array:
+    """Scatter-free extraction front half: ``(nbits, H*W) uint8`` where row p
+    holds plane p's bits rotated back to message order and masked to its
+    window. Message assembly (placing row p at its message offset) is pure
+    host memcpy work — see :func:`assemble_message`.
+
+    This formulation exists because the placement alternative
+    (``dynamic_update_slice`` accumulation) lowers to an XLA scatter under
+    ``vmap``, which — like the histogram scatter-add — can take minutes to
+    compile on TPU (measured this session). Rolls and mod-compares vmap
+    cleanly.
+    """
+    h, w = stego.shape
+    n = h * w
+    flat = stego.reshape(n)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rows = []
+    for p in range(nbits):
+        plane = ((flat >> p) & 1).astype(jnp.uint8)
+        aligned = jnp.roll(plane, -plane_start[p])
+        valid = (iota < seg_len[p]) & (p < s)
+        rows.append(jnp.where(valid, aligned, 0))
+    return jnp.stack(rows)
+
+
+def assemble_message(
+    aligned: "jax.Array | object",
+    msg_off,
+    seg_len,
+    out_len: int,
+):
+    """Host back half of extraction: copy each plane's window to its message
+    offset. ``aligned`` is the (nbits, N) result of :func:`extract_aligned`
+    (or (B, nbits, N) for batches, with per-image offset/length arrays)."""
+    import numpy as np
+
+    aligned = np.asarray(aligned)
+    if aligned.ndim == 3:
+        return np.stack(
+            [
+                assemble_message(aligned[i], msg_off[i], seg_len[i], out_len)
+                for i in range(aligned.shape[0])
+            ]
+        )
+    out = np.zeros(out_len, dtype=np.uint8)
+    for p in range(aligned.shape[0]):
+        ln = int(seg_len[p])
+        off = int(msg_off[p])
+        if ln <= 0 or off >= out_len:
+            continue
+        ln = min(ln, out_len - off)
+        out[off : off + ln] = aligned[p, :ln]
+    return out
 
 
 @partial(jax.jit, static_argnames=("nbits", "out_len"))

@@ -45,9 +45,9 @@ _embed_batch = jax.jit(
     static_argnames=("nbits",),
 )
 
-_extract_batch = jax.jit(
-    jax.vmap(embed_ops.extract, in_axes=(0, 0, 0, 0, 0, None, None)),
-    static_argnames=("nbits", "out_len"),
+_extract_aligned_batch = jax.jit(
+    jax.vmap(embed_ops.extract_aligned, in_axes=(0, 0, 0, 0, None)),
+    static_argnames=("nbits",),
 )
 
 
@@ -75,7 +75,7 @@ def plan_batch(
     b, h, w = images.shape
     n = h * w
     itemsize = np.dtype(images.dtype).itemsize
-    nbits = itemsize * 8
+    dtype_bits = itemsize * 8
     max_val = 255 if itemsize == 1 else 65535
 
     if histograms is None:
@@ -91,20 +91,29 @@ def plan_batch(
             bit_arrays.append(np.asarray(p, dtype=np.uint8))
 
     s_arr = np.zeros(b, dtype=np.int32)
-    starts = np.zeros((b, nbits), dtype=np.int32)
-    lengths = np.zeros((b, nbits), dtype=np.int32)
-    offsets = np.zeros((b, nbits), dtype=np.int32)
     payload_bits = np.array([int(x.size) for x in bit_arrays], dtype=np.int64)
-
-    max_need = 0
+    plans = []
     for i in range(b):
         dec = decompose_ops.decompose(
-            images[i], beta=config.beta, nbits=nbits,
+            images[i], beta=config.beta, nbits=dtype_bits,
             histogram_counts=histograms[i],
         )
         s_arr[i] = dec.s
-        plan = segment_ops.distribute_segments(dec.s, int(payload_bits[i]), config.seed)
-        pp = segment_ops.raster_plane_plan(plan, n, nbits, 0, True)
+        plans.append(
+            segment_ops.distribute_segments(dec.s, int(payload_bits[i]), config.seed)
+        )
+
+    # bucket the static kernel unroll to the batch's largest cut point
+    from ..pipeline import _plane_bucket
+
+    nbits = _plane_bucket(int(s_arr.max(initial=1)), dtype_bits)
+
+    starts = np.zeros((b, nbits), dtype=np.int32)
+    lengths = np.zeros((b, nbits), dtype=np.int32)
+    offsets = np.zeros((b, nbits), dtype=np.int32)
+    max_need = 0
+    for i in range(b):
+        pp = segment_ops.raster_plane_plan(plans[i], n, nbits, 0, True)
         starts[i] = pp.starts
         lengths[i] = pp.lengths
         offsets[i] = pp.offsets
@@ -146,22 +155,31 @@ def encode_batch(
     return _embed_batch(imgs, msgs, *args, s, plan.nbits)
 
 
+def extract_aligned_batch(
+    stego: jax.Array,
+    plan: BatchPlan,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """(B, nbits, H*W) aligned plane rows — the device half of extraction."""
+    st = jnp.asarray(stego)
+    if mesh is not None:
+        st = jax.device_put(st, NamedSharding(mesh, P("dp", None, None)))
+    return _extract_aligned_batch(
+        st,
+        jnp.asarray(plan.starts),
+        jnp.asarray(plan.lengths),
+        jnp.asarray(plan.s),
+        plan.nbits,
+    )
+
+
 def extract_batch(
     stego: jax.Array,
     plan: BatchPlan,
     mesh: Optional[Mesh] = None,
     out_len: Optional[int] = None,
-) -> jax.Array:
+) -> np.ndarray:
+    """(B, out_len) message bits: device-aligned rows + host assembly."""
     out_len = out_len or plan.lpad
-    st = jnp.asarray(stego)
-    if mesh is not None:
-        st = jax.device_put(st, NamedSharding(mesh, P("dp", None, None)))
-    return _extract_batch(
-        st,
-        jnp.asarray(plan.starts),
-        jnp.asarray(plan.lengths),
-        jnp.asarray(plan.offsets),
-        jnp.asarray(plan.s),
-        plan.nbits,
-        out_len,
-    )
+    aligned = extract_aligned_batch(stego, plan, mesh)
+    return embed_ops.assemble_message(aligned, plan.offsets, plan.lengths, out_len)

@@ -125,8 +125,9 @@ def encode_volume(
     # force the global s for every slice: plan_batch recomputes per-image s,
     # so we bypass it with explicit per-slice plans at the shared s
     from ..ops.segments import raster_plane_plan
+    from ..pipeline import _plane_bucket
 
-    nbits = np.dtype(volume.dtype).itemsize * 8
+    nbits = _plane_bucket(s, np.dtype(volume.dtype).itemsize * 8)
     starts = np.zeros((d, nbits), dtype=np.int32)
     lengths = np.zeros((d, nbits), dtype=np.int32)
     offsets = np.zeros((d, nbits), dtype=np.int32)

@@ -42,6 +42,15 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+def _plane_bucket(s: int, dtype_bits: int) -> int:
+    """Static unroll count for the plane kernels: 4, 8 or dtype width."""
+    if s <= 4:
+        return min(4, dtype_bits)
+    if s <= 8:
+        return min(8, dtype_bits)
+    return dtype_bits
+
+
 @dataclass
 class EncodeResult:
     container: bytes
@@ -136,8 +145,11 @@ def encode_array(
     # 2. segment plan (host scalar work)
     plan = segment_ops.distribute_segments(s, total_bits, config.seed)
 
-    # 3. strategy-specific plane plan + device embed
-    kernel_bits = dtype_bits  # kernels iterate the dtype's planes statically
+    # 3. strategy-specific plane plan + device embed.
+    # The kernels unroll a *static* plane count; bucket it to the smallest
+    # power-of-two >= s (4/8/16) so a typical beta=0.4 cut (s=3-4) does a
+    # quarter of the work of a full 16-plane unroll.
+    kernel_bits = _plane_bucket(s, dtype_bits)
     if config.strategy == "hybrid":
         counts0 = np.asarray(
             block_ops.block_bit_counts(image, 0, config.search_block_size)
@@ -292,7 +304,7 @@ def decode_container(
     if stego.shape != (h, w):
         raise ValueError(f"Decoded stego shape {stego.shape} != header {(h, w)}")
     n = h * w
-    kernel_bits = stego.dtype.itemsize * 8
+    kernel_bits = _plane_bucket(meta.s, stego.dtype.itemsize * 8)
 
     starts, lengths, offsets = _plane_plan_from_meta(meta, n, kernel_bits)
     out_len = _next_pow2(max(int(meta.payload_bits), 1))
@@ -318,11 +330,12 @@ def decode_container(
         )[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
-    bits = np.asarray(
-        embed_ops.extract(
-            stego, starts, lengths, offsets, np.int32(meta.s), kernel_bits, out_len
-        )
-    )[: meta.payload_bits]
+    aligned = embed_ops.extract_aligned(
+        stego, starts, lengths, np.int32(meta.s), kernel_bits
+    )
+    bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
+        : meta.payload_bits
+    ]
 
     original = None
     if restore_original and meta.has_bitmaps:
