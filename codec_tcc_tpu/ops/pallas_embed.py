@@ -1,0 +1,486 @@
+"""Pallas TPU kernels for the embed/extract hot path.
+
+The XLA formulation (ops/embed.py) reaches ~640/825 MPix/s per chip for
+embed/extract on v5e — bounded by ``jnp.roll``'s concat+dynamic-slice lowering
+materializing full-size temporaries per plane. These kernels fuse the whole
+multi-plane update into one pass over the image with explicit DMA of exactly
+the message window each tile needs (SURVEY §7 stage 7: "Pallas fusion of
+predict/modify/pack into single kernels").
+
+Key idea: for a contiguous tile of raster positions ``[n0, n0+T)`` and plane
+parameters ``(start, len, off)``, the message index of position ``n`` is
+``off + ((n - start) mod N)`` — contiguous except for a single wrap at
+``n == start``. Shifting the message by ``+N`` on host makes both branches
+plain contiguous slices (``idx_hi = idx_lo + N``), so each plane needs two
+DMAs and an elementwise select — no gather/scatter/roll in XLA terms.
+
+Mosaic's layout rules shape the implementation (discovered empirically on
+v5e: no 1-D vectors, no 1D<->2D reshapes, dynamic loads must be 1024-aligned,
+dynamic rotate is 32-bit 2-D only, HBM row slices must be sublane-aligned):
+
+* all arrays are ``(..., rows, 128)`` with compute on ``(TR, 128)`` tiles;
+* DMA windows are aligned down to 2048 elements (16 rows), and the residual
+  shift ``delta`` is applied in-register as a dynamic **lane rotate** plus a
+  dynamic **row rotate** with a static +1-row carry select;
+* messages / doubled stego live as flat-then-reshaped ``(rows, 128)`` HBM
+  buffers indexed by aligned row windows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "embed_batch",
+    "embed_batch_padded",
+    "extract_aligned_batch",
+    "extract_aligned_batch_padded",
+    "shift_messages_2d",
+    "double_flat_2d",
+    "pad_stego_flat",
+    "unpad_stego",
+    "pick_tile",
+]
+
+_LANE = 128
+_ALIGN_E = 2048                 # DMA window alignment in elements (16 rows)
+_ALIGN_R = _ALIGN_E // _LANE    # ... in rows
+_PAD_R = 24                     # scratch row padding (> _ALIGN_R, 8-multiple)
+
+
+def pick_tile(n: int) -> int:
+    """Tile size in elements: power-of-two divisor of N (>= 2048)."""
+    for t in (65536, 32768, 16384, 8192, 4096, 2048):
+        if n % t == 0:
+            return t
+    return 0  # caller falls back to the XLA path
+
+
+def shift_messages_2d(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
+    """Host prep: per-image messages shifted by +N inside rows of one flat
+    buffer, reshaped to (rows, 128). Returns ``(buffer, row-stride L2)``."""
+    b, lpad = msgs.shape
+    l2 = n_pixels + lpad + n_pixels
+    l2 = (l2 + _ALIGN_E - 1) // _ALIGN_E * _ALIGN_E
+    flat = np.zeros(b * l2 + 2 * _ALIGN_E + _PAD_R * _LANE, dtype=np.uint8)
+    for i in range(b):
+        flat[i * l2 + n_pixels : i * l2 + n_pixels + lpad] = msgs[i]
+    rows = flat.size // _LANE
+    return flat[: rows * _LANE].reshape(rows, _LANE), l2
+
+
+def _rot_window(buf2, delta, tr: int):
+    """Return ``out[r, c] = flatten(buf2)[delta + r*128 + c]`` for r < tr.
+
+    ``buf2`` is an int32 (TPADR, 128) tile; ``delta`` a traced scalar in
+    [0, _ALIGN_E). Implemented as dynamic lane rotate + dynamic row rotate
+    with a static +1-row carry select.
+    """
+    rows = buf2.shape[0]
+    lane = delta % _LANE
+    row = delta // _LANE
+    # pltpu.roll requires non-negative (forward) shifts: out[i] = in[i-shift],
+    # so a backward shift by d is a forward shift by size - d
+    rot = pltpu.roll(buf2, (_LANE - lane) % _LANE, 1)   # lanes
+    rot = pltpu.roll(rot, (rows - row) % rows, 0)       # rows
+    carry = pltpu.roll(rot, rows - 1, 0)                # +1 row where lanes wrapped
+    col = jax.lax.broadcasted_iota(jnp.int32, buf2.shape, 1)
+    out = jnp.where(col < _LANE - lane, rot, carry)
+    return out[:tr]
+
+
+# ---------------------------------------------------------------------------
+# embed
+# ---------------------------------------------------------------------------
+
+
+def _embed_core(
+    starts_ref, lens_ref, offs_ref, img_ref, msg_ref,
+    buf_lo, buf_hi, sem_lo, sem_hi,
+    *, np_planes: int, tsize: int, n: int, l2: int,
+):
+    """Shared embed tile computation; returns the int32 (TR, 128) result."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tr = tsize // _LANE
+    tpadr = tr + _PAD_R
+    n0 = t * tsize
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 1)
+    pos = n0 + r_id * _LANE + c_id
+
+    acc = img_ref[0].astype(jnp.int32)
+    for p in range(np_planes):
+        start = starts_ref[b, p]
+        ln = lens_ref[b, p]
+        off = offs_ref[b, p]
+        base = b * l2 + n + off + n0 - start   # flat elements, >= 0
+        base_al = (base // _ALIGN_E) * _ALIGN_E
+        delta = base - base_al
+        base2 = base + n
+        base2_al = (base2 // _ALIGN_E) * _ALIGN_E
+        delta2 = base2 - base2_al
+
+        @pl.when(ln > 0)
+        def _(base_al=base_al, base2_al=base2_al):
+            row_lo = pl.multiple_of(base_al // _LANE, _ALIGN_R)
+            row_hi = pl.multiple_of(base2_al // _LANE, _ALIGN_R)
+            lo = pltpu.make_async_copy(
+                msg_ref.at[pl.ds(row_lo, tpadr), :], buf_lo, sem_lo
+            )
+            hi = pltpu.make_async_copy(
+                msg_ref.at[pl.ds(row_hi, tpadr), :], buf_hi, sem_hi
+            )
+            lo.start()
+            hi.start()
+            lo.wait()
+            hi.wait()
+
+        bits_lo = _rot_window(buf_lo[...].astype(jnp.int32), delta, tr)
+        bits_hi = _rot_window(buf_hi[...].astype(jnp.int32), delta2, tr)
+        rel = pos - start
+        rel = jnp.where(rel < 0, rel + n, rel)
+        window = rel < ln
+        bit = jnp.where(pos >= start, bits_lo, bits_hi)
+        keep = jnp.int32(~(1 << p))
+        acc = jnp.where(window, (acc & keep) | (bit << p), acc)
+    return acc
+
+
+def _embed_kernel(
+    starts_ref, lens_ref, offs_ref,          # scalar prefetch (B, NP) int32
+    img_ref, msg_ref,                        # (1, TR, 128) block / (MR, 128) ANY
+    out_ref,                                 # (1, TR, 128) block
+    buf_lo, buf_hi, sem_lo, sem_hi,          # scratch (TPADR, 128) u8 + sems
+    *, np_planes: int, tsize: int, n: int, l2: int,
+):
+    acc = _embed_core(
+        starts_ref, lens_ref, offs_ref, img_ref, msg_ref,
+        buf_lo, buf_hi, sem_lo, sem_hi,
+        np_planes=np_planes, tsize=tsize, n=n, l2=l2,
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile", "l2"))
+def embed_batch_padded(
+    images3: jax.Array,      # (B, N//128, 128) uint8/uint16
+    msg2d: jax.Array,        # (MR, 128) uint8 from shift_messages_2d
+    starts: jax.Array,
+    lens: jax.Array,
+    offs: jax.Array,
+    np_planes: int,
+    tile: int,
+    l2: int,
+) -> jax.Array:
+    """Like :func:`embed_batch` but the output is the **padded flat layout**
+    the extract kernel consumes directly — ``(rows, 128)`` holding
+    ``[N zero-pad][img0][img1]...[DMA slack]`` — so an embed->extract cycle
+    needs no relayout pass at all (a 32 MB `concatenate` between the kernels
+    costs ~8 ms, more than either kernel)."""
+    b, nr, lane = images3.shape
+    n = nr * lane
+    tr = tile // _LANE
+    out_rows = (n + b * n + 2 * _ALIGN_E + _PAD_R * _LANE) // _LANE
+    blocks_per_img = nr // tr
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, blocks_per_img),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        # write each tile at its padded-flat position: N + b*N + t*tile
+        out_specs=pl.BlockSpec(
+            (tr, _LANE),
+            lambda bb, tt, *_, _bpi=blocks_per_img: (_bpi + bb * _bpi + tt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr + _PAD_R, _LANE), jnp.uint8),
+            pltpu.VMEM((tr + _PAD_R, _LANE), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel2 = functools.partial(
+        _embed_kernel_padded_out, np_planes=np_planes, tsize=tile, n=n, l2=l2
+    )
+    return pl.pallas_call(
+        kernel2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, _LANE), images3.dtype),
+    )(starts, lens, offs, images3, msg2d)
+
+
+def _embed_kernel_padded_out(
+    starts_ref, lens_ref, offs_ref,
+    img_ref, msg_ref,
+    out_ref,                                 # (TR, 128) block at padded pos
+    buf_lo, buf_hi, sem_lo, sem_hi,
+    *, np_planes: int, tsize: int, n: int, l2: int,
+):
+    acc = _embed_core(
+        starts_ref, lens_ref, offs_ref, img_ref, msg_ref,
+        buf_lo, buf_hi, sem_lo, sem_hi,
+        np_planes=np_planes, tsize=tsize, n=n, l2=l2,
+    )
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile", "l2"))
+def embed_batch(
+    images3: jax.Array,      # (B, N//128, 128) uint8/uint16
+    msg2d: jax.Array,        # (MR, 128) uint8 from shift_messages_2d
+    starts: jax.Array,       # (B, NP) int32
+    lens: jax.Array,         # (B, NP) int32  (0 for planes >= s)
+    offs: jax.Array,         # (B, NP) int32
+    np_planes: int,
+    tile: int,
+    l2: int,
+) -> jax.Array:
+    b, nr, lane = images3.shape
+    n = nr * lane
+    tr = tile // _LANE
+    kernel = functools.partial(
+        _embed_kernel, np_planes=np_planes, tsize=tile, n=n, l2=l2
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, nr // tr),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr + _PAD_R, _LANE), jnp.uint8),
+            pltpu.VMEM((tr + _PAD_R, _LANE), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(images3.shape, images3.dtype),
+    )(starts, lens, offs, images3, msg2d)
+
+
+# ---------------------------------------------------------------------------
+# extract (aligned rows)
+# ---------------------------------------------------------------------------
+
+
+def _extract_kernel(
+    starts_ref, lens_ref,                    # scalar prefetch (B, NP) int32
+    stego_ref,                               # (SR, 128) doubled stego in ANY
+    out_ref,                                 # (1, NP, TR, 128) block
+    buf, sem,                                # scratch (TPADR, 128) stego dtype
+    *, np_planes: int, tsize: int, n2: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tr = tsize // _LANE
+    tpadr = tr + _PAD_R
+    m0 = t * tsize
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 1)
+    m = m0 + r_id * _LANE + c_id
+
+    for p in range(np_planes):
+        start = starts_ref[b, p]
+        ln = lens_ref[b, p]
+        base = b * n2 + start + m0
+        base_al = (base // _ALIGN_E) * _ALIGN_E
+        delta = base - base_al
+
+        @pl.when(ln > 0)
+        def _(base_al=base_al):
+            row0 = pl.multiple_of(base_al // _LANE, _ALIGN_R)
+            cp = pltpu.make_async_copy(
+                stego_ref.at[pl.ds(row0, tpadr), :], buf, sem
+            )
+            cp.start()
+            cp.wait()
+
+        vals = _rot_window(buf[...].astype(jnp.int32), delta, tr)
+        plane_bits = ((vals >> p) & 1).astype(jnp.uint8)
+        out_ref[0, p] = jnp.where(m < ln, plane_bits, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "n", "tile"))
+def extract_aligned_batch(
+    stego2d: jax.Array,      # (SR, 128) doubled stego from double_flat_2d
+    starts: jax.Array,       # (B, NP) int32
+    lens: jax.Array,         # (B, NP) int32
+    np_planes: int,
+    n: int,
+    tile: int,
+) -> jax.Array:
+    b = starts.shape[0]
+    tr = tile // _LANE
+    nr = n // _LANE
+    kernel = functools.partial(
+        _extract_kernel, np_planes=np_planes, tsize=tile, n2=2 * n
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nr // tr),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, np_planes, tr, _LANE),
+            lambda bb, tt, *_: (bb, 0, tt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr + _PAD_R, _LANE), stego2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out4 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, np_planes, nr, _LANE), jnp.uint8),
+    )(starts, lens, stego2d)
+    return out4.reshape(b, np_planes, n)
+
+
+def _extract_padded_kernel(
+    starts_ref, lens_ref,                    # scalar prefetch (B, NP) int32
+    stego_ref,                               # (rows, 128) padded flat in ANY
+    out_ref,                                 # (1, NP, TR, 128) block
+    buf_a, buf_b, sem_a, sem_b,              # scratch (TPADR, 128) stego dtype
+    *, np_planes: int, tsize: int, n: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tr = tsize // _LANE
+    tpadr = tr + _PAD_R
+    m0 = t * tsize
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 1)
+    m = m0 + r_id * _LANE + c_id
+
+    for p in range(np_planes):
+        start = starts_ref[b, p]
+        ln = lens_ref[b, p]
+        # branch A: source pixel start+m (no wrap); branch B: start+m-N.
+        # padded layout puts image b at flat offset N + b*N, so
+        # baseB = baseA - N >= 0 always.
+        base_a = n + b * n + start + m0
+        base_b = base_a - n
+        a_al = (base_a // _ALIGN_E) * _ALIGN_E
+        b_al = (base_b // _ALIGN_E) * _ALIGN_E
+        da = base_a - a_al
+        db = base_b - b_al
+
+        @pl.when(ln > 0)
+        def _(a_al=a_al, b_al=b_al):
+            ra = pl.multiple_of(a_al // _LANE, _ALIGN_R)
+            rb = pl.multiple_of(b_al // _LANE, _ALIGN_R)
+            ca = pltpu.make_async_copy(
+                stego_ref.at[pl.ds(ra, tpadr), :], buf_a, sem_a
+            )
+            cb = pltpu.make_async_copy(
+                stego_ref.at[pl.ds(rb, tpadr), :], buf_b, sem_b
+            )
+            ca.start()
+            cb.start()
+            ca.wait()
+            cb.wait()
+
+        vals_a = _rot_window(buf_a[...].astype(jnp.int32), da, tr)
+        vals_b = _rot_window(buf_b[...].astype(jnp.int32), db, tr)
+        vals = jnp.where(m < n - start, vals_a, vals_b)
+        plane_bits = ((vals >> p) & 1).astype(jnp.uint8)
+        out_ref[0, p] = jnp.where(m < ln, plane_bits, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "n", "tile"))
+def extract_aligned_batch_padded(
+    stego_padded: jax.Array,  # (rows, 128) padded flat (embed_batch_padded out)
+    starts: jax.Array,
+    lens: jax.Array,
+    np_planes: int,
+    n: int,
+    tile: int,
+) -> jax.Array:
+    """Extraction over the padded flat layout — pairs with
+    :func:`embed_batch_padded` for a relayout-free embed->extract cycle."""
+    b = starts.shape[0]
+    tr = tile // _LANE
+    nr = n // _LANE
+    kernel = functools.partial(
+        _extract_padded_kernel, np_planes=np_planes, tsize=tile, n=n
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nr // tr),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, np_planes, tr, _LANE),
+            lambda bb, tt, *_: (bb, 0, tt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr + _PAD_R, _LANE), stego_padded.dtype),
+            pltpu.VMEM((tr + _PAD_R, _LANE), stego_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out4 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, np_planes, nr, _LANE), jnp.uint8),
+    )(starts, lens, stego_padded)
+    return out4.reshape(b, np_planes, n)
+
+
+def unpad_stego(stego_padded: jax.Array, b: int, n: int) -> jax.Array:
+    """(rows, 128) padded flat -> (B, N) images."""
+    flat = stego_padded.reshape(-1)
+    return jax.lax.dynamic_slice(flat, (n,), (b * n,)).reshape(b, n)
+
+
+def pad_stego_flat(stego: np.ndarray) -> np.ndarray:
+    """Host: (B, ...) images -> padded flat (rows, 128) for the padded
+    extract kernel (decode path, where stego comes from the codec)."""
+    b = stego.shape[0]
+    flat = np.ascontiguousarray(stego).reshape(b, -1)
+    n = flat.shape[1]
+    total = n + b * n + 2 * _ALIGN_E + _PAD_R * _LANE
+    total = (total + _LANE - 1) // _LANE * _LANE
+    out = np.zeros(total, dtype=stego.dtype)
+    out[n : n + b * n] = flat.reshape(-1)
+    return out.reshape(-1, _LANE)
+
+
+@jax.jit
+def double_flat_2d(stego: jax.Array) -> jax.Array:
+    """(B, ...) -> (rows, 128): each image concatenated with itself in one
+    flat buffer (rotated windows become contiguous slices), plus DMA slack."""
+    b = stego.shape[0]
+    flat = stego.reshape(b, -1)
+    doubled = jnp.concatenate([flat, flat], axis=1).reshape(-1)
+    slack = jnp.zeros((2 * _ALIGN_E + _PAD_R * _LANE,), dtype=stego.dtype)
+    full = jnp.concatenate([doubled, slack])
+    rows = full.shape[0] // _LANE
+    return full[: rows * _LANE].reshape(rows, _LANE)
