@@ -73,6 +73,15 @@ def _build_parser() -> argparse.ArgumentParser:
     ana.add_argument("original")
     ana.add_argument("stego")
     ana.add_argument("--report", help="write a JSON run report here")
+
+    demo = sub.add_parser(
+        "demo",
+        help="encode-then-decode self check (the reference's main() demo, "
+             "src/codec.py:847-926 -- except this one actually round-trips)",
+    )
+    demo.add_argument("--input", default="/root/reference/images/pe.dcm")
+    demo.add_argument("--output-dir", default="output")
+    demo.add_argument("--codec", default="deflate")
     return p
 
 
@@ -217,11 +226,43 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_demo(args: argparse.Namespace) -> int:
+    """The reference demo flow (beta=0.4, hybrid embed with 16px search
+    blocks, the same example message) followed by an immediate decode and
+    verification — which the reference's own demo never passed (defect B1)."""
+    import os
+
+    from . import pipeline
+    from .config import EncodeConfig
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    message = "Mensagem de teste para esteganografia!"
+    cfg = EncodeConfig(beta=0.4, strategy="hybrid", search_block_size=16,
+                       codec=args.codec)
+    res = pipeline.encode_dicom(args.input, message, cfg)
+    out_bin = os.path.join(args.output_dir, "example.stgc")
+    with open(out_bin, "wb") as f:
+        f.write(res.container)
+    print(f"encoded {args.input} -> {out_bin} "
+          f"(s={res.s}, {len(res.container)} bytes)")
+
+    dec = pipeline.decode_file(out_bin)
+    ok_msg = dec.message == message
+    orig, _ = dicom.load_image(args.input)
+    ok_img = dec.original is not None and bool(np.array_equal(dec.original, orig))
+    print(f"decoded message      : {dec.message!r}")
+    print(f"message round-trip   : {'OK' if ok_msg else 'FAILED'}")
+    print(f"original restored    : {'OK' if ok_img else 'FAILED'}")
+    dicom.save_image(dec.stego, os.path.join(args.output_dir, "decoded_stego.dcm"))
+    return 0 if (ok_msg and ok_img) else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
         set_verbosity("DEBUG")
-    handler = {"encode": cmd_encode, "decode": cmd_decode, "analyze": cmd_analyze}[
+    handler = {"encode": cmd_encode, "decode": cmd_decode,
+               "analyze": cmd_analyze, "demo": cmd_demo}[
         args.command
     ]
     try:

@@ -534,11 +534,55 @@ def build_secondary_capture(
     return ds
 
 
-def to_bytes(ds: Dataset, *, deflated: bool = False) -> bytes:
-    """Serialize a Dataset to a Part-10 byte stream (Explicit VR LE body,
-    optionally deflated per ``DeflatedExplicitVRLittleEndian`` as the
-    reference's 'png' codec path does, ``src/codec.py:151-162``)."""
+def _encapsulate(fragment: bytes) -> bytes:
+    """Encapsulated PixelData value: empty Basic Offset Table item + one
+    frame fragment item + sequence delimiter (PS3.5 A.4)."""
+    if len(fragment) % 2:
+        fragment += b"\x00"
+    out = struct.pack("<HHI", 0xFFFE, 0xE000, 0)                 # empty BOT
+    out += struct.pack("<HHI", 0xFFFE, 0xE000, len(fragment)) + fragment
+    out += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)                # delimiter
+    return out
+
+
+def to_bytes(
+    ds: Dataset, *, deflated: bool = False, transfer_syntax: Optional[str] = None
+) -> bytes:
+    """Serialize a Dataset to a Part-10 byte stream.
+
+    * default: Explicit VR LE with raw PixelData;
+    * ``deflated=True``: DeflatedExplicitVRLittleEndian, as the reference's
+      'png' codec path produces (``src/codec.py:151-162``);
+    * ``transfer_syntax=JPEGLS_LOSSLESS / JPEG2000_LOSSLESS``: the pixel data
+      is compressed through the codec registry and written **encapsulated** —
+      the self-contained compressed DICOM the reference obtained by shelling
+      out to ``gdcmconv --jpegls/--j2k`` (``src/codec.py:132-149``).
+    """
+    if transfer_syntax in ENCAPSULATED_SYNTAXES:
+        from .codecs import get as get_codec
+
+        codec = get_codec("jls" if transfer_syntax == JPEGLS_LOSSLESS else "j2k")
+        arr = ds.pixel_array
+        bits = ds.bits_stored if transfer_syntax == JPEGLS_LOSSLESS else None
+        if transfer_syntax == JPEGLS_LOSSLESS:
+            from . import jpegls_binding
+
+            frag = jpegls_binding.encode(arr, bits=bits)
+        else:
+            frag = codec.encode(arr)
+        enc = Dataset()
+        enc.elements = dict(ds.elements)
+        enc.elements[(0x7FE0, 0x0010)] = DataElement(
+            (0x7FE0, 0x0010), "OB", _encapsulate(frag)
+        )
+        return _serialize(enc, transfer_syntax, encapsulated=True)
     ts = DEFLATED_EXPLICIT_VR_LE if deflated else EXPLICIT_VR_LE
+    return _serialize(ds, ts, encapsulated=False, deflated=deflated)
+
+
+def _serialize(
+    ds: Dataset, ts: str, *, encapsulated: bool = False, deflated: bool = False
+) -> bytes:
 
     meta_tags = sorted(t for t in ds.elements if t[0] == 0x0002)
     body_tags = sorted(t for t in ds.elements if t[0] != 0x0002)
@@ -563,6 +607,12 @@ def to_bytes(ds: Dataset, *, deflated: bool = False) -> bytes:
         el = ds.elements[tag]
         if el.vr == "SQ":
             continue  # sequences are not re-emitted (not needed by this workload)
+        if encapsulated and tag == (0x7FE0, 0x0010):
+            # undefined-length OB element: the value is the item stream
+            body += struct.pack("<HH", tag[0], tag[1])
+            body += b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)
+            body += el.value
+            continue
         body += _encode_element(tag, el.vr, el.value, explicit=True)
 
     if deflated:
@@ -572,17 +622,31 @@ def to_bytes(ds: Dataset, *, deflated: bool = False) -> bytes:
     return b"\x00" * 128 + b"DICM" + meta + body
 
 
-def write_file(ds: Dataset, path: str, *, deflated: bool = False) -> None:
+def write_file(
+    ds: Dataset,
+    path: str,
+    *,
+    deflated: bool = False,
+    transfer_syntax: Optional[str] = None,
+) -> None:
     with open(path, "wb") as f:
-        f.write(to_bytes(ds, deflated=deflated))
+        f.write(to_bytes(ds, deflated=deflated, transfer_syntax=transfer_syntax))
 
 
 def save_image(
-    image: np.ndarray, path: str, *, deflated: bool = False, **kwargs: Any
+    image: np.ndarray,
+    path: str,
+    *,
+    deflated: bool = False,
+    transfer_syntax: Optional[str] = None,
+    **kwargs: Any,
 ) -> Dataset:
-    """Array -> Secondary Capture file on disk; returns the dataset."""
+    """Array -> Secondary Capture file on disk; returns the dataset.
+
+    ``transfer_syntax=JPEGLS_LOSSLESS/JPEG2000_LOSSLESS`` writes a compressed
+    encapsulated file (the reference's ``gdcmconv`` output equivalent)."""
     ds = build_secondary_capture(image, **kwargs)
-    write_file(ds, path, deflated=deflated)
+    write_file(ds, path, deflated=deflated, transfer_syntax=transfer_syntax)
     return ds
 
 

@@ -130,12 +130,47 @@ def plan_batch(
     )
 
 
+def _pallas_ok(images: np.ndarray, mesh: Optional[Mesh]) -> bool:
+    """Pallas fast path: single-chip TPU with a tileable image size."""
+    import jax as _jax
+
+    from ..ops import pallas_embed as pe
+
+    if mesh is not None or _jax.default_backend() != "tpu":
+        return False
+    n = int(np.prod(images.shape[1:]))
+    return pe.pick_tile(n) > 0 and n % 128 == 0
+
+
 def encode_batch(
     images: np.ndarray,
     plan: BatchPlan,
     mesh: Optional[Mesh] = None,
+    backend: str = "auto",
 ) -> jax.Array:
-    """Fused batched embed; with a mesh, inputs are sharded on ``dp``."""
+    """Fused batched embed; with a mesh, inputs are sharded on ``dp``.
+
+    ``backend='auto'`` uses the Pallas kernels on single-chip TPU (2.4 GPix/s
+    cycle on v5e vs ~0.5 for the XLA path) and XLA elsewhere.
+    """
+    if backend == "auto":
+        backend = "pallas" if _pallas_ok(images, mesh) else "xla"
+    if backend == "pallas":
+        from ..ops import pallas_embed as pe
+
+        b, h, w = images.shape
+        n = h * w
+        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        msg2d, l2 = pe.shift_messages_2d(plan.msgs, n)
+        padded = pe.embed_batch_padded(
+            jnp.asarray(images).reshape(b, n // 128, 128),
+            jnp.asarray(msg2d),
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            jnp.asarray(plan.offsets),
+            plan.nbits, tile, l2,
+        )
+        return pe.unpad_stego(padded, b, n).reshape(b, h, w)
+
     imgs = jnp.asarray(images)
     msgs = jnp.asarray(plan.msgs)
     if mesh is not None:
@@ -178,8 +213,24 @@ def extract_batch(
     plan: BatchPlan,
     mesh: Optional[Mesh] = None,
     out_len: Optional[int] = None,
+    backend: str = "auto",
 ) -> np.ndarray:
     """(B, out_len) message bits: device-aligned rows + host assembly."""
     out_len = out_len or plan.lpad
-    aligned = extract_aligned_batch(stego, plan, mesh)
+    stego_np = np.asarray(stego)
+    if backend == "auto":
+        backend = "pallas" if _pallas_ok(stego_np, mesh) else "xla"
+    if backend == "pallas":
+        from ..ops import pallas_embed as pe
+
+        b = stego_np.shape[0]
+        n = int(np.prod(stego_np.shape[1:]))
+        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        aligned = pe.extract_aligned_batch_padded(
+            jnp.asarray(pe.pad_stego_flat(stego_np)),
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            plan.nbits, n, tile,
+        )
+    else:
+        aligned = extract_aligned_batch(stego, plan, mesh)
     return embed_ops.assemble_message(aligned, plan.offsets, plan.lengths, out_len)

@@ -153,3 +153,13 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert rc == 0
     captured = capsys.readouterr()
     assert "PSNR" in captured.out
+
+
+def test_cli_demo(tmp_path):
+    """The reference demo flow, but it actually round-trips (defect B1)."""
+    from codec_tcc_tpu.cli import main
+
+    rc = main(["demo", "--input", "/root/reference/images/torax.dcm",
+               "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert (tmp_path / "out" / "example.stgc").exists()
