@@ -74,6 +74,18 @@ def _build_parser() -> argparse.ArgumentParser:
     ana.add_argument("stego")
     ana.add_argument("--report", help="write a JSON run report here")
 
+    anb = sub.add_parser(
+        "analyze-batch",
+        help="quality metrics for many (original, stego) pairs "
+             "(the reference's analisar_multiplos_pares, mse.py:265-295)",
+    )
+    anb.add_argument(
+        "pairs", nargs="+",
+        help="original1 stego1 [original2 stego2 ...] (alternating paths)",
+    )
+    anb.add_argument("--windowed-ssim", action="store_true")
+    anb.add_argument("--report", help="write the aggregate JSON report here")
+
     demo = sub.add_parser(
         "demo",
         help="encode-then-decode self check (the reference's main() demo, "
@@ -226,6 +238,38 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze_batch(args: argparse.Namespace) -> int:
+    import os
+
+    from .analyze import QualityAnalyzer
+
+    if len(args.pairs) % 2:
+        print("error: pairs must alternate original stego paths", file=sys.stderr)
+        return 2
+    analyzer = QualityAnalyzer(windowed_ssim=args.windowed_ssim)
+    triples = [
+        (args.pairs[i], args.pairs[i + 1],
+         os.path.splitext(os.path.basename(args.pairs[i]))[0])
+        for i in range(0, len(args.pairs), 2)
+    ]
+    results = analyzer.analyze_pairs(triples)
+    print(f"{'NAME':<20} {'MSE':<12} {'PSNR':<10} {'SSIM':<10} {'CHANGED%':<9}")
+    print("-" * 64)
+    for r in results:
+        m = r.metrics
+        psnr = f"{m['psnr']:.2f}" if m["psnr"] != float("inf") else "inf"
+        print(f"{r.name:<20} {m['mse']:<12.6f} {psnr:<10} "
+              f"{m['ssim']:<10.6f} {m['changed_percent']:<9.3f}")
+    if results:
+        s = analyzer.summary()
+        print(f"\nmean MSE {s['mse_mean']:.6f}  "
+              f"mean PSNR {s.get('psnr_mean', float('inf')):.2f} dB  "
+              f"mean SSIM {s['ssim_mean']:.6f}  ({int(s['count'])} pairs)")
+    if args.report:
+        analyzer.report(args.report)
+    return 0 if results else 1
+
+
 def cmd_demo(args: argparse.Namespace) -> int:
     """The reference demo flow (beta=0.4, hybrid embed with 16px search
     blocks, the same example message) followed by an immediate decode and
@@ -261,10 +305,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
         set_verbosity("DEBUG")
-    handler = {"encode": cmd_encode, "decode": cmd_decode,
-               "analyze": cmd_analyze, "demo": cmd_demo}[
-        args.command
-    ]
+    handler = {
+        "encode": cmd_encode,
+        "decode": cmd_decode,
+        "analyze": cmd_analyze,
+        "analyze-batch": cmd_analyze_batch,
+        "demo": cmd_demo,
+    }[args.command]
     try:
         return handler(args)
     except (ValueError, RuntimeError, FileNotFoundError) as exc:

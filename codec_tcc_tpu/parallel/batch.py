@@ -71,7 +71,13 @@ def plan_batch(
     histograms: Optional[np.ndarray] = None,
 ) -> BatchPlan:
     """Host-side planning for a batch: per-image decomposition (from one
-    vmapped histogram pass) + segment plans, padded to a common ``Lpad``."""
+    vmapped histogram pass) + segment plans, padded to a common ``Lpad``.
+
+    ``config.strategy`` selects the raster strategies: ``multi_plane`` (every
+    plane starts at raster 0) or ``hybrid`` (per-image variance-chosen start
+    offset from one vmapped tile-popcount pass, SURVEY hybrid semantics with
+    defect B4 fixed). Block-adaptive and PEE go through the single-image
+    pipeline, whose plans are not plain raster windows."""
     b, h, w = images.shape
     n = h * w
     itemsize = np.dtype(images.dtype).itemsize
@@ -108,12 +114,36 @@ def plan_batch(
 
     nbits = _plane_bucket(int(s_arr.max(initial=1)), dtype_bits)
 
+    if config.strategy == "hybrid":
+        from ..ops import blocks as block_ops
+
+        sb = config.search_block_size
+        counts = np.asarray(
+            jax.jit(
+                jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, sb)),
+                static_argnames=(),
+            )(jnp.asarray(images))
+        )
+        base_offsets = [
+            block_ops.best_offset_from_counts(counts[i], h, w, sb)
+            for i in range(b)
+        ]
+        align = config.align_across_planes
+    elif config.strategy == "multi_plane":
+        base_offsets = [0] * b
+        align = True
+    else:
+        raise ValueError(
+            f"batch planning supports raster strategies only, not "
+            f"'{config.strategy}' (use the single-image pipeline)"
+        )
+
     starts = np.zeros((b, nbits), dtype=np.int32)
     lengths = np.zeros((b, nbits), dtype=np.int32)
     offsets = np.zeros((b, nbits), dtype=np.int32)
     max_need = 0
     for i in range(b):
-        pp = segment_ops.raster_plane_plan(plans[i], n, nbits, 0, True)
+        pp = segment_ops.raster_plane_plan(plans[i], n, nbits, base_offsets[i], align)
         starts[i] = pp.starts
         lengths[i] = pp.lengths
         offsets[i] = pp.offsets

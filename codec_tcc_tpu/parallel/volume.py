@@ -28,13 +28,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EncodeConfig
+from ..io import container as container_io
 from ..ops import decompose as decompose_ops
 from ..ops import histogram as hist_ops
 from ..ops import metrics as metric_ops
 from . import batch as batch_par
 from ..utils import bits as bit_utils
 
-__all__ = ["VolumeResult", "encode_volume", "extract_volume", "volume_cut_point"]
+__all__ = [
+    "VolumeResult", "encode_volume", "extract_volume", "volume_cut_point",
+    "pack_volume", "unpack_volume",
+]
 
 
 @dataclass
@@ -163,6 +167,97 @@ def encode_volume(
     return VolumeResult(
         stego=stego_np, s=s, plan=plan, slice_bits=slice_bits, metrics=metrics
     )
+
+
+VOLUME_MAGIC = b"STGV"
+
+
+def pack_volume(
+    volume: np.ndarray,
+    result: VolumeResult,
+    config: EncodeConfig = EncodeConfig(),
+) -> bytes:
+    """Serialize a :class:`VolumeResult` as an STGV file: a volume header plus
+    one self-contained STGC-v2 container per slice (so any slice decodes
+    independently — a failed shard re-reads only its own containers)."""
+    import struct
+
+    from ..io.codecs import get as get_codec
+    from ..ops import embed as embed_ops
+    from ..ops.segments import distribute_segments
+
+    d, h, w = result.stego.shape
+    s = result.s
+    codec = get_codec(config.codec)
+    total_bits = int(result.slice_bits.sum())
+
+    maps = np.asarray(
+        jax.vmap(embed_ops.xor_maps)(jnp.asarray(volume), jnp.asarray(result.stego))
+    )
+
+    blobs = []
+    for i in range(d):
+        plan_i = distribute_segments(s, int(result.slice_bits[i]), config.seed)
+        meta = container_io.ContainerMeta(
+            version=2,
+            codec=config.codec,
+            strategy="multi_plane",
+            s=s,
+            nbits=result.plan.nbits,
+            bits_stored=result.plan.nbits,
+            dtype=result.stego.dtype,
+            width=w,
+            height=h,
+            start_offset=0,
+            seed=config.seed,
+            payload_bits=int(result.slice_bits[i]),
+            align_across_planes=True,
+            has_bitmaps=True,
+            sizes=plan_i.sizes,
+            indices=plan_i.indices,
+            eff_lengths=tuple(int(v) for v in result.plan.lengths[i][:s]),
+            plane_starts=tuple(int(v) for v in result.plan.starts[i][:s]),
+        )
+        blob = container_io.pack(
+            meta,
+            container_io.compress_bitmaps(maps[i][:s]),
+            codec.encode(result.stego[i]),
+        )
+        blobs.append(blob)
+
+    header = VOLUME_MAGIC + struct.pack(">IIQI", 1, d, total_bits, s)
+    header += struct.pack(f">{d}Q", *[len(b) for b in blobs])
+    return header + b"".join(blobs)
+
+
+def unpack_volume(data: bytes):
+    """Inverse of :func:`pack_volume`. Returns
+    ``(payload_bits, stego_volume, original_volume)``."""
+    import struct
+
+    from .. import pipeline
+
+    if data[:4] != VOLUME_MAGIC:
+        raise ValueError("Invalid file: bad STGV signature")
+    version, d, total_bits, s = struct.unpack_from(">IIQI", data, 4)
+    off = 4 + struct.calcsize(">IIQI")
+    sizes = struct.unpack_from(f">{d}Q", data, off)
+    off += 8 * d
+
+    bits_parts = []
+    stego_slices = []
+    orig_slices = []
+    for i in range(d):
+        blob = data[off : off + sizes[i]]
+        off += sizes[i]
+        dec = pipeline.decode_container(blob)
+        bits_parts.append(dec.payload_bits)
+        stego_slices.append(dec.stego)
+        orig_slices.append(dec.original)
+    payload = np.concatenate(bits_parts)[:total_bits] if bits_parts else np.zeros(0, np.uint8)
+    stego = np.stack(stego_slices)
+    original = np.stack(orig_slices) if all(o is not None for o in orig_slices) else None
+    return payload, stego, original
 
 
 def extract_volume(

@@ -49,7 +49,9 @@ def test_batch_encode_extract_sharded(mesh8, rng):
         rng.integers(0, 2, size=int(k)).astype(np.uint8)
         for k in rng.integers(10, 1200, size=b)
     ]
-    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
+    plan = batch_par.plan_batch(
+        imgs, payloads, EncodeConfig(beta=0.4, strategy="multi_plane")
+    )
     stego = batch_par.encode_batch(imgs, plan, mesh8)
     stego_np = np.asarray(stego)
 
@@ -103,3 +105,46 @@ def test_mesh_construction():
     m = mesh_par.make_mesh(8, axes=("dp", "tile"), shape=(4, 2))
     assert m.devices.shape == (4, 2)
     assert m.axis_names == ("dp", "tile")
+
+
+def test_batch_hybrid_strategy_matches_oracle(rng):
+    """Batched hybrid planning: per-image variance-chosen start offsets."""
+    imgs = _make_batch(rng, b=4, dtype=np.uint8, hi=256)
+    payloads = [rng.integers(0, 2, size=800).astype(np.uint8) for _ in range(4)]
+    cfg = EncodeConfig(beta=0.4, strategy="hybrid", search_block_size=16)
+    plan = batch_par.plan_batch(imgs, payloads, cfg)
+    stego = np.asarray(batch_par.encode_batch(imgs, plan))
+    for i in range(4):
+        s = int(plan.s[i])
+        local = oracle.split_planes(imgs[i], 8)[:s]
+        res = oracle.embed_hybrid(local, payloads[i], 16)
+        ref = oracle.merge_planes(oracle.split_planes(imgs[i], 8)[s:], res.stego_planes)
+        np.testing.assert_array_equal(stego[i], ref)
+    bits = batch_par.extract_batch(stego, plan)
+    for i in range(4):
+        np.testing.assert_array_equal(bits[i, :800], payloads[i])
+
+
+def test_batch_rejects_nonraster_strategy(rng):
+    imgs = _make_batch(rng, b=2)
+    with pytest.raises(ValueError, match="raster"):
+        batch_par.plan_batch(imgs, [b"x", b"y"], EncodeConfig(strategy="pee"))
+
+
+def test_volume_container_roundtrip(rng):
+    """STGV serialization: per-slice self-contained containers, exact payload
+    and full original-volume restoration."""
+    vol = rng.integers(0, 4096, size=(4, 64, 64)).astype(np.uint16)
+    payload = rng.integers(0, 2, size=9_000).astype(np.uint8)
+    cfg = EncodeConfig(beta=0.8, codec="deflate", compute_metrics=False)
+    res = volume_par.encode_volume(vol, payload, cfg)
+    blob = volume_par.pack_volume(vol, res, cfg)
+    got_bits, stego, original = volume_par.unpack_volume(blob)
+    np.testing.assert_array_equal(got_bits, payload)
+    np.testing.assert_array_equal(stego, res.stego)
+    np.testing.assert_array_equal(original, vol)
+
+
+def test_volume_container_bad_magic():
+    with pytest.raises(ValueError, match="STGV"):
+        volume_par.unpack_volume(b"XXXX" + b"\0" * 64)

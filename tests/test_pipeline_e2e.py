@@ -163,3 +163,29 @@ def test_cli_demo(tmp_path):
                "--output-dir", str(tmp_path / "out")])
     assert rc == 0
     assert (tmp_path / "out" / "example.stgc").exists()
+
+
+def test_cli_analyze_batch(tmp_path, capsys, torax_image, rng):
+    from codec_tcc_tpu.cli import main
+    from codec_tcc_tpu.io import dicom
+
+    orig = tmp_path / "o.dcm"
+    dicom.save_image(torax_image, str(orig))
+    paths = [str(orig)]
+    for i in range(2):
+        st = torax_image.copy()
+        st.ravel()[rng.integers(0, st.size, size=100)] ^= 1
+        p = tmp_path / f"s{i}.dcm"
+        dicom.save_image(st, str(p))
+        paths = paths if i else paths  # keep orig first
+    s0, s1 = tmp_path / "s0.dcm", tmp_path / "s1.dcm"
+    report = tmp_path / "batch.json"
+    rc = main(["analyze-batch", str(orig), str(s0), str(orig), str(s1),
+               "--report", str(report)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean PSNR" in out and report.exists()
+    import json
+
+    rep = json.loads(report.read_text())
+    assert rep["summary"]["count"] == 2
