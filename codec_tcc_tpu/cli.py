@@ -35,8 +35,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 
-    enc = sub.add_parser("encode", help="embed a payload into a DICOM image")
-    enc.add_argument("input", help="input DICOM file")
+    enc = sub.add_parser("encode", help="embed a payload into an image")
+    enc.add_argument("input", help="input DICOM (or PNG/grayscale) file")
     enc.add_argument("output", help="output .stgc container")
     g = enc.add_mutually_exclusive_group(required=True)
     g.add_argument("--message", help="text payload")
@@ -135,7 +135,10 @@ def cmd_encode(args: argparse.Namespace) -> int:
     from .profiling import get_profiler, trace_to
 
     with trace_to(getattr(args, "profile_dir", None)):
-        result = pipeline.encode_dicom(args.input, payload, config)
+        if args.input.lower().endswith(".dcm"):
+            result = pipeline.encode_dicom(args.input, payload, config)
+        else:
+            result = pipeline.encode_array(_load_any(args.input), payload, config)
     with open(args.output, "wb") as f:
         f.write(result.container)
     if args.verbose:

@@ -151,16 +151,21 @@ def pack(meta: ContainerMeta, bitmaps_blob: bytes, stego_blob: bytes) -> bytes:
 
 
 def parse(data: bytes) -> Container:
-    if data[:4] != MAGIC:
+    if len(data) < 9 or data[:4] != MAGIC:
         raise ValueError("Invalid file: bad STGC signature")
     (header_len,) = struct.unpack_from(">I", data, 4)
+    if 8 + header_len > len(data):
+        raise ValueError("Invalid file: truncated STGC header")
     header = data[8 : 8 + header_len]
     body = data[8 + header_len :]
     version = header[0]
-    if version == 1:
-        return _parse_v1(header, body)
-    if version == 2:
-        return _parse_v2(header, body)
+    try:
+        if version == 1:
+            return _parse_v1(header, body)
+        if version == 2:
+            return _parse_v2(header, body)
+    except struct.error as exc:
+        raise ValueError(f"Invalid file: malformed STGC v{version} header") from exc
     raise ValueError(f"Unsupported container version {version}")
 
 

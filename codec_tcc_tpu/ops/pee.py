@@ -96,6 +96,31 @@ def capacity(img: jax.Array, parity: int, t: int, max_val: int) -> jax.Array:
     return jnp.sum((in_set & expandable & ~overflow).astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("parity", "t_max"))
+def error_histogram(img: jax.Array, parity: int, t_max: int = 64) -> jax.Array:
+    """Prediction-error histogram for one pass: counts of ``e = x - pred``
+    clamped to ``[-t_max, t_max]``, returned as ``(2*t_max + 1,) int32``
+    (bin 0 <=> e = -t_max).
+
+    This is the "prediction-error histogram" stage the north star names: the
+    cumulative sum of the central ``2T`` bins IS the expandable capacity at
+    threshold ``T``, so threshold selection and capacity analysis read
+    straight off this histogram. Computed scatter-free (sort + searchsorted,
+    like the value histogram)."""
+    h, w = img.shape
+    pred = rhombus_predict(img)
+    e = img.astype(jnp.int32) - pred
+    in_set = parity_mask(h, w, parity)
+    e = jnp.clip(e, -t_max, t_max) + t_max
+    # park out-of-set pixels in an overflow bin that gets dropped
+    nbins = 2 * t_max + 1
+    e = jnp.where(in_set, e, nbins)
+    flat = jnp.sort(e.reshape(-1))
+    edges = jnp.arange(nbins + 2, dtype=jnp.int32)
+    idx = jnp.searchsorted(flat, edges, side="left")
+    return jnp.diff(idx)[:nbins].astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("parity", "t", "max_val"))
 def embed_pass(
     img: jax.Array,          # (H, W) uint8/uint16

@@ -203,3 +203,37 @@ def test_encapsulated_compresses_real_image(pe_image):
     assert len(data) < pe_image.nbytes / 2  # ~2.9x on pe.dcm
     ds = dicom.read_bytes(data)
     np.testing.assert_array_equal(ds.pixel_array, pe_image)
+
+
+def test_container_fuzz_truncation(pe_image, rng):
+    """Truncated/corrupted containers fail with clear errors, never crash."""
+    from codec_tcc_tpu import EncodeConfig, encode_array
+
+    res = encode_array(pe_image[:64, :64].copy(), b"xx",
+                       EncodeConfig(compute_metrics=False))
+    blob = res.container
+    for cut in [0, 3, 5, 8, 12, 20, len(blob) // 2]:
+        with pytest.raises((ValueError, Exception)):
+            c = container_io.parse(blob[:cut])
+            # parsing may succeed for large cuts; decoding must then fail
+            from codec_tcc_tpu import decode_container
+
+            decode_container(blob[:cut])
+    for _ in range(5):  # random byte corruption in the header region
+        b = bytearray(blob)
+        for i in rng.integers(4, 40, size=4):
+            b[int(i)] ^= 0xFF
+        try:
+            container_io.parse(bytes(b))
+        except (ValueError, Exception):
+            pass  # any clean Python exception is acceptable
+
+
+def test_dicom_fuzz_truncation(rng):
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = dicom.to_bytes(dicom.build_secondary_capture(img))
+    for cut in [10, 100, 140, len(data) - 20]:
+        try:
+            dicom.read_bytes(data[:cut])
+        except Exception as exc:
+            assert not isinstance(exc, (SystemExit, MemoryError))

@@ -87,3 +87,25 @@ def test_pee_multipass_16bit_max_capacity(pe_image, rng):
     dec = decode_container(res.container)
     np.testing.assert_array_equal(dec.payload_bits, payload)
     np.testing.assert_array_equal(dec.original, pe_image)
+
+
+def test_error_histogram_matches_capacity(torax_image):
+    """The cumulative central bins of the prediction-error histogram equal
+    the expandable pixel count (capacity modulo overflow exclusions)."""
+    hist = np.asarray(pee_ops.error_histogram(torax_image, 0, t_max=64))
+    assert hist.sum() > 0
+    # reference check against a dense recomputation
+    pred = np.asarray(pee_ops.rhombus_predict(torax_image))
+    e = torax_image.astype(np.int64) - pred
+    mask = np.asarray(pee_ops.parity_mask(*torax_image.shape, 0))
+    e_in = np.clip(e[mask], -64, 64)
+    ref = np.bincount(e_in + 64, minlength=129)
+    np.testing.assert_array_equal(hist, ref)
+    # expandable count at T: central bins [-T, T) == capacity + overflow
+    for t in (1, 2, 4):
+        central = hist[64 - t : 64 + t].sum()
+        cap = int(pee_ops.capacity(torax_image, 0, t, 255))
+        assert cap <= central  # capacity excludes overflow pixels
+        # overflow exclusions (saturated regions of torax.dcm) stay a small
+        # fraction of the expandable population
+        assert central - cap < 0.05 * central
