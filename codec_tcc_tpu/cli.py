@@ -224,18 +224,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     print(f"max abs diff         : {rep['max_abs_diff']:.0f}")
     print(f"pixels changed       : {int(rep['changed_pixels'])}"
           f" ({rep['changed_percent']:.3f}%)")
-    # the reference's quality verdicts (src/mse.py:224-241)
-    if rep["mse"] == 0:
-        verdict = "identical images"
-    elif rep["psnr"] > 40:
-        verdict = "excellent (imperceptible steganography)"
-    elif rep["psnr"] > 30:
-        verdict = "good (minimal changes)"
-    elif rep["psnr"] > 20:
-        verdict = "fair (visible changes)"
-    else:
-        verdict = "poor (significant changes)"
-    print(f"verdict              : {verdict}")
+    from .analyze import _verdicts
+
+    quality, structure = _verdicts(rep)
+    print(f"verdict              : {quality}; {structure}")
     if args.report:
         write_json_report(args.report, {"command": "analyze", **rep})
     return 0

@@ -34,6 +34,10 @@ class EncodeConfig:
     pee_threshold: int = 2
     # transport codec (src/codec.py:108-209)
     codec: str = "deflate"
+    # capacity policy: by default, payloads the plan cannot fully embed are
+    # rejected loudly; True reproduces the reference's silent per-plane clamp
+    # (num_bits = min(len, h*w), src/codec.py:294) and drops overflow bits
+    allow_capacity_overflow: bool = False
     # container
     store_bitmaps: bool = True
     container_version: int = 2

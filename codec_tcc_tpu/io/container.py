@@ -237,7 +237,12 @@ def pack_v1(
     """Write the reference's exact v1 layout (src/codec.py:601-670), including
     its ``>H`` field limits (struct.error beyond 65,535 — defect B5 preserved
     for fidelity; use v2 for real work)."""
-    codec_id = {v: k for k, v in _V1_CODEC_NAMES.items()}.get(codec.lower(), 0)
+    codec_id = {v: k for k, v in _V1_CODEC_NAMES.items()}.get(codec.lower())
+    if codec_id is None:
+        raise ValueError(
+            f"codec '{codec}' has no v1 container id (v1 supports "
+            f"{sorted(_V1_CODEC_NAMES.values())}); use container_version=2"
+        )
     header = struct.pack(
         ">BBBBHHH", 1, codec_id, s, 1 if align_across_planes else 0,
         width, height, start_offset,
@@ -297,10 +302,17 @@ def parse_block_ext(ext: bytes) -> int:
     return struct.unpack(">I", ext[:4])[0] if len(ext) >= 4 else 0
 
 
-def pack_pee_ext(threshold: int, passes: int, map_bits: int) -> bytes:
-    return struct.pack(">IIQ", threshold, passes, map_bits)
+_PEE_EXT_FMT = ">IIIIQQ"  # threshold, passes, n_proc0, n_proc1, bits0, bits1
 
 
-def parse_pee_ext(ext: bytes) -> Dict[str, int]:
-    t, p, m = struct.unpack(">IIQ", ext[:16])
-    return {"threshold": t, "passes": p, "map_bits": m}
+def pack_pee_ext(
+    threshold: int, passes: int, n_proc0: int, n_proc1: int,
+    bits0: int, bits1: int,
+) -> bytes:
+    return struct.pack(_PEE_EXT_FMT, threshold, passes, n_proc0, n_proc1,
+                       bits0, bits1)
+
+
+def parse_pee_ext(ext: bytes) -> Tuple[int, int, int, int, int, int]:
+    """(threshold, passes, n_proc0, n_proc1, bits0, bits1)."""
+    return struct.unpack(_PEE_EXT_FMT, ext[: struct.calcsize(_PEE_EXT_FMT)])

@@ -59,7 +59,12 @@ class Embedder:
                 else dtype_bits
             )
         dec = decompose_ops.decompose(image, beta=self.config.beta, nbits=nbits)
-        return dec.s * image.size  # the reference's s*H*W rule (codec.py:294)
+        # NOT the reference's s*H*W rule (codec.py:294): the quadratic
+        # distribution oversubscribes plane 0, so the truly usable payload is
+        # smaller — report the boundary the encoder actually accepts
+        from ..ops.segments import usable_capacity_bits
+
+        return usable_capacity_bits(dec.s, image.size, self.config.seed)
 
 
 class MultiPlaneEmbedder(Embedder):

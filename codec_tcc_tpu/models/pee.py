@@ -30,34 +30,19 @@ from ..utils.logging import get_logger
 logger = get_logger("models.pee")
 
 _MAX_T = 128
-_EXT_FMT = ">IIIIQQ"  # t, passes, n_proc0, n_proc1, bits0, bits1
+_pack_ext = container_io.pack_pee_ext
+_parse_ext = container_io.parse_pee_ext
 
 
-def _pack_ext(t: int, passes: int, n0: int, n1: int, b0: int, b1: int) -> bytes:
-    return struct.pack(_EXT_FMT, t, passes, n0, n1, b0, b1)
-
-
-def _parse_ext(ext: bytes) -> Tuple[int, int, int, int, int, int]:
-    return struct.unpack(_EXT_FMT, ext[: struct.calcsize(_EXT_FMT)])
-
-
-def _select_threshold(
-    image: np.ndarray, payload_bits: int, t0: int, max_val: int
-) -> Tuple[int, int, int]:
-    """Smallest T >= t0 with capacity(pass0)+capacity(pass1) >= payload.
-
-    Returns (t, cap0, cap_total). Raises if even T=_MAX_T cannot hold it.
-    """
+def _threshold_schedule(t0: int):
+    """Geometric probe schedule (each T is a fresh jit specialization, so a
+    dense scan would compile up to 128 kernels), always ending at _MAX_T so a
+    payload that only fits at the maximum threshold is not skipped."""
     t = max(1, int(t0))
-    while t <= _MAX_T:
-        cap0 = int(pee_ops.capacity(image, 0, t, max_val))
-        cap1 = int(pee_ops.capacity(image, 1, t, max_val))
-        if cap0 + cap1 >= payload_bits:
-            return t, cap0, cap0 + cap1
+    while t < _MAX_T:
+        yield t
         t *= 2
-    raise ValueError(
-        f"payload of {payload_bits} bits exceeds PEE capacity even at T={_MAX_T}"
-    )
+    yield _MAX_T
 
 
 def encode_pee_array(
@@ -82,33 +67,45 @@ def encode_pee_array(
     msg_bits = _as_payload_bits(payload)
     total_bits = int(msg_bits.size)
 
-    t, cap0, cap_total = _select_threshold(image, total_bits, config.pee_threshold, max_val)
-
     lpad = 1 << max(3, (max(total_bits, 1) - 1).bit_length())
     msg_pad = np.zeros(lpad, dtype=np.uint8)
     msg_pad[:total_bits] = msg_bits
 
-    want0 = min(total_bits, cap0)
-    stego0, over0, used0, nproc0 = pee_ops.embed_pass(
-        image, msg_pad, np.int32(0), np.int32(want0), 0, t, max_val
-    )
-    used0 = int(used0)
-    want1 = total_bits - used0
-    passes = 1
-    over1 = np.zeros((h, w), dtype=bool)
-    nproc1 = 0
-    used1 = 0
-    stego = stego0
-    if want1 > 0:
-        passes = 2
+    # Threshold escalation must account for pass interaction: pass 1 runs on
+    # the pass-0-MODIFIED image, whose capacity is smaller than the pristine
+    # image's (pass-0 expansions perturb the cross pixels pass-1 predictions
+    # use). So each candidate T embeds pass 0 first and measures the true
+    # remaining capacity on the actual intermediate image.
+    result = None
+    for t in _threshold_schedule(config.pee_threshold):
+        cap0 = int(pee_ops.capacity(image, 0, t, max_val))
+        want0 = min(total_bits, cap0)
+        stego0, over0, used0_dev, nproc0 = pee_ops.embed_pass(
+            image, msg_pad, np.int32(0), np.int32(want0), 0, t, max_val
+        )
+        used0 = int(used0_dev)
+        want1 = total_bits - used0
+        if want1 <= 0:
+            result = (t, stego0, np.asarray(over0), used0, int(nproc0),
+                      np.zeros((h, w), dtype=bool), 0, 0, 1)
+            break
+        cap1 = int(pee_ops.capacity(np.asarray(stego0), 1, t, max_val))
+        if cap1 < want1:
+            continue  # this T cannot hold the payload; escalate
         stego, over1_dev, used1_dev, nproc1_dev = pee_ops.embed_pass(
             stego0, msg_pad, np.int32(used0), np.int32(want1), 1, t, max_val
         )
-        over1 = np.asarray(over1_dev)
-        used1 = int(used1_dev)
-        nproc1 = int(nproc1_dev)
-        if used0 + used1 < total_bits:  # cannot happen after _select_threshold
-            raise AssertionError("PEE capacity accounting violated")
+        result = (t, stego, np.asarray(over0), used0, int(nproc0),
+                  np.asarray(over1_dev), int(used1_dev), int(nproc1_dev), 2)
+        break
+    if result is None:
+        raise ValueError(
+            f"payload of {total_bits} bits exceeds PEE capacity even at "
+            f"T={_MAX_T} (pass-1 capacity measured on the pass-0 result)"
+        )
+    t, stego, over0, used0, nproc0, over1, used1, nproc1, passes = result
+    if used0 + used1 < total_bits:
+        raise AssertionError("PEE capacity accounting violated")
 
     stego_np = np.asarray(stego)
     overflow = np.asarray(over0) | np.asarray(over1)

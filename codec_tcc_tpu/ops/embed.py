@@ -164,7 +164,7 @@ def extract(
     return msg[:out_len]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("nbits_planes",))
 def xor_maps(original: jax.Array, stego: jax.Array, nbits_planes: int = None) -> jax.Array:  # type: ignore[assignment]
     """Per-plane XOR location maps ``(nbits, H, W) uint8`` of orig vs stego —
     the reference's ``bitmap[y, x] = orig ^ stego`` (src/codec.py:309-311),

@@ -22,7 +22,13 @@ import numpy as np
 
 from ..utils.rng import DEFAULT_SEGMENT_SHUFFLE_SEED, shuffled_indices
 
-__all__ = ["SegmentPlan", "PlanePlan", "distribute_segments", "raster_plane_plan"]
+__all__ = [
+    "SegmentPlan",
+    "PlanePlan",
+    "distribute_segments",
+    "raster_plane_plan",
+    "usable_capacity_bits",
+]
 
 
 @dataclass(frozen=True)
@@ -90,6 +96,33 @@ def distribute_segments(
         msg_offsets=tuple(msg_offsets),
         eff_lengths=tuple(eff_lengths),
     )
+
+
+def usable_capacity_bits(
+    s: int, n_pixels: int, seed: int = DEFAULT_SEGMENT_SHUFFLE_SEED
+) -> int:
+    """Largest payload that survives the quadratic distribution intact.
+
+    The advertised capacity ``s * H * W`` (the reference's rule,
+    src/codec.py:294) is NOT reachable: the quadratic weights oversubscribe
+    plane 0 (share 9/14 at s=3), and any per-plane segment beyond ``H*W``
+    pixels is silently clamped (``num_bits = min(len, h*w)``). This binary
+    search finds the largest total for which every effective segment fits —
+    the boundary the safe pipelines validate against.
+    """
+
+    def fits(total: int) -> bool:
+        plan = distribute_segments(s, total, seed)
+        return sum(min(e, n_pixels) for e in plan.eff_lengths) >= total
+
+    lo, hi = 0, s * n_pixels
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def raster_plane_plan(

@@ -160,15 +160,18 @@ def plan_batch(
     )
 
 
-def _pallas_ok(images: np.ndarray, mesh: Optional[Mesh]) -> bool:
-    """Pallas fast path: single-chip TPU with a tileable image size."""
+def _pallas_ok(shape: tuple, mesh: Optional[Mesh]) -> bool:
+    """Pallas fast path: single-chip TPU with a tileable image size.
+
+    Takes the batch *shape* (not the array) so callers don't have to
+    materialize device data on host just to pick a backend."""
     import jax as _jax
 
     from ..ops import pallas_embed as pe
 
     if mesh is not None or _jax.default_backend() != "tpu":
         return False
-    n = int(np.prod(images.shape[1:]))
+    n = int(np.prod(shape[1:]))
     return pe.pick_tile(n) > 0 and n % 128 == 0
 
 
@@ -184,7 +187,7 @@ def encode_batch(
     cycle on v5e vs ~0.5 for the XLA path) and XLA elsewhere.
     """
     if backend == "auto":
-        backend = "pallas" if _pallas_ok(images, mesh) else "xla"
+        backend = "pallas" if _pallas_ok(images.shape, mesh) else "xla"
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 
@@ -247,12 +250,14 @@ def extract_batch(
 ) -> np.ndarray:
     """(B, out_len) message bits: device-aligned rows + host assembly."""
     out_len = out_len or plan.lpad
-    stego_np = np.asarray(stego)
     if backend == "auto":
-        backend = "pallas" if _pallas_ok(stego_np, mesh) else "xla"
+        backend = "pallas" if _pallas_ok(np.shape(stego), mesh) else "xla"
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 
+        # the padded-flat relayout genuinely needs host bytes; only this
+        # branch pays the device->host copy
+        stego_np = np.asarray(stego)
         b = stego_np.shape[0]
         n = int(np.prod(stego_np.shape[1:]))
         tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)

@@ -89,26 +89,10 @@ def encode_volume(
 
     # capacity-aware contiguous split: the per-slice segment distribution
     # oversubscribes its lowest plane (quadratic weights), so the usable
-    # per-slice capacity is the distribution's own effective total, probed
-    # once (it only depends on s and the chunk size)
-    per_slice_cap = s * n
-    # conservative usable fraction: plane0 holds 9/14.. of the chunk; cap the
-    # chunk so no plane overflows n pixels
-    from ..ops.segments import distribute_segments
+    # per-slice chunk is bounded by the distribution's own clamp boundary
+    from ..ops.segments import distribute_segments, usable_capacity_bits
 
-    def usable(chunk: int) -> int:
-        plan = distribute_segments(s, chunk, config.seed)
-        return sum(min(e, n) for e in plan.eff_lengths)
-
-    # binary search the largest chunk that is fully recoverable
-    lo, hi = 0, per_slice_cap
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        if usable(mid) >= mid:
-            lo = mid
-        else:
-            hi = mid - 1
-    chunk_cap = lo
+    chunk_cap = usable_capacity_bits(s, n, config.seed)
     if chunk_cap * d < total:
         raise ValueError(
             f"payload of {total} bits exceeds volume capacity {chunk_cap * d}"

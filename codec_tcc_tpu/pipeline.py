@@ -144,6 +144,15 @@ def encode_array(
 
     # 2. segment plan (host scalar work)
     plan = segment_ops.distribute_segments(s, total_bits, config.seed)
+    dropped = total_bits - sum(min(e, n) for e in plan.eff_lengths)
+    if dropped > 0 and not config.allow_capacity_overflow:
+        raise ValueError(
+            f"payload of {total_bits} bits exceeds the usable capacity of "
+            f"{segment_ops.usable_capacity_bits(s, n, config.seed)} bits at "
+            f"s={s} ({dropped} bits would be silently dropped by the "
+            f"per-plane clamp); shrink the payload, raise beta, or set "
+            f"allow_capacity_overflow=True for reference-identical clamping"
+        )
 
     # 3. strategy-specific plane plan + device embed.
     # The kernels unroll a *static* plane count; bucket it to the smallest
@@ -231,11 +240,19 @@ def encode_array(
         ext=ext,
     )
     if config.container_version == 1:
-        blob = container_io.pack_v1(
-            config.codec, s, [min(l, 65535) for l in meta.eff_lengths],
-            plan.indices, bitmaps_blob, stego_blob, w, h,
-            min(pp.base_start_offset, 65535), pp.align_across_planes,
-        )
+        import struct as _struct
+
+        try:
+            blob = container_io.pack_v1(
+                config.codec, s, list(meta.eff_lengths),
+                plan.indices, bitmaps_blob, stego_blob, w, h,
+                pp.base_start_offset, pp.align_across_planes,
+            )
+        except _struct.error as exc:
+            raise ValueError(
+                "payload/geometry exceeds the v1 container's 16-bit field "
+                "limits (reference defect B5); use container_version=2"
+            ) from exc
     else:
         blob = container_io.pack(meta, bitmaps_blob, stego_blob)
 
@@ -278,8 +295,18 @@ def _plane_plan_from_meta(meta: container_io.ContainerMeta, n: int, kernel_bits:
         # distributed_sizes[dest_plane_idx] in segment order, codec.py:269-272)
         bit_idx += meta.sizes[plane]
     for plane in range(meta.s):
-        starts[plane] = meta.plane_starts[plane]
         lengths[plane] = meta.eff_lengths[plane]
+    if meta.version == 1:
+        # v1 stores only the base start_offset + align flag; replay the
+        # hybrid strategy's sequential-advance walk (src/codec.py:482-485)
+        offset = meta.start_offset % n if n else 0
+        for plane in meta.indices:
+            starts[plane] = offset
+            if not meta.align_across_planes:
+                offset = (offset + min(int(lengths[plane]), n)) % n
+    else:
+        for plane in range(meta.s):
+            starts[plane] = meta.plane_starts[plane]
     return starts, lengths, offsets
 
 

@@ -106,8 +106,13 @@ def test_model_roundtrip(strategy, torax_image):
 
 
 def test_model_capacity(pe_image):
+    from codec_tcc_tpu.ops.segments import usable_capacity_bits
+
     cap = HybridEmbedder(beta=0.4).capacity_bits(pe_image, bits_stored=12)
-    assert cap == 4 * pe_image.size  # s=4 at beta 0.4 (BASELINE.md)
+    # the *usable* capacity at s=4 (BASELINE.md's s*H*W rule over-promises:
+    # the quadratic distribution clamps plane 0 first)
+    assert cap == usable_capacity_bits(4, pe_image.size)
+    assert 0 < cap < 4 * pe_image.size
     pee_cap = PeeEmbedder().capacity_bits(pe_image, bits_stored=12)
     assert 0 < pee_cap < 2 * pe_image.size
 

@@ -70,7 +70,9 @@ def test_v1_container_from_oracle_decodes(torax_image, rng):
         "png", s, eff, list(res.plan.indices),
         zlib.compress(np.stack(res.bitmaps).tobytes()),
         codecs.get("png").encode(stego),
-        torax_image.shape[1], torax_image.shape[0], 0, False,
+        torax_image.shape[1], torax_image.shape[0], 0, True,
+        # align=True: multi_plane embeds every plane from raster 0 (v1 decode
+        # replays the hybrid walk, advancing starts when align is False)
     )
     dec = decode_container(blob)
     np.testing.assert_array_equal(dec.payload_bits[: payload.size], payload)
