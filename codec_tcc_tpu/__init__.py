@@ -9,7 +9,9 @@ and original-image restoration, fused on-device quality metrics, and
 data-parallel batch/volume pipelines over a device mesh.
 """
 
+from .analyze import QualityAnalyzer
 from .config import EncodeConfig
+from .models import get_embedder
 from .pipeline import (
     DecodeResult,
     EncodeResult,
@@ -26,10 +28,12 @@ __all__ = [
     "EncodeConfig",
     "EncodeResult",
     "DecodeResult",
+    "QualityAnalyzer",
     "encode_array",
     "encode_dicom",
     "decode_container",
     "decode_file",
     "analyze_pair",
+    "get_embedder",
     "__version__",
 ]

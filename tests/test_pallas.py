@@ -141,3 +141,38 @@ def test_pick_tile():
     assert pe.pick_tile(512 * 512) == 65536
     assert pe.pick_tile(64 * 128) == 8192
     assert pe.pick_tile(100) == 0  # no valid tile -> XLA fallback
+
+
+def test_pallas_uint8_images(rng):
+    """uint8 carriers (torax-like) through the padded Pallas cycle."""
+    nbits = 4
+    b, h, w = 2, 32, 128
+    n = h * w
+    imgs = rng.integers(0, 256, (b, h, w)).astype(np.uint8)
+    starts = np.zeros((b, nbits), np.int32)
+    lens = np.zeros((b, nbits), np.int32)
+    offs = np.zeros((b, nbits), np.int32)
+    msgs = np.zeros((b, 1 << 14), np.uint8)
+    svals = np.zeros(b, np.int32)
+    for i in range(b):
+        s = 3
+        svals[i] = s
+        plan = segment_ops.distribute_segments(s, 2000)
+        pp = segment_ops.raster_plane_plan(plan, n, nbits, 777 * (i + 1), False)
+        starts[i], lens[i], offs[i] = pp.starts, pp.lengths, pp.offsets
+        bits = rng.integers(0, 2, 2000).astype(np.uint8)
+        m = embed_ops.pad_message(bits, n, int(pp.offsets.max(initial=0)))
+        msgs[i, : m.size] = m
+    st_ref, al_ref = _xla_reference(imgs, msgs, starts, lens, offs, svals, nbits)
+    msg2d, l2 = pe.shift_messages_2d(msgs, n)
+    tile = pe.pick_tile(n)
+    padded = pe.embed_batch_padded(
+        jnp.asarray(imgs).reshape(b, n // 128, 128), jnp.asarray(msg2d),
+        jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(offs),
+        nbits, tile, l2,
+    )
+    st = np.asarray(pe.unpad_stego(padded, b, n)).reshape(b, h, w)
+    np.testing.assert_array_equal(st, st_ref)
+    al = np.asarray(pe.extract_aligned_batch_padded(
+        padded, jnp.asarray(starts), jnp.asarray(lens), nbits, n, tile))
+    np.testing.assert_array_equal(al, al_ref)
