@@ -55,7 +55,7 @@ def main(backend: str = "auto") -> None:
     lengths_d = jax.device_put(jnp.asarray(plan.lengths))
     offsets_d = jax.device_put(jnp.asarray(plan.offsets))
 
-    def build_cycle(use_pallas):
+    def build_pallas():
         # fused Pallas kernels over the relayout-free padded flat layout
         msg2d, l2 = pe.shift_messages_2d(plan.msgs, n)
         imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
@@ -94,7 +94,7 @@ def main(backend: str = "auto") -> None:
 
     if use_pallas:
         try:
-            cycle, args = build_cycle(True)
+            cycle, args = build_pallas()
             stego, chk = cycle(*args)
             jax.block_until_ready((stego, chk))
         except Exception as exc:

@@ -13,7 +13,6 @@ configurable entry point (SURVEY §5 config plan):
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 from typing import List, Optional
 

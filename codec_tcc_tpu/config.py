@@ -10,7 +10,7 @@ block sizes, alignment, codec, seed.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 from .utils.rng import DEFAULT_SEGMENT_SHUFFLE_SEED

@@ -15,9 +15,8 @@ per T *is* the cumulative histogram of |e|), starting from the configured
 
 from __future__ import annotations
 
-import struct
 import zlib
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import numpy as np
 

@@ -37,12 +37,25 @@ def block_bit_counts(image: jax.Array, plane: int, block: int) -> jax.Array:
     tile multiples; zeros contribute nothing to popcounts, and edge-tile sizes
     are recovered on host from the true dims.
     """
+    return block_bit_counts_all(image, plane + 1, block)[plane]
+
+
+@partial(jax.jit, static_argnames=("nplanes", "block"))
+def block_bit_counts_all(image: jax.Array, nplanes: int, block: int) -> jax.Array:
+    """Tile popcounts for planes ``0..nplanes-1`` in one fused pass:
+    ``(H, W) -> (nplanes, ceil(H/b), ceil(W/b)) int32`` (one compile and one
+    device round-trip instead of one per plane)."""
     h, w = image.shape
-    bits = ((image >> plane) & 1).astype(jnp.int32)
+    shifts = jnp.arange(nplanes, dtype=jnp.int32).reshape(nplanes, 1, 1)
+    bits = ((image.astype(jnp.int32)[None] >> shifts) & 1)
     nh = -(-h // block)
     nw = -(-w // block)
-    padded = jnp.zeros((nh * block, nw * block), jnp.int32).at[:h, :w].set(bits)
-    return padded.reshape(nh, block, nw, block).sum(axis=(1, 3))
+    padded = (
+        jnp.zeros((nplanes, nh * block, nw * block), jnp.int32)
+        .at[:, :h, :w]
+        .set(bits)
+    )
+    return padded.reshape(nplanes, nh, block, nw, block).sum(axis=(2, 4))
 
 
 def _tile_dims(h: int, w: int, block: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -16,7 +16,7 @@ what the fused device kernels consume (no ragged lists, SURVEY §7 hard part
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -119,10 +119,9 @@ def plan_batch(
 
         sb = config.search_block_size
         counts = np.asarray(
-            jax.jit(
-                jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, sb)),
-                static_argnames=(),
-            )(jnp.asarray(images))
+            jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, sb))(
+                jnp.asarray(images)
+            )
         )
         base_offsets = [
             block_ops.best_offset_from_counts(counts[i], h, w, sb)

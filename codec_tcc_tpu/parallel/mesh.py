@@ -16,7 +16,7 @@ metric reductions) — there is no NCCL/MPI layer to port.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

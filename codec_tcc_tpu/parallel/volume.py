@@ -30,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import EncodeConfig
 from ..io import container as container_io
 from ..ops import decompose as decompose_ops
-from ..ops import histogram as hist_ops
 from ..ops import metrics as metric_ops
 from . import batch as batch_par
 from ..utils import bits as bit_utils

@@ -13,9 +13,8 @@ XOR location maps make the *original* image recoverable, not just the payload.
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Union
 
 import jax
 import numpy as np
@@ -93,9 +92,9 @@ def _block_bases(
 ) -> np.ndarray:
     ntiles = (-(-h // block)) * (-(-w // block))
     base = np.zeros((nbits, ntiles), dtype=np.int32)
+    counts = np.asarray(block_ops.block_bit_counts_all(image, s, block))
     for p in range(s):
-        counts = np.asarray(block_ops.block_bit_counts(image, p, block))
-        b, _ = block_ops.block_base_offsets(counts, h, w, block)
+        b, _ = block_ops.block_base_offsets(counts[p], h, w, block)
         base[p] = b
     return base
 
@@ -334,7 +333,9 @@ def decode_container(
     kernel_bits = _plane_bucket(meta.s, stego.dtype.itemsize * 8)
 
     starts, lengths, offsets = _plane_plan_from_meta(meta, n, kernel_bits)
-    out_len = _next_pow2(max(int(meta.payload_bits), 1))
+    # host-side assembly needs no shape bucketing; the jitted block-adaptive
+    # extractor (static out_len) buckets below
+    out_len = max(int(meta.payload_bits), 1)
 
     if meta.strategy == "block_adaptive":
         maps = cont.bitmaps()
@@ -352,7 +353,7 @@ def decode_container(
         bits = np.asarray(
             embed_ops.extract_block_adaptive(
                 stego, bases, lengths, offsets, np.int32(meta.s),
-                kernel_bits, block, out_len,
+                kernel_bits, block, _next_pow2(out_len),
             )
         )[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
