@@ -188,7 +188,11 @@ def embed_batch_padded(
     b, nr, lane = images3.shape
     n = nr * lane
     tr = tile // _LANE
-    out_rows = (n + b * n + 2 * _ALIGN_E + _PAD_R * _LANE) // _LANE
+    # tail slack: +N because the extract kernel's no-wrap (branch A) DMA
+    # window for the LAST image extends up to N elements past its region
+    # when start > 0 (those lanes are select-masked, but the DMA itself
+    # must stay in bounds — an OOB DMA hard-aborts the TPU)
+    out_rows = (n + b * n + n + 2 * _ALIGN_E + _PAD_R * _LANE) // _LANE
     blocks_per_img = nr // tr
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -466,7 +470,9 @@ def pad_stego_flat(stego: np.ndarray) -> np.ndarray:
     b = stego.shape[0]
     flat = np.ascontiguousarray(stego).reshape(b, -1)
     n = flat.shape[1]
-    total = n + b * n + 2 * _ALIGN_E + _PAD_R * _LANE
+    # +N tail slack: see embed_batch_padded (branch-A DMA windows of the
+    # last image overrun by up to N for nonzero starts)
+    total = n + b * n + n + 2 * _ALIGN_E + _PAD_R * _LANE
     total = (total + _LANE - 1) // _LANE * _LANE
     out = np.zeros(total, dtype=stego.dtype)
     out[n : n + b * n] = flat.reshape(-1)

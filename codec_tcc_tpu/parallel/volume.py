@@ -178,8 +178,7 @@ def pack_volume(
         jax.vmap(embed_ops.xor_maps)(jnp.asarray(volume), jnp.asarray(result.stego))
     )
 
-    blobs = []
-    for i in range(d):
+    def pack_slice(i: int) -> bytes:
         plan_i = distribute_segments(s, int(result.slice_bits[i]), config.seed)
         meta = container_io.ContainerMeta(
             version=2,
@@ -201,12 +200,18 @@ def pack_volume(
             eff_lengths=tuple(int(v) for v in result.plan.lengths[i][:s]),
             plane_starts=tuple(int(v) for v in result.plan.starts[i][:s]),
         )
-        blob = container_io.pack(
+        return container_io.pack(
             meta,
             container_io.compress_bitmaps(maps[i][:s]),
             codec.encode(result.stego[i]),
         )
-        blobs.append(blob)
+
+    # per-slice compression in threads: zlib and the ctypes JPEG-LS codec
+    # both release the GIL, so slices compress in parallel on host cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, d)) as pool:
+        blobs = list(pool.map(pack_slice, range(d)))
 
     header = VOLUME_MAGIC + struct.pack(">IIQI", 1, d, total_bits, s)
     header += struct.pack(f">{d}Q", *[len(b) for b in blobs])
