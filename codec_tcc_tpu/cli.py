@@ -175,7 +175,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
 def cmd_decode(args: argparse.Namespace) -> int:
     from . import pipeline
 
-    result = pipeline.decode_file(args.input)
+    result = pipeline.decode_file(args.input, restore_original=not args.no_restore)
     prefix = args.output_prefix
 
     payload = result.payload

@@ -377,9 +377,9 @@ def decode_container(
     return DecodeResult(bits, stego, meta, original)
 
 
-def decode_file(path: str) -> DecodeResult:
+def decode_file(path: str, *, restore_original: bool = True) -> DecodeResult:
     with open(path, "rb") as f:
-        return decode_container(f.read())
+        return decode_container(f.read(), restore_original=restore_original)
 
 
 # ---------------------------------------------------------------------------
