@@ -189,3 +189,35 @@ def test_cli_analyze_batch(tmp_path, capsys, torax_image, rng):
 
     rep = json.loads(report.read_text())
     assert rep["summary"]["count"] == 2
+
+
+def test_cli_payload_file_and_decode_report(tmp_path, rng):
+    from codec_tcc_tpu.cli import main
+
+    payload = rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()
+    pf = tmp_path / "payload.bin"
+    pf.write_bytes(payload)
+    out = tmp_path / "o.stgc"
+    rc = main(["encode", "/root/reference/images/torax.dcm", str(out),
+               "--payload-file", str(pf)])
+    assert rc == 0
+
+    prefix = str(tmp_path / "d")
+    report = tmp_path / "dec.json"
+    rc = main(["decode", str(out), "--output-prefix", prefix,
+               "--no-restore", "--report", str(report)])
+    assert rc == 0
+    # binary payload lands in _payload.bin (not valid UTF-8 text)
+    import os
+
+    recovered = None
+    for cand in (prefix + "_payload.bin", prefix + "_message.txt"):
+        if os.path.exists(cand):
+            recovered = open(cand, "rb").read()
+    assert recovered[: len(payload)] == payload
+    # --no-restore skips the original image output
+    assert not os.path.exists(prefix + "_original.dcm")
+    import json
+
+    rep = json.loads(report.read_text())
+    assert rep["restored_original"] is False
