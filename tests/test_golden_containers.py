@@ -1,0 +1,38 @@
+"""Format-stability goldens: committed STGC-v2 containers from round 1 must
+keep decoding bit-exactly in every future round (catching accidental format
+or plan-derivation changes that fresh encode/decode round-trips would mask)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from codec_tcc_tpu import decode_container
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _payload() -> bytes:
+    with open(os.path.join(DATA, "golden_payload.bin"), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid", "block_adaptive"])
+def test_golden_lsb_containers_decode(strategy):
+    img = np.load(os.path.join(DATA, "golden_image.npy"))
+    with open(os.path.join(DATA, f"golden_{strategy}.stgc"), "rb") as f:
+        blob = f.read()
+    dec = decode_container(blob)
+    assert dec.meta.strategy == strategy
+    assert dec.payload == _payload()
+    np.testing.assert_array_equal(dec.original, img)
+
+
+def test_golden_pee_container_decodes():
+    img = np.load(os.path.join(DATA, "golden_pee_image.npy"))
+    with open(os.path.join(DATA, "golden_pee.stgc"), "rb") as f:
+        blob = f.read()
+    dec = decode_container(blob)
+    assert dec.meta.strategy == "pee"
+    assert dec.payload == _payload()
+    np.testing.assert_array_equal(dec.original, img)

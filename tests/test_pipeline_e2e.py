@@ -221,3 +221,16 @@ def test_cli_payload_file_and_decode_report(tmp_path, rng):
 
     rep = json.loads(report.read_text())
     assert rep["restored_original"] is False
+
+
+@pytest.mark.parametrize("shape", [(33, 47), (1, 257), (100, 100), (63, 129)])
+def test_odd_shapes_end_to_end(shape, rng):
+    """Non-tileable geometries exercise the XLA fallback paths end to end."""
+    img = rng.integers(0, 4096, size=shape).astype(np.uint16)
+    payload = rng.integers(0, 2, size=min(64, img.size // 4) or 1).astype(np.uint8)
+    for strategy in ("multi_plane", "hybrid"):
+        res = encode_array(img, payload,
+                           EncodeConfig(strategy=strategy, compute_metrics=False))
+        dec = decode_container(res.container)
+        np.testing.assert_array_equal(dec.payload_bits[: payload.size], payload)
+        np.testing.assert_array_equal(dec.original, img)
