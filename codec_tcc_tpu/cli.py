@@ -71,6 +71,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ana = sub.add_parser("analyze", help="quality metrics between two images")
     ana.add_argument("original")
     ana.add_argument("stego")
+    ana.add_argument("--windowed-ssim", action="store_true",
+                     help="also compute standard sliding-window SSIM")
     ana.add_argument("--report", help="write a JSON run report here")
 
     anb = sub.add_parser(
@@ -216,6 +218,13 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     orig = _load_any(args.original)
     stego = _load_any(args.stego)
     rep = pipeline.analyze_pair(orig, stego)
+    if args.windowed_ssim:
+        from .ops.metrics import ssim_windowed
+
+        rep["ssim_windowed"] = float(
+            ssim_windowed(orig, stego, max(float(orig.max()), float(stego.max())))
+        )
+        print(f"SSIM (windowed)      : {rep['ssim_windowed']:.6f}")
     print(f"MSE                  : {rep['mse']:.6f}")
     print(f"PSNR                 : {rep['psnr']:.2f} dB")
     print(f"SSIM (global)        : {rep['ssim']:.6f}")

@@ -154,6 +154,15 @@ def _from_pil(img) -> np.ndarray:
 
 
 class PngCodec(Codec):
+    """Deflate-family codec id 1.
+
+    Encoding produces a real PNG. Decoding ALSO accepts the reference's
+    actual 'png' payload — which despite the name is a whole **deflated
+    DICOM file** (``DeflatedExplicitVRLittleEndian`` bytes,
+    src/codec.py:151-162) — so v1 containers written by the reference
+    decode here without conversion.
+    """
+
     name = "png"
     codec_id = 1
 
@@ -172,6 +181,10 @@ class PngCodec(Codec):
 
         from PIL import Image
 
+        if len(data) > 132 and data[128:132] == b"DICM":
+            from ..dicom import read_bytes
+
+            return read_bytes(data).pixel_array
         return _from_pil(Image.open(io.BytesIO(data)))
 
 

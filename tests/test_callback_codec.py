@@ -87,3 +87,31 @@ def test_v1_container_from_oracle_decodes(torax_image, rng):
     dec = decode_container(blob)
     np.testing.assert_array_equal(dec.payload_bits[: payload.size], payload)
     np.testing.assert_array_equal(dec.original, torax_image)
+
+
+def test_v1_reference_png_payload_is_deflated_dicom(torax_image, rng):
+    """Full reference-file emulation: the reference's 'png' codec stores a
+    whole deflated DICOM file as the stego payload (src/codec.py:151-162).
+    A v1 container built that way must decode here without conversion."""
+    import zlib
+
+    from codec_tcc_tpu import decode_container
+    from codec_tcc_tpu.io import container as container_io, dicom
+
+    s = 3
+    payload = rng.integers(0, 2, size=900).astype(np.uint8)
+    local = oracle.split_planes(torax_image, 8)[:s]
+    res = oracle.embed_multi_plane(local, payload)
+    stego = oracle.merge_planes(oracle.split_planes(torax_image, 8)[s:], res.stego_planes)
+
+    # reference-style payload: deflated-DICOM whole-file bytes
+    stego_blob = dicom.to_bytes(dicom.build_secondary_capture(stego), deflated=True)
+    eff = [res.plan.eff_lengths[list(res.plan.indices).index(p)] for p in range(s)]
+    blob = container_io.pack_v1(
+        "png", s, eff, list(res.plan.indices),
+        zlib.compress(np.stack(res.bitmaps).tobytes()), stego_blob,
+        torax_image.shape[1], torax_image.shape[0], 0, True,
+    )
+    dec = decode_container(blob)
+    np.testing.assert_array_equal(dec.payload_bits[: payload.size], payload)
+    np.testing.assert_array_equal(dec.original, torax_image)
