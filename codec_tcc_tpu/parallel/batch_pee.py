@@ -1,0 +1,152 @@
+"""Batched (data-parallel) PEE embedding.
+
+The single-image PEE path (:mod:`codec_tcc_tpu.models.pee`) escalates its
+threshold per image; here a batch shares one threshold T (escalated until
+every image's payload fits, pass-1 capacity measured on the pass-0 results)
+so both passes run as single vmapped kernels over the whole batch — the PEE
+analog of the LSB batch pipeline, shardable over the mesh ``dp`` axis.
+
+Each image still gets its own self-contained STGC-v2 container (strategy 4),
+so decoding uses the standard :func:`codec_tcc_tpu.decode_container` per item.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EncodeConfig
+from ..io import container as container_io
+from ..models.pee import _threshold_schedule
+from ..ops import pee as pee_ops
+from ..utils import bits as bit_utils
+from ..utils.logging import get_logger
+
+logger = get_logger("parallel.batch_pee")
+
+__all__ = ["BatchPeeResult", "encode_pee_batch"]
+
+
+@dataclass
+class BatchPeeResult:
+    stego: np.ndarray               # (B, H, W)
+    containers: List[bytes]         # one STGC-v2 per image
+    threshold: int                  # shared T
+    used_bits: np.ndarray           # (B,) embedded bits
+
+
+def _as_bits(p) -> np.ndarray:
+    if isinstance(p, str):
+        return bit_utils.message_to_bits(p)
+    if isinstance(p, (bytes, bytearray)):
+        return bit_utils.bytes_to_bits(bytes(p))
+    return np.asarray(p, dtype=np.uint8)
+
+
+def encode_pee_batch(
+    images: np.ndarray,
+    payloads: Sequence[Union[bytes, str, np.ndarray]],
+    config: EncodeConfig = EncodeConfig(),
+    mesh: Optional[Mesh] = None,
+    *,
+    bits_stored: Optional[int] = None,
+) -> BatchPeeResult:
+    b, h, w = images.shape
+    dtype_bits = np.dtype(images.dtype).itemsize * 8
+    eff_bits = bits_stored if (config.use_bits_stored and bits_stored) else dtype_bits
+    max_val = (1 << eff_bits) - 1
+    if int(images.max()) > max_val:
+        max_val = (1 << dtype_bits) - 1
+
+    bit_arrays = [_as_bits(p) for p in payloads]
+    want = np.array([x.size for x in bit_arrays], dtype=np.int64)
+    lpad = 1 << max(3, (int(want.max(initial=1)) - 1).bit_length())
+    msgs = np.zeros((b, lpad), dtype=np.uint8)
+    for i, bits in enumerate(bit_arrays):
+        msgs[i, : bits.size] = bits
+
+    imgs_d = jnp.asarray(images)
+    msgs_d = jnp.asarray(msgs)
+    if mesh is not None:
+        imgs_d = jax.device_put(imgs_d, NamedSharding(mesh, P("dp", None, None)))
+        msgs_d = jax.device_put(msgs_d, NamedSharding(mesh, P("dp", None)))
+
+    want_d = jnp.asarray(want.astype(np.int32))
+    zeros = jnp.zeros(b, jnp.int32)
+
+    chosen = None
+    for t in _threshold_schedule(config.pee_threshold):
+        cap0 = jax.vmap(lambda im: pee_ops.capacity(im, 0, t, max_val))(imgs_d)
+        want0 = jnp.minimum(want_d, cap0)
+        stego0, over0, used0, nproc0 = jax.vmap(
+            lambda im, ms, w0: pee_ops.embed_pass(
+                im, ms, jnp.int32(0), w0, 0, t, max_val
+            )
+        )(imgs_d, msgs_d, want0)
+        used0 = np.asarray(used0)
+        want1 = want - used0
+        if (want1 <= 0).all():
+            stego = stego0
+            over1 = jnp.zeros_like(over0)
+            used1 = np.zeros(b, dtype=np.int64)
+            nproc1 = zeros
+            chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
+                      used1, np.asarray(nproc1))
+            break
+        cap1 = np.asarray(
+            jax.vmap(lambda im: pee_ops.capacity(im, 1, t, max_val))(stego0)
+        )
+        if (cap1 >= want1).all():
+            stego, over1, used1, nproc1 = jax.vmap(
+                lambda im, ms, b0, w1: pee_ops.embed_pass(
+                    im, ms, b0, w1, 1, t, max_val
+                )
+            )(stego0, msgs_d, jnp.asarray(used0.astype(np.int32)),
+              jnp.asarray(want1.astype(np.int32)))
+            chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
+                      np.asarray(used1), np.asarray(nproc1))
+            break
+    if chosen is None:
+        raise ValueError(
+            f"some payloads exceed the batch PEE capacity even at T=128"
+        )
+
+    t, stego_d, over0_d, over1_d, used0, nproc0, used1, nproc1 = chosen
+    stego = np.asarray(stego_d)
+    overflow = np.asarray(over0_d) | np.asarray(over1_d)
+
+    from ..io.codecs import get as get_codec
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    codec = get_codec(config.codec)
+
+    def pack_one(i: int) -> bytes:
+        passes = 2 if used1[i] > 0 else 1
+        ext = container_io.pack_pee_ext(
+            t, passes, int(nproc0[i]), int(nproc1[i]),
+            int(used0[i]), int(used1[i]),
+        )
+        meta = container_io.ContainerMeta(
+            version=2, codec=config.codec, strategy="pee", s=0,
+            nbits=eff_bits, bits_stored=eff_bits, dtype=images.dtype,
+            width=w, height=h, start_offset=0, seed=config.seed,
+            payload_bits=int(want[i]), align_across_planes=False,
+            has_bitmaps=True, sizes=(), indices=(), eff_lengths=(),
+            plane_starts=(), ext=ext,
+        )
+        map_blob = zlib.compress(np.packbits(overflow[i]).tobytes())
+        return container_io.pack(meta, map_blob, codec.encode(stego[i]))
+
+    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        containers = list(pool.map(pack_one, range(b)))
+
+    logger.info("pee batch: B=%d T=%d total_bits=%d", b, t, int(want.sum()))
+    return BatchPeeResult(
+        stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
+    )

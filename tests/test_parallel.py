@@ -148,3 +148,23 @@ def test_volume_container_roundtrip(rng):
 def test_volume_container_bad_magic():
     with pytest.raises(ValueError, match="STGV"):
         volume_par.unpack_volume(b"XXXX" + b"\0" * 64)
+
+
+def test_batch_pee_roundtrip(mesh8, rng):
+    """Batched PEE with a shared threshold: every image's container decodes
+    to its exact payload and original, sharded over the mesh."""
+    from codec_tcc_tpu import decode_container
+    from codec_tcc_tpu.parallel.batch_pee import encode_pee_batch
+    from codec_tcc_tpu.io import dicom
+
+    base, _ = dicom.load_image("/root/reference/images/torax.dcm")
+    imgs = np.stack([base[i * 32 : i * 32 + 64, :64] for i in range(8)]).copy()
+    payloads = [rng.integers(0, 2, size=int(k)).astype(np.uint8)
+                for k in rng.integers(16, 300, size=8)]
+    res = encode_pee_batch(imgs, payloads, EncodeConfig(codec="deflate"),
+                           mesh8, bits_stored=8)
+    assert len(res.containers) == 8
+    for i in range(8):
+        dec = decode_container(res.containers[i])
+        np.testing.assert_array_equal(dec.payload_bits, payloads[i])
+        np.testing.assert_array_equal(dec.original, imgs[i])
