@@ -322,8 +322,9 @@ def decode_container(
 
         return decode_pee_container(cont, restore_original=restore_original)
 
-    codec = get_codec(meta.codec)
-    stego = codec.decode(cont.stego_blob)
+    with stage("transport_decode"):
+        codec = get_codec(meta.codec)
+        stego = codec.decode(cont.stego_blob)
     if stego.dtype != meta.dtype:
         stego = stego.astype(meta.dtype)
     h, w = meta.height, meta.width
@@ -358,12 +359,13 @@ def decode_container(
         )[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
-    aligned = embed_ops.extract_aligned(
-        stego, starts, lengths, np.int32(meta.s), kernel_bits
-    )
-    bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
-        : meta.payload_bits
-    ]
+    with stage("extract"):
+        aligned = embed_ops.extract_aligned(
+            stego, starts, lengths, np.int32(meta.s), kernel_bits
+        )
+        bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
+            : meta.payload_bits
+        ]
 
     original = None
     if restore_original and meta.has_bitmaps:
