@@ -93,6 +93,11 @@ def encode(image: np.ndarray, bits: Optional[int] = None) -> bytes:
         raise ValueError("JPEG-LS codec expects uint8 or uint16")
     lib = load_library()
     h, w = image.shape
+    if h > 65535 or w > 65535:
+        raise ValueError(
+            f"JPEG-LS (ITU-T T.87) caps dimensions at 65535 without LSE "
+            f"extensions; got {h}x{w}"
+        )
     src = np.ascontiguousarray(image, dtype=np.uint16)
     cap = src.size * 4 + 1024  # generous worst case (expansion is bounded)
     dst = np.empty(cap, dtype=np.uint8)

@@ -15,6 +15,7 @@ per T *is* the cumulative histogram of |e|), starting from the configured
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Optional
 
@@ -163,6 +164,12 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
     from ..io.codecs import get as get_codec
 
     meta = cont.meta
+    if len(meta.ext) < struct.calcsize(container_io._PEE_EXT_FMT):
+        raise ValueError(
+            "Invalid file: truncated PEE extension block "
+            f"({len(meta.ext)} bytes, need "
+            f"{struct.calcsize(container_io._PEE_EXT_FMT)})"
+        )
     t, passes, nproc0, nproc1, bits0, bits1 = _parse_ext(meta.ext)
     stego = get_codec(meta.codec).decode(cont.stego_blob)
     if stego.dtype != meta.dtype:
@@ -172,9 +179,17 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
     if int(stego.max()) > max_val:
         max_val = (1 << (stego.dtype.itemsize * 8)) - 1
 
-    raw = zlib.decompress(cont.bitmaps_blob)
-    overflow = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[: h * w]
-    overflow = overflow.reshape(h, w).astype(bool)
+    try:
+        raw = zlib.decompress(cont.bitmaps_blob)
+    except zlib.error as exc:
+        raise ValueError(f"Invalid file: corrupt PEE overflow map blob ({exc})") from exc
+    overflow = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+    if overflow.size < h * w:
+        raise ValueError(
+            f"Invalid file: PEE overflow map holds {overflow.size} bits, "
+            f"image needs {h * w}"
+        )
+    overflow = overflow[: h * w].reshape(h, w).astype(bool)
 
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 

@@ -517,6 +517,10 @@ extern "C" {
 int jls_encode(const uint16_t* src, int h, int w, int bits, uint8_t* dst,
                size_t dst_cap, size_t* out_size) {
   if (h <= 0 || w <= 0 || bits < 2 || bits > 16) return 1;
+  // T.87 SOF55 carries dimensions as 16-bit fields and this encoder emits no
+  // LSE oversize extension; larger images would silently truncate (put_u16)
+  // into a stream that decodes to the wrong geometry.
+  if (h > 65535 || w > 65535) return 1;
   Params p = make_params(bits);
   std::vector<uint8_t> out;
   out.reserve(static_cast<size_t>(h) * w / 2 + 64);
@@ -588,7 +592,10 @@ int jls_decode(const uint8_t* src, size_t n, uint16_t* dst, size_t dst_cap,
     }
     pos += 2 + len;
   }
-  if (data_start == 0 || data_start >= n) return 1;
+  // Require at least the 2-byte EOI after the entropy segment start: the
+  // BitReader size below subtracts 2, and `data_start == n - 1` would wrap
+  // the unsigned subtraction to SIZE_MAX (out-of-bounds reads in fill()).
+  if (data_start == 0 || data_start + 2 > n) return 1;
 
   Params p = make_params(bits);
   BitReader br(src + data_start, n - data_start - 2);  // exclude EOI

@@ -241,6 +241,16 @@ def encode_array(
     if config.container_version == 1:
         import struct as _struct
 
+        # v1 stores only the clamped effective lengths, but decode replays
+        # message offsets by accumulating the *planned* sizes; when the plan
+        # has a negative bucket (tiny payloads) or per-plane clamping fired,
+        # those disagree and a v1 round-trip would silently misjoin bits.
+        if tuple(plan.sizes) != tuple(meta.eff_lengths):
+            raise ValueError(
+                "this embedding plan cannot round-trip through a v1 container "
+                f"(planned segment sizes {tuple(plan.sizes)} != embedded "
+                f"lengths {tuple(meta.eff_lengths)}); use container_version=2"
+            )
         try:
             blob = container_io.pack_v1(
                 config.codec, s, list(meta.eff_lengths),
