@@ -129,13 +129,15 @@ class QualityAnalyzer:
         if orig.shape != steg.shape:
             raise ValueError(f"Shape mismatch: {orig.shape} vs {steg.shape}")
 
-        # metric range follows the loaded maxima (the reference's file branch
-        # uses BitsStored-derived maxima; array branch uses data maxima)
-        if max_o != max_s or not isinstance(original, str):
-            metrics = metric_ops.host_pair_report(orig, steg)
-        else:
-            stats = metric_ops.pair_stats(orig, steg)
-            metrics = metric_ops.quality_report(stats, max_o)
+        # single unified metric path (ops.metrics.analyze_pair); the range
+        # policy follows the loaded maxima: file inputs carry BitsStored-
+        # derived ranges (reference file branch, mse.py:18-37), array inputs
+        # fall back to data maxima (range=None)
+        metrics = metric_ops.analyze_pair(
+            orig, steg,
+            max_o if isinstance(original, str) else None,
+            max_s if isinstance(stego, str) else None,
+        )
 
         qv, sv = _verdicts(metrics)
         ssim_w = None

@@ -15,9 +15,11 @@ image; there is no per-plane Python, no gather, no scatter, and the runtime
 cut point ``s`` is a predicate, not a shape. XOR location maps
 (``orig ^ stego``, src/codec.py:309-311) fall out of the same pass for free.
 
-Extraction is the exact mirror: rotate each plane back, mask the window, and
-place the segment with ``dynamic_update_slice`` (segments occupy disjoint
-message ranges, so an OR-accumulate is exact).
+Extraction is the exact mirror: rotate each plane back and mask its window on
+device (:func:`extract_aligned`), then place each segment at its message
+offset with host memcpys (:func:`assemble_message`) — fully-device placement
+would need ``dynamic_update_slice`` accumulation, which lowers to an XLA
+scatter under ``vmap`` (minutes-long TPU compiles; see CLAUDE.md).
 
 The per-plane parameter triples ``(start, length, msg_offset)`` come from the
 host-side :class:`~codec_tcc_tpu.ops.segments.PlanePlan`, which resolves all
@@ -32,7 +34,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["embed", "extract", "xor_maps", "restore_original", "pad_message"]
+__all__ = [
+    "embed",
+    "extract_aligned",
+    "assemble_message",
+    "xor_maps",
+    "restore_original",
+    "pad_message",
+]
 
 
 def _dtype_keep_mask(dtype, plane: int):
@@ -135,33 +144,6 @@ def assemble_message(
     return out
 
 
-@partial(jax.jit, static_argnames=("nbits", "out_len"))
-def extract(
-    stego: jax.Array,
-    plane_start: jax.Array,
-    seg_len: jax.Array,
-    msg_off: jax.Array,
-    s: jax.Array,
-    nbits: int,
-    out_len: int,            # static padded message length (>= total bits)
-) -> jax.Array:
-    """Recover the message bits from a stego image — the corrected extractor
-    (reference defect B1: deterministic positions, message-order join)."""
-    h, w = stego.shape
-    n = h * w
-    flat = stego.reshape(n)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    msg = jnp.zeros(out_len + n, dtype=jnp.uint8)
-    for p in range(nbits):
-        plane = ((flat >> p) & 1).astype(jnp.uint8)
-        aligned = jnp.roll(plane, -plane_start[p])
-        valid = (iota < seg_len[p]) & (p < s)
-        contrib = jnp.where(valid, aligned, 0)
-        window = jax.lax.dynamic_slice(msg, (msg_off[p],), (n,))
-        msg = jax.lax.dynamic_update_slice(msg, window | contrib, (msg_off[p],))
-    return msg[:out_len]
-
-
 @partial(jax.jit, static_argnames=("nbits_planes",))
 def xor_maps(original: jax.Array, stego: jax.Array, nbits_planes: int = None) -> jax.Array:  # type: ignore[assignment]
     """Per-plane XOR location maps ``(nbits, H, W) uint8`` of orig vs stego —
@@ -234,32 +216,36 @@ def embed_block_adaptive(
     return acc
 
 
-@partial(jax.jit, static_argnames=("nbits", "block", "out_len"))
-def extract_block_adaptive(
+@partial(jax.jit, static_argnames=("nbits", "block"))
+def extract_block_aligned(
     stego: jax.Array,
     base_offsets: jax.Array,
     seg_len: jax.Array,
-    msg_off: jax.Array,
     s: jax.Array,
     nbits: int,
     block: int,
-    out_len: int,
 ) -> jax.Array:
-    """Inverse of :func:`embed_block_adaptive`. ``base_offsets`` must be
+    """Inverse front half of :func:`embed_block_adaptive`: row p holds plane
+    p's bits reordered into fill-rank (message) order and masked to its
+    segment, ready for :func:`assemble_message`. ``base_offsets`` must be
     recomputed from the *restored original* planes (stego ^ XOR map) so the
-    ranking matches the encoder's. Per-plane ranks are unique and segments
-    occupy disjoint message ranges, so scatter-or is exact."""
+    ranking matches the encoder's.
+
+    The fill rank is a permutation of ``0..N-1`` per plane, so the reorder is
+    one ``argsort`` (sort-based, scatter-free — a direct ``msg.at[rank].set``
+    is the scatter family that takes minutes to compile on this TPU)."""
     h, w = stego.shape
-    msg = jnp.zeros(out_len, dtype=jnp.uint8)
+    n = h * w
+    flat = stego.reshape(n)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rows = []
     for p in range(nbits):
-        rank = _block_fill_rank(h, w, block, base_offsets[p])
-        active = (rank < seg_len[p]) & (p < s)
-        plane = ((stego >> p) & 1).astype(jnp.uint8)
-        midx = jnp.where(active, msg_off[p] + rank, out_len)  # park inactives
-        msg = msg.at[midx.reshape(-1)].max(
-            jnp.where(active, plane, 0).reshape(-1), mode="drop"
-        )
-    return msg
+        rank = _block_fill_rank(h, w, block, base_offsets[p]).reshape(n)
+        plane = ((flat >> p) & 1).astype(jnp.uint8)
+        aligned = jnp.take(plane, jnp.argsort(rank))
+        valid = (iota < seg_len[p]) & (p < s)
+        rows.append(jnp.where(valid, aligned, 0))
+    return jnp.stack(rows)
 
 
 def pad_message(msg_bits, n_pixels: int, max_offset: int):

@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pair_stats", "quality_report", "psnr_from_mse", "ssim_windowed"]
+__all__ = [
+    "analyze_pair",
+    "pair_stats",
+    "quality_report",
+    "psnr_from_mse",
+    "ssim_windowed",
+]
 
 
 @jax.jit
@@ -59,20 +65,32 @@ def psnr_from_mse(mse: float, max_value: float) -> float:
     return float(10.0 * np.log10((max_value**2) / mse))
 
 
-def quality_report(stats: Dict[str, jax.Array], max_value: float | None = None) -> Dict[str, float]:
+def quality_report(
+    stats: Dict[str, jax.Array],
+    max_value: float | None = None,
+    *,
+    range_a: float | None = None,
+    range_b: float | None = None,
+) -> Dict[str, float]:
     """Finalize fused sums into the reference's metric set
     (MSE src/mse.py:112-116, PSNR :126-133, global SSIM :163-179, diff stats
-    :202-209). ``max_value`` defaults to max(max_a, max_b) — the array-input
-    behavior of ``calcular_mse``/``calcular_psnr``."""
+    :202-209).
+
+    ``range_a``/``range_b`` are the per-image value ranges that drive the
+    normalization decision (``calcular_mse``'s ``max1 != max2`` test,
+    src/mse.py:100); they default to the data maxima (the array-input
+    behavior). ``max_value`` is the final PSNR/SSIM range and defaults to
+    ``max(range_a, range_b)``."""
     s = {k: float(v) for k, v in stats.items()}
     n = s["n"]
     # range normalization branch of calcular_mse (src/mse.py:100-110): when
-    # the two arrays have different maxima, both are rescaled to the larger
-    # range before differencing. The normalized MSE comes from the fused
-    # moments: ||a*alpha - b*beta||^2 = a2*alpha^2 + b2*beta^2 - 2ab*alpha*beta
+    # the two images' ranges differ, both are rescaled to the larger range
+    # before differencing. The normalized MSE comes from the fused moments:
+    # ||a*alpha - b*beta||^2 = a2*alpha^2 + b2*beta^2 - 2ab*alpha*beta
     # (mild float32 cancellation in this branch; the common equal-range case
     # uses the directly-accumulated squared diff, which is cancellation-free).
-    max_a, max_b = s["max_a"], s["max_b"]
+    max_a = s["max_a"] if range_a is None else float(range_a)
+    max_b = s["max_b"] if range_b is None else float(range_b)
     if max_value is None:
         max_value = max(max_a, max_b) if (max_a or max_b) else 255.0
     if max_a != max_b and max_a > 0 and max_b > 0:
@@ -110,16 +128,25 @@ def quality_report(stats: Dict[str, jax.Array], max_value: float | None = None) 
     }
 
 
-def host_pair_report(a, b, max_value: float | None = None) -> Dict[str, float]:
+def host_pair_report(
+    a,
+    b,
+    max_value: float | None = None,
+    *,
+    range_a: float | None = None,
+    range_b: float | None = None,
+) -> Dict[str, float]:
     """Float64 host computation of the full metric set — used for the
-    reference's range-normalization branch (different maxima), where float32
+    reference's range-normalization branch (different ranges), where float32
     fused moments lose the signal to cancellation (sum(a^2) ~ 5e9 vs a
     normalized-MSE numerator ~ 1e5). Single images only; the fused device path
     (:func:`pair_stats`) is for batch/mesh throughput and the equal-range
-    case, which is cancellation-free."""
+    case, which is cancellation-free. ``range_a``/``range_b`` default to the
+    data maxima (see :func:`quality_report` for the policy)."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
-    max_a, max_b = float(a.max()), float(b.max())
+    max_a = float(a.max()) if range_a is None else float(range_a)
+    max_b = float(b.max()) if range_b is None else float(range_b)
     if max_value is None:
         max_value = max(max_a, max_b) if (max_a or max_b) else 255.0
     raw_absdiff = np.abs(a - b)
@@ -149,6 +176,40 @@ def host_pair_report(a, b, max_value: float | None = None) -> Dict[str, float]:
         "changed_percent": 100.0 * changed / a.size,
         "max_value": max_value,
     }
+
+
+def analyze_pair(
+    original,
+    stego,
+    range_a: float | None = None,
+    range_b: float | None = None,
+) -> Dict[str, float]:
+    """THE metric entry point for an image pair (the reference's
+    ``analisar_par_imagens`` core, src/mse.py:181-261) with an explicit range
+    policy. The reference has two branches:
+
+    * **array / data-max policy** (``calcular_psnr`` default and the operand
+      maxima of ``calcular_mse``, src/mse.py:100-110): leave ``range_a``/
+      ``range_b`` as ``None`` — the ranges are the data maxima;
+    * **file / BitsStored policy** (``carregar_imagem``'s DICOM branch,
+      src/mse.py:18-37): pass the loaded ``2^BitsStored - 1`` ranges.
+
+    Cross-range normalization fires iff ``range_a != range_b`` (the
+    reference's ``max1 != max2`` test) and rescales both images to
+    ``max_value = max(range_a, range_b)`` before differencing.
+
+    Routing: the fused one-pass device reduction serves the equal-range case
+    (cancellation-free); the normalization branch uses exact float64 host
+    math, where float32 moments would cancel.
+    """
+    original = np.asarray(original)
+    stego = np.asarray(stego)
+    stats = pair_stats(original, stego)
+    ra = float(stats["max_a"]) if range_a is None else float(range_a)
+    rb = float(stats["max_b"]) if range_b is None else float(range_b)
+    if ra != rb and ra > 0 and rb > 0:
+        return host_pair_report(original, stego, range_a=ra, range_b=rb)
+    return quality_report(stats, range_a=ra, range_b=rb)
 
 
 @partial(jax.jit, static_argnames=("window",))

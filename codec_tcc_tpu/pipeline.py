@@ -361,12 +361,12 @@ def decode_container(
             embed_ops.restore_original(stego, maps_full, np.int32(meta.s))
         )
         bases = _block_bases(original, kernel_bits, meta.s, block, h, w)
-        bits = np.asarray(
-            embed_ops.extract_block_adaptive(
-                stego, bases, lengths, offsets, np.int32(meta.s),
-                kernel_bits, block, _next_pow2(out_len),
-            )
-        )[: meta.payload_bits]
+        aligned = embed_ops.extract_block_aligned(
+            stego, bases, lengths, np.int32(meta.s), kernel_bits, block
+        )
+        bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
+            : meta.payload_bits
+        ]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
     with stage("extract"):
@@ -400,15 +400,13 @@ def decode_file(path: str, *, restore_original: bool = True) -> DecodeResult:
 
 
 def analyze_pair(
-    original: ArrayLike, stego: ArrayLike, max_value: Optional[float] = None
+    original: ArrayLike,
+    stego: ArrayLike,
+    range_a: Optional[float] = None,
+    range_b: Optional[float] = None,
 ) -> Dict[str, float]:
-    """Quality metrics for an image pair (the reference's ``mse.py``
-    analysis). Uses the fused device pass for the common equal-range case;
-    the range-normalized branch (different maxima) routes through exact
-    float64 host math, where float32 moments would cancel."""
-    original = np.asarray(original)
-    stego = np.asarray(stego)
-    stats = metric_ops.pair_stats(original, stego)
-    if float(stats["max_a"]) != float(stats["max_b"]):
-        return metric_ops.host_pair_report(original, stego, max_value)
-    return metric_ops.quality_report(stats, max_value)
+    """Quality metrics for an image pair — delegates to the single unified
+    entry point :func:`codec_tcc_tpu.ops.metrics.analyze_pair` (data-max
+    range policy by default; pass BitsStored-derived ranges for the
+    reference's file branch — see that docstring for the policy split)."""
+    return metric_ops.analyze_pair(original, stego, range_a, range_b)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from oracle import numpy_ref as oracle
+from kernel_helpers import extract_full_device
 from codec_tcc_tpu.ops import (
     bitplanes,
     blocks,
@@ -134,7 +135,7 @@ def test_embed_multi_plane_matches_oracle(rng, dtype, nbits, payload_bits):
     # dropped by the reference rule num_bits = min(len(segment), h*w)
     # (src/codec.py:294) — the oracle extractor is the contract
     out = np.asarray(
-        embed_ops.extract(
+        extract_full_device(
             stego, pp.starts, pp.lengths, pp.offsets, np.int32(s), nbits,
             max(payload_bits, 1),
         )
@@ -172,7 +173,7 @@ def test_embed_hybrid_matches_oracle(rng, align, torax_image):
     np.testing.assert_array_equal(stego, ref)
 
     out = np.asarray(
-        embed_ops.extract(stego, pp.starts, pp.lengths, pp.offsets, np.int32(s), nbits, payload.size)
+        extract_full_device(stego, pp.starts, pp.lengths, pp.offsets, np.int32(s), nbits, payload.size)
     )
     np.testing.assert_array_equal(out, payload)
 
@@ -197,7 +198,7 @@ def test_embed_capacity_edge(rng):
     # clamp (src/codec.py:294) drops bits — extraction must match the oracle,
     # not the raw payload
     out = np.asarray(
-        embed_ops.extract(stego, pp.starts, pp.lengths, pp.offsets, np.int32(s), nbits, payload.size)
+        extract_full_device(stego, pp.starts, pp.lengths, pp.offsets, np.int32(s), nbits, payload.size)
     )
     expected = oracle.extract_raster(
         oracle.extract_local_planes(stego.astype(np.uint8), s), res.plan, res.plane_starts
@@ -243,11 +244,10 @@ def test_embed_block_adaptive_matches_oracle(rng, torax_image):
     )
     np.testing.assert_array_equal(stego, ref)
 
-    out = np.asarray(
-        embed_ops.extract_block_adaptive(
-            stego, base, pp.lengths, pp.offsets, np.int32(s), nbits, block, payload.size
-        )
+    aligned = embed_ops.extract_block_aligned(
+        stego, base, pp.lengths, np.int32(s), nbits, block
     )
+    out = embed_ops.assemble_message(aligned, pp.offsets, pp.lengths, payload.size)
     np.testing.assert_array_equal(out, payload)
 
 
