@@ -1,0 +1,182 @@
+"""Spatial (tile) sharding tests — VERDICT round-1 item 1.
+
+A single >= 2048x2048 image is sharded by rows over the 8-device ``tile``
+mesh; embed/extract must be bit-exact vs the single-device kernels, and the
+compiled shard_map programs must contain **no collectives at all** (the
+decomposition histogram is the pipeline's single psum — asserted separately).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from codec_tcc_tpu.config import EncodeConfig
+from codec_tcc_tpu.ops import embed as embed_ops
+from codec_tcc_tpu.ops import segments as segment_ops
+from codec_tcc_tpu.parallel import mesh as mesh_par
+from codec_tcc_tpu.parallel import tile as tile_par
+
+
+@pytest.fixture(scope="module")
+def tile_mesh():
+    return mesh_par.make_mesh(8, ("tile",))
+
+
+@pytest.fixture(scope="module")
+def big_image():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 4096, size=(2048, 2048)).astype(np.uint16)
+
+
+def _plan(img, payload_bits, s, nbits, start, align, seed=42):
+    plan = segment_ops.distribute_segments(s, payload_bits, seed)
+    return segment_ops.raster_plane_plan(plan, img.size, nbits, start, align)
+
+
+def test_shard_windows_cover_ring_exactly():
+    """Every (plane, global position, message bit) assignment of the plan is
+    reproduced exactly once by the per-shard windows, including wraparound."""
+    n, k = 4096, 8
+    pp = _plan(np.zeros((64, 64), np.uint8), 6000, 3, 8, start=3900, align=False)
+    tp = tile_par.shard_windows(pp, n, k)
+    for p in range(pp.s):
+        st, ln, mo = int(pp.starts[p]), min(int(pp.lengths[p]), n), int(pp.offsets[p])
+        want = {}  # global pos -> message bit index
+        for r in range(ln):
+            want[(st + r) % n] = mo + r
+        got = {}
+        for kk in range(k):
+            for j in range(tp.nwin):
+                if tp.plane_id[kk, j] != p or tp.lens[kk, j] == 0:
+                    continue
+                for r in range(int(tp.lens[kk, j])):
+                    g = kk * tp.local_n + int(tp.starts[kk, j]) + r
+                    assert g not in got, "window overlap"
+                    got[g] = int(tp.moffs[kk, j]) + r
+        # note: two planes may share a (k, j) slot ordering; compare per plane
+        want_items = set(want.items())
+        got_items = set(got.items())
+        assert got_items == want_items
+
+
+@pytest.mark.parametrize("start,align", [(0, True), (1_234_567, False)])
+def test_tiled_embed_extract_bitexact_2048(tile_mesh, big_image, start, align):
+    """2048x2048 uint16 sharded over 8 devices: bit-exact vs single-device
+    embed; extraction recovers the payload exactly."""
+    img = big_image
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 2, size=1_000_000).astype(np.uint8)
+    s, nbits = 4, 16
+    pp = _plan(img, payload.size, s, nbits, start, align)
+
+    # single-device reference
+    msg_pad_ref = embed_ops.pad_message(payload, img.size, int(pp.offsets.max()))
+    ref = np.asarray(
+        embed_ops.embed(img, msg_pad_ref, pp.starts, pp.lengths, pp.offsets,
+                        np.int32(s), nbits)
+    )
+
+    tp = tile_par.shard_windows(pp, img.size, 8)
+    msg_pad = embed_ops.pad_message(payload, tp.local_n, int(tp.moffs.max()))
+    stego = tile_par.embed_tiled(img, msg_pad, tp, tile_mesh)
+    # output stays sharded over the tile axis
+    assert stego.sharding.spec == P("tile", None)
+    np.testing.assert_array_equal(np.asarray(stego), ref)
+
+    aligned = tile_par.extract_tiled_aligned(np.asarray(stego), tp, tile_mesh)
+    out = tile_par.assemble_tiled(aligned, tp, payload.size)
+    np.testing.assert_array_equal(out, payload)
+
+
+def test_tiled_kernels_compile_without_collectives(tile_mesh, big_image):
+    """The embed/extract shard_map programs must move zero pixel data between
+    shards: no all-gather, all-reduce, all-to-all, or collective-permute in
+    the compiled HLO."""
+    img = big_image
+    pp = _plan(img, 500_000, 4, 16, start=999_999, align=False)
+    tp = tile_par.shard_windows(pp, img.size, 8)
+    msg_pad = embed_ops.pad_message(
+        np.zeros(500_000, np.uint8), tp.local_n, int(tp.moffs.max())
+    )
+    sh = NamedSharding(tile_mesh, P("tile", None))
+    img_d = jax.device_put(jnp.asarray(img), sh)
+    msg_d = jax.device_put(jnp.asarray(msg_pad), NamedSharding(tile_mesh, P()))
+    args = (img_d, msg_d, jnp.asarray(tp.plane_id), jnp.asarray(tp.starts),
+            jnp.asarray(tp.lens), jnp.asarray(tp.moffs))
+    lowered = tile_par._embed_tiled_jit.lower(*args, mesh=tile_mesh, axis="tile")
+    hlo = lowered.compile().as_text()
+    assert not re.search(r"all-gather|all-reduce|all-to-all|collective-permute", hlo)
+
+    lowered_x = tile_par._extract_tiled_jit.lower(
+        img_d, args[2], args[3], args[4], mesh=tile_mesh, axis="tile"
+    )
+    hlo_x = lowered_x.compile().as_text()
+    assert not re.search(r"all-gather|all-reduce|all-to-all|collective-permute", hlo_x)
+
+    # ... while the decomposition histogram performs exactly its one psum
+    lowered_h = tile_par._hist_tiled_jit.lower(
+        img_d, nbins=65536, mesh=tile_mesh, axis="tile"
+    )
+    hlo_h = lowered_h.compile().as_text()
+    assert re.search(r"all-reduce", hlo_h)
+    assert not re.search(r"all-gather|all-to-all|collective-permute", hlo_h)
+
+
+def test_tiled_pipeline_matches_single_device(tile_mesh, big_image):
+    """encode_array_tiled must produce the byte-identical STGC container the
+    single-device pipeline writes, and decode_container_tiled must round-trip
+    payload + original."""
+    from codec_tcc_tpu import pipeline
+
+    rng = np.random.default_rng(3)
+    payload = rng.bytes(40_000)
+    cfg = EncodeConfig(strategy="hybrid", codec="deflate", beta=0.4)
+
+    res_ref = pipeline.encode_array(big_image, payload, cfg)
+    res_tiled = tile_par.encode_array_tiled(big_image, payload, cfg, tile_mesh)
+    assert res_tiled.container == res_ref.container
+    assert res_tiled.meta.s == res_ref.meta.s
+    assert res_tiled.metrics["mse"] == pytest.approx(res_ref.metrics["mse"], rel=1e-5)
+
+    dec = tile_par.decode_container_tiled(res_tiled.container, tile_mesh)
+    assert dec.payload == payload
+    np.testing.assert_array_equal(dec.original, big_image)
+
+    # cross-decode: tiled containers decode on a single device and vice versa
+    dec_single = pipeline.decode_container(res_tiled.container)
+    assert dec_single.payload == payload
+
+
+def test_tiled_volume_slice_plane(tile_mesh):
+    """One slice-plane of a synthetic volume sharded spatially over the mesh
+    (the SURVEY §5 volume formulation at the slice level)."""
+    rng = np.random.default_rng(11)
+    volume = rng.integers(0, 4096, size=(4, 512, 512)).astype(np.uint16)
+    slice_img = volume[2]
+    payload = rng.integers(0, 2, size=120_000).astype(np.uint8)
+    pp = _plan(slice_img, payload.size, 3, 16, start=0, align=True)
+    tp = tile_par.shard_windows(pp, slice_img.size, 8)
+    msg_pad = embed_ops.pad_message(payload, tp.local_n, int(tp.moffs.max()))
+    stego = np.asarray(tile_par.embed_tiled(slice_img, msg_pad, tp, tile_mesh))
+    ref = np.asarray(
+        embed_ops.embed(
+            slice_img,
+            embed_ops.pad_message(payload, slice_img.size, int(pp.offsets.max())),
+            pp.starts, pp.lengths, pp.offsets, np.int32(3), 16,
+        )
+    )
+    np.testing.assert_array_equal(stego, ref)
+    aligned = tile_par.extract_tiled_aligned(stego, tp, tile_mesh)
+    out = tile_par.assemble_tiled(aligned, tp, payload.size)
+    np.testing.assert_array_equal(out, payload)
+
+
+def test_tiled_histogram_matches_host(tile_mesh, big_image):
+    from codec_tcc_tpu.ops.histogram import host_histogram
+
+    counts = tile_par.histogram_tiled(big_image, 65536, tile_mesh)
+    np.testing.assert_array_equal(counts, host_histogram(big_image, 65536))
