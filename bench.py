@@ -119,6 +119,15 @@ def main(backend: str = "auto") -> None:
     sec = float(np.median(times))
     mpix_per_s = (B * h * w) / sec / 1e6
     baseline = 10.3  # MPix/s, reference CPU embed+merge (BASELINE.md)
+    extra = {}
+    try:
+        extra["pee_cycle_mpix_s"] = round(_bench_pee(), 1)
+    except Exception as exc:  # PEE bench must never sink the primary metric
+        print(f"pee bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
+    try:
+        extra["e2e_encode_decode_mpix_s"] = round(_bench_e2e(image), 2)
+    except Exception as exc:
+        print(f"e2e bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
     print(
         json.dumps(
             {
@@ -126,9 +135,109 @@ def main(backend: str = "auto") -> None:
                 "value": round(mpix_per_s, 1),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_per_s / baseline, 2),
+                "extra": extra,
             }
         )
     )
+
+
+def _bench_pee(B: int = 32) -> float:
+    """Device PEE cycle (2-pass embed + 2-pass extract) MPix/s — the north
+    star's named workload ('PEE ... fuse into Pallas kernels'). Uses the
+    Pallas kernels on TPU, falling back to the XLA ops elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    h = w = 512
+    n = h * w
+    t, max_val = 2, 4095
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(B)
+    ])
+    msgs = rng.integers(0, 2, size=(B, 1 << 17)).astype(np.uint8)
+    want = jnp.full((B,), 100_000, jnp.int32)
+
+    if jax.default_backend() == "tpu":
+        from codec_tcc_tpu.ops import pallas_pee as pp
+
+        msg2d, l2 = pp.prep_messages(msgs, n)
+        imgs3 = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
+        msg2d_d = jax.device_put(jnp.asarray(msg2d))
+        zero = jnp.zeros(B, jnp.int32)
+
+        def cycle(im3):
+            s0, o0, u0, n0 = pp.embed_pass_batch(
+                im3, msg2d_d, zero, want, h, w, 0, t, max_val, l2)
+            s1, o1, u1, n1 = pp.embed_pass_batch(
+                s0, msg2d_d, u0, want - u0, h, w, 1, t, max_val, l2)
+            over = o0 | o1
+            r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val)
+            r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val)
+            return r0, jnp.sum(c0) + jnp.sum(c1)
+
+        args = (imgs3,)
+    else:
+        from codec_tcc_tpu.ops import pee as pee_ops
+
+        imgs_d = jax.device_put(jnp.asarray(imgs))
+        msgs_d = jax.device_put(jnp.asarray(msgs))
+
+        def one(im, ms, w0):
+            s0, o0, u0, n0 = pee_ops.embed_pass(
+                im, ms, jnp.int32(0), w0, 0, t, max_val)
+            s1, o1, u1, n1 = pee_ops.embed_pass(s0, ms, u0, w0 - u0, 1, t, max_val)
+            over = o0 | o1
+            r1, b1, m1 = pee_ops.extract_pass(s1, over, n1, 1, t, max_val, 1 << 17)
+            r0, b0, m0 = pee_ops.extract_pass(r1, over, n0, 0, t, max_val, 1 << 17)
+            return r0, jnp.sum(b0, dtype=jnp.int32) + jnp.sum(b1, dtype=jnp.int32)
+
+        def cycle(im):
+            return jax.vmap(one)(im, msgs_d, want)
+
+        args = (imgs_d,)
+
+    cyc = jax.jit(cycle)
+    out = cyc(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = cyc(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 3)
+    return B * h * w / float(np.median(times)) / 1e6
+
+
+def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4) -> float:
+    """Full host-boundary-to-host-boundary throughput: decompose -> plan ->
+    embed -> XOR maps -> transport codec -> container pack -> parse ->
+    decode -> restore, per image, including every host shell stage the
+    kernel-cycle metric hides (VERDICT round-1 weakness #4)."""
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.pipeline import decode_container, encode_array
+
+    rng = np.random.default_rng(2)
+    payload = rng.bytes(8_000)
+    cfg = EncodeConfig(strategy="hybrid", codec="deflate", compute_metrics=False)
+    imgs = [image ^ rng.integers(0, 2, size=image.shape).astype(image.dtype)
+            for _ in range(batch)]
+    # warmup (compiles)
+    dec = decode_container(encode_array(imgs[0], payload, cfg).container)
+    assert dec.payload == payload
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for img in imgs:
+            res = encode_array(img, payload, cfg)
+            decode_container(res.container)
+        times.append((time.perf_counter() - t0) / batch)
+    return image.size / float(np.median(times)) / 1e6
 
 
 def _orchestrate() -> int:

@@ -202,7 +202,7 @@ def embed_batch_padded(
                 (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         # write each tile at its padded-flat position: N + b*N + t*tile
         out_specs=pl.BlockSpec(
@@ -267,7 +267,7 @@ def embed_batch(
                 (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
@@ -347,7 +347,7 @@ def extract_aligned_batch(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nr // tr),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, np_planes, tr, _LANE),
             lambda bb, tt, *_: (bb, 0, tt, 0),
@@ -437,7 +437,7 @@ def extract_aligned_batch_padded(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nr // tr),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, np_planes, tr, _LANE),
             lambda bb, tt, *_: (bb, 0, tt, 0),

@@ -79,6 +79,20 @@ def encode_pee_batch(
     want_d = jnp.asarray(want.astype(np.int32))
     zeros = jnp.zeros(b, jnp.int32)
 
+    # Pallas fast path (single-chip): the fused kernels run the pass cycle at
+    # ~30x the XLA formulation's throughput (the XLA message gather is the
+    # bottleneck — see ops/pallas_pee.py). Bit-exact with the XLA path.
+    from ..ops import pallas_pee as pp
+
+    if (
+        mesh is None
+        and jax.default_backend() == "tpu"
+        and (h * w) % pp.TILE_PX == 0
+    ):
+        return _encode_pee_batch_pallas(
+            images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
+        )
+
     chosen = None
     for t in _threshold_schedule(config.pee_threshold):
         cap0 = jax.vmap(lambda im: pee_ops.capacity(im, 0, t, max_val))(imgs_d)
@@ -147,6 +161,86 @@ def encode_pee_batch(
         containers = list(pool.map(pack_one, range(b)))
 
     logger.info("pee batch: B=%d T=%d total_bits=%d", b, t, int(want.sum()))
+    return BatchPeeResult(
+        stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
+    )
+
+
+def _encode_pee_batch_pallas(
+    images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
+):
+    """Pallas-kernel variant of the threshold-escalation probe loop.
+
+    Acceptance criterion is identical to the XLA loop (a pass-1 attempt whose
+    embedded count falls short of the remainder escalates T), so accepted
+    results are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_pee as pp
+
+    b, h, w = images.shape
+    n = h * w
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    msg2d_d = jax.device_put(jnp.asarray(msg2d))
+    imgs3 = jnp.asarray(imgs_d).reshape(b, n // 128, 128)
+    want_d = jnp.asarray(want.astype(np.int32))
+    zero = jnp.zeros(b, jnp.int32)
+
+    chosen = None
+    for t in _threshold_schedule(config.pee_threshold):
+        s0, o0, u0, n0 = pp.embed_pass_batch(
+            imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2
+        )
+        used0 = np.asarray(u0).astype(np.int64)
+        want1 = want - used0
+        if (want1 <= 0).all():
+            chosen = (t, s0, o0, jnp.zeros_like(o0), used0,
+                      np.asarray(jnp.maximum(n0, 0)),
+                      np.zeros(b, np.int64), np.zeros(b, np.int32))
+            break
+        s1, o1, u1, n1 = pp.embed_pass_batch(
+            s0, msg2d_d, u0, want_d - u0, h, w, 1, t, max_val, l2
+        )
+        used1 = np.asarray(u1).astype(np.int64)
+        if (used1 >= want1).all():
+            chosen = (t, s1, o0, o1, used0, np.asarray(n0),
+                      used1, np.asarray(n1))
+            break
+    if chosen is None:
+        raise ValueError("some payloads exceed the batch PEE capacity even at T=128")
+
+    t, stego_d, over0_d, over1_d, used0, nproc0, used1, nproc1 = chosen
+    stego = np.asarray(stego_d).reshape(b, h, w)
+    overflow = (np.asarray(over0_d) | np.asarray(over1_d)).reshape(b, h, w)
+
+    from ..io.codecs import get as get_codec
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    codec = get_codec(config.codec)
+
+    def pack_one(i: int) -> bytes:
+        passes = 2 if used1[i] > 0 else 1
+        ext = container_io.pack_pee_ext(
+            t, passes, int(nproc0[i]), int(nproc1[i]),
+            int(used0[i]), int(used1[i]),
+        )
+        meta = container_io.ContainerMeta(
+            version=2, codec=config.codec, strategy="pee", s=0,
+            nbits=eff_bits, bits_stored=eff_bits, dtype=images.dtype,
+            width=w, height=h, start_offset=0, seed=config.seed,
+            payload_bits=int(want[i]), align_across_planes=False,
+            has_bitmaps=True, sizes=(), indices=(), eff_lengths=(),
+            plane_starts=(), ext=ext,
+        )
+        map_blob = zlib.compress(np.packbits(overflow[i]).tobytes())
+        return container_io.pack(meta, map_blob, codec.encode(stego[i]))
+
+    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        containers = list(pool.map(pack_one, range(b)))
+
+    logger.info("pee batch (pallas): B=%d T=%d total_bits=%d", b, t, int(want.sum()))
     return BatchPeeResult(
         stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
     )

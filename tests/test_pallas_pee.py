@@ -1,0 +1,158 @@
+"""Pallas PEE kernels: bit-exactness vs the XLA ops.pee path (interpret mode
+on CPU; the same kernels are validated and benchmarked on the real chip)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codec_tcc_tpu.ops import pee as pee_ops
+from codec_tcc_tpu.ops import pallas_pee as pp
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() == "tpu":
+        yield
+        return
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _xla_two_pass(imgs, msgs, want, t, max_val):
+    """Per-image XLA reference: embed both passes, then extract both."""
+    b, h, w = imgs.shape
+    out = []
+    for i in range(b):
+        s0, o0, u0, n0 = pee_ops.embed_pass(
+            imgs[i], msgs[i], np.int32(0), np.int32(want[i]), 0, t, max_val
+        )
+        w1 = int(want[i]) - int(u0)
+        s1, o1, u1, n1 = pee_ops.embed_pass(
+            np.asarray(s0), msgs[i], jnp.int32(int(u0)), np.int32(w1), 1, t, max_val
+        )
+        out.append((np.asarray(s1), np.asarray(o0), np.asarray(o1),
+                    int(u0), int(n0), int(u1), int(n1)))
+    return out
+
+
+@pytest.mark.parametrize("dtype,hi,max_val,t", [
+    (np.uint16, 837, 4095, 2),
+    (np.uint8, 256, 255, 4),
+])
+def test_pallas_pee_embed_matches_xla(rng, dtype, hi, max_val, t):
+    b, h, w = 2, 256, 128
+    n = h * w
+    imgs = rng.integers(0, hi, size=(b, h, w)).astype(dtype)
+    lpad = 8192
+    msgs = rng.integers(0, 2, size=(b, lpad)).astype(np.uint8)
+    want = np.array([5000, 1200], dtype=np.int32)
+
+    ref = _xla_two_pass(imgs, msgs, want, t, max_val)
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2,
+    )
+    s1, ov1, u1, np1 = pp.embed_pass_batch(
+        s0, jnp.asarray(msg2d), u0, jnp.asarray(want) - u0,
+        h, w, 1, t, max_val, l2,
+    )
+    stego = np.asarray(s1).reshape(b, h, w)
+    ov0 = np.asarray(ov0).reshape(b, h, w)
+    ov1 = np.asarray(ov1).reshape(b, h, w)
+
+    for i in range(b):
+        st_ref, o0_ref, o1_ref, u0_ref, n0_ref, u1_ref, n1_ref = ref[i]
+        np.testing.assert_array_equal(stego[i], st_ref)
+        np.testing.assert_array_equal(ov0[i].astype(bool), o0_ref)
+        np.testing.assert_array_equal(ov1[i].astype(bool), o1_ref)
+        assert int(u0[i]) == u0_ref and int(np0[i]) == n0_ref
+        assert int(u1[i]) == u1_ref and int(np1[i]) == n1_ref
+
+
+def test_pallas_pee_full_cycle_roundtrip(rng):
+    """Embed + extract through the Pallas kernels recovers the exact payload
+    and the exact original images (both passes, uint16)."""
+    b, h, w = 2, 512, 512
+    n = h * w
+    t, max_val = 2, 4095
+    # smooth carriers (real images are predictable; uniform noise has almost
+    # no |e| < T pixels and cannot hold the payload)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(b)
+    ])
+    lpad = 1 << 17
+    msgs = rng.integers(0, 2, size=(b, lpad)).astype(np.uint8)
+    want = np.array([100_000, 40_000], dtype=np.int32)
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2,
+    )
+    s1, ov1, u1, np1 = pp.embed_pass_batch(
+        s0, jnp.asarray(msg2d), u0, jnp.asarray(want) - u0,
+        h, w, 1, t, max_val, l2,
+    )
+    assert (np.asarray(u0) + np.asarray(u1) == want).all()
+
+    over = np.asarray(ov0) | np.asarray(ov1)
+    r1, segs1, cnts1 = pp.extract_pass_batch(
+        s1, jnp.asarray(over), np1, h, w, 1, t, max_val
+    )
+    r0, segs0, cnts0 = pp.extract_pass_batch(
+        r1, jnp.asarray(over), np0, h, w, 0, t, max_val
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r0).reshape(b, h, w), imgs
+    )
+    bits1 = pp.collect_bits(segs1, cnts1, int(np.asarray(u1).max(initial=1)))
+    bits0 = pp.collect_bits(segs0, cnts0, int(np.asarray(u0).max(initial=1)))
+    for i in range(b):
+        got = np.concatenate([
+            bits0[i, : int(u0[i])], bits1[i, : int(u1[i])]
+        ])
+        np.testing.assert_array_equal(got, msgs[i, : want[i]])
+
+
+def test_pallas_pee_extract_matches_xla(rng):
+    """Pallas extraction agrees with ops.pee.extract_pass restored/bits."""
+    b, h, w = 1, 256, 128
+    n = h * w
+    t, max_val = 2, 4095
+    imgs = rng.integers(0, 837, size=(b, h, w)).astype(np.uint16)
+    msgs = rng.integers(0, 2, size=(b, 4096)).astype(np.uint8)
+    want = np.array([3000], dtype=np.int32)
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2,
+    )
+    stego = np.asarray(s0).reshape(b, h, w)
+    over = np.asarray(ov0).reshape(b, h, w).astype(bool)
+
+    r_ref, bits_ref, nb_ref = pee_ops.extract_pass(
+        stego[0], over[0], np.int32(int(np0[0])), 0, t, max_val, 8192
+    )
+    r, segs, cnts = pp.extract_pass_batch(
+        s0, jnp.asarray(over.astype(np.uint8)).reshape(b, n // 128, 128),
+        np0, h, w, 0, t, max_val,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r).reshape(b, h, w)[0], np.asarray(r_ref)
+    )
+    assert int(np.asarray(cnts).sum()) == int(nb_ref)
+    bits = pp.collect_bits(segs, cnts, 8192)
+    np.testing.assert_array_equal(bits[0], np.asarray(bits_ref))
