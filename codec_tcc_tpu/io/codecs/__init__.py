@@ -249,13 +249,26 @@ class JlsCodec(Codec):
 
 
 # ---------------------------------------------------------------------------
-# JPEG XL via external binaries (gated; absent in this environment)
+# JPEG XL: in-process libjxl shim, with the reference's subprocess binaries
+# as a fallback
 # ---------------------------------------------------------------------------
 
 
 class JxlCodec(Codec):
+    """JPEG XL lossless (codec id 4).
+
+    Primary path: the in-process ``libjxl`` shim
+    (:mod:`codec_tcc_tpu.io.jxl_binding`) — no subprocess, no temp files.
+    Fallback: ``cjxl``/``djxl`` binaries on PATH, the reference's mechanism
+    (``/root/reference/src/codec.py:108-182``, temp-PNG detour included)."""
+
     name = "jxl"
     codec_id = 4
+
+    def _binding(self):
+        from .. import jxl_binding
+
+        return jxl_binding if jxl_binding.available() else None
 
     def _tools(self) -> Optional[tuple]:
         import shutil
@@ -268,16 +281,28 @@ class JxlCodec(Codec):
         return None
 
     def available(self) -> bool:
-        return self._tools() is not None
+        return self._binding() is not None or self._tools() is not None
 
     def encode(self, image: np.ndarray) -> bytes:
+        binding = self._binding()
+        if binding is not None:
+            return binding.encode(image)
+        return self._encode_subprocess(image)
+
+    def decode(self, data: bytes) -> np.ndarray:
+        binding = self._binding()
+        if binding is not None:
+            return binding.decode(data)
+        return self._decode_subprocess(data)
+
+    def _encode_subprocess(self, image: np.ndarray) -> bytes:
         import subprocess
         import tempfile
         import os
 
         tools = self._tools()
         if tools is None:
-            raise RuntimeError("cjxl/djxl not found on PATH")
+            raise RuntimeError("libjxl not present and cjxl/djxl not on PATH")
         enc, _ = tools
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "in.png")
@@ -290,7 +315,7 @@ class JxlCodec(Codec):
             with open(dst, "rb") as f:
                 return f.read()
 
-    def decode(self, data: bytes) -> np.ndarray:
+    def _decode_subprocess(self, data: bytes) -> np.ndarray:
         import subprocess
         import tempfile
         import os
@@ -299,7 +324,7 @@ class JxlCodec(Codec):
 
         tools = self._tools()
         if tools is None:
-            raise RuntimeError("cjxl/djxl not found on PATH")
+            raise RuntimeError("libjxl not present and cjxl/djxl not on PATH")
         _, dec = tools
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "in.jxl")
