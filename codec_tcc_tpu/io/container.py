@@ -272,6 +272,8 @@ def _parse_v1(header: bytes, body: bytes) -> Container:
         s=s,
         nbits=0,
         bits_stored=0,
+        # placeholder only: v1 records no dtype; pipeline.decode_container
+        # replaces it with the decoded transport payload's dtype
         dtype=np.dtype(np.uint16),
         width=width,
         height=height,

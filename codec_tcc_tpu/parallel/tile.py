@@ -409,7 +409,9 @@ def decode_container_tiled(
     if meta.strategy not in ("multi_plane", "hybrid", "unknown"):
         raise ValueError(f"tiled decode does not support {meta.strategy}")
     stego = get_codec(meta.codec).decode(cont.stego_blob)
-    if stego.dtype != meta.dtype:
+    if meta.version == 1:
+        meta.dtype = stego.dtype   # v1 records no dtype; trust the payload
+    elif stego.dtype != meta.dtype:
         stego = stego.astype(meta.dtype)
     h, w = meta.height, meta.width
     n = h * w

@@ -335,7 +335,12 @@ def decode_container(
     with stage("transport_decode"):
         codec = get_codec(meta.codec)
         stego = codec.decode(cont.stego_blob)
-    if stego.dtype != meta.dtype:
+    if meta.version == 1:
+        # v1 headers record no dtype (the parse-time uint16 is a placeholder);
+        # the decoded transport payload does (BitsAllocated in the embedded
+        # DICOM) — adopt it so reference-written uint8 images restore as uint8
+        meta.dtype = stego.dtype
+    elif stego.dtype != meta.dtype:
         stego = stego.astype(meta.dtype)
     h, w = meta.height, meta.width
     if stego.shape != (h, w):
