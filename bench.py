@@ -141,7 +141,7 @@ def main(backend: str = "auto") -> None:
     )
 
 
-def _bench_pee(B: int = 32) -> float:
+def _bench_pee(B: int = 128) -> float:
     """Device PEE cycle (2-pass embed + 2-pass extract) MPix/s — the north
     star's named workload ('PEE ... fuse into Pallas kernels'). Uses the
     Pallas kernels on TPU, falling back to the XLA ops elsewhere."""

@@ -6,37 +6,50 @@ message gather ``jnp.take(msg, msg_base + rank)`` (XLA lowers it to serial
 scalar gathers). These kernels replace the gather with structured data
 movement that the VPU/MXU actually execute well:
 
-* the image is processed in raster tiles of ``TILE_PX = 32768`` pixels in
-  pixel-major ``(256, 128)`` layout; the grid is sequential on a TensorCore,
+* the image is processed in raster tiles of ``TILE_PX = 65536`` pixels in
+  pixel-major ``(512, 128)`` layout; the grid is sequential on a TensorCore,
   so the running count of eligible pixels carries across tiles in SMEM —
   the "global rank" prefix costs one scalar per tile instead of an
   image-wide scan;
+* the rhombus prediction is computed **in-kernel** from a haloed DMA of the
+  (zero-padded) image — vertical neighbors are static row shifts of the
+  pixel-major layout, horizontal neighbors are lane rotations with a
+  one-row carry; border garbage is harmless because only interior
+  checkerboard pixels are ever eligible;
 * each tile's message window is one contiguous DMA (rank order is raster
   order, so a tile consumes ``msg[base + tile_base : + tile_count]``);
-* each 128-pixel row fetches its in-window slice with two one-hot matmuls
-  on the MXU (exact 0/1 bf16 products) plus seven conditional static lane
+* each 128-pixel row fetches its in-window slice with four one-hot matmuls
+  on the MXU (exact 0/1 bf16 products; the window row index spans [0, 256)
+  so low/high one-hot pairs select it) plus seven conditional static lane
   rotations (binary decomposition of the per-row offset);
 * within a row, bits spread to the eligible lanes with the Hacker's
-  Delight 7-4 **expand** network generalized from word bits to lanes —
-  7 x 7 masked static shifts, fully vectorized over the 256 rows
-  (validated element-exactly against the naive reference);
+  Delight 7-4 **expand** network generalized from word bits to lanes,
+  executed on 32-row-packed int32 words (8x less VPU work than unpacked;
+  validated element-exactly against the naive reference);
 * extraction runs the inverse **compress** network and scatters each row's
   packed bits back into the tile window with transposed one-hot matmuls,
-  emitting one aligned ``(128, 128)`` bit segment per tile (host
+  emitting one aligned ``(256, 128)`` bit segment per tile (host
   concatenation of the per-tile segments is plain memcpy work).
 
 Everything is bit-exact with :mod:`codec_tcc_tpu.ops.pee` (asserted in
-``tests/test_pallas_pee.py``). The rhombus prediction stays in XLA (a cheap
-fused stencil) and enters the kernels as a uint16 input, which keeps the
-kernels free of halo DMAs.
+``tests/test_pallas_pee.py`` and on-chip).
 
-DMA window bound: the embed kernel unconditionally copies
-``_WBUF_ROWS = _WROWS + _PAD_R`` rows starting at the 2048-aligned base of
-``b*l2 + msg_base[b] + tile_base``. ``prep_messages`` sizes each image's
-region as ``l2 >= Lpad + n/2 + _WBUF_ROWS*128`` (rounded to 2048), so the
-largest possible window (``msg_base <= Lpad``, ``tile_base <= n/2``) stays
-inside the buffer — keep this analysis in sync when editing (an
-out-of-bounds DMA hard-aborts the TPU; interpret mode does not check).
+DMA window bounds (keep in sync — an out-of-bounds DMA hard-aborts the TPU
+and interpret mode does not check):
+
+* message: the embed kernel unconditionally copies ``_WBUF_ROWS`` rows from
+  the 2048-aligned base of ``b*l2 + msg_base[b] + tile_base``;
+  :func:`prep_messages` sizes each image region as
+  ``l2 >= Lpad + n/2 + _WBUF_ROWS*128`` (rounded to 2048), covering the
+  largest window (``msg_base <= Lpad``, ``tile_base <= n/2``);
+* image halo: both kernels copy rows ``[t*TROWS, t*TROWS + TROWS + 2*_HALO)``
+  of the **padded** image (``pad_images`` adds ``_HALO`` zero rows on each
+  side), so every window is in bounds by construction.
+
+Mosaic/v5e quirks honored here (discovered on hardware): no select on i1
+operands (logical compositions instead), no f32->u8 or i1->u8 casts (hop via
+int32), no unsigned-i8 compares (cast first), scalar outputs as full-array
+SMEM refs (``(1,1)`` block specs are rejected).
 """
 
 from __future__ import annotations
@@ -55,16 +68,18 @@ from .pallas_embed import _ALIGN_E, _ALIGN_R, _LANE, _PAD_R, _rot_window
 __all__ = [
     "TILE_PX",
     "prep_messages",
+    "pad_images",
     "embed_pass_batch",
     "extract_pass_batch",
     "collect_bits",
 ]
 
-TILE_PX = 32768                 # pixels per grid step
-_TROWS = TILE_PX // _LANE       # 256 pixel-major rows per tile
+TILE_PX = 65536                 # pixels per grid step
+_TROWS = TILE_PX // _LANE       # 512 pixel-major rows per tile
 _WCAP = TILE_PX // 2            # max eligible pixels per tile (checkerboard)
-_WROWS = _WCAP // _LANE         # 128 window rows
-_WBUF_ROWS = _WROWS + _PAD_R    # DMA buffer rows (delta + Q-row slack < PAD)
+_WROWS = _WCAP // _LANE         # 256 window rows
+_WBUF_ROWS = _WROWS + _PAD_R    # message DMA buffer rows
+_HALO = 8                       # image halo rows (supports W/128 + 1 <= 8)
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +109,7 @@ def _suffix(mk):
 
 
 def _pack32(v):
-    """(TROWS, 128) 0/1 int32 -> (TROWS/32, 128) int32 bitfields.
+    """(R, 128) 0/1 int32 -> (R/32, 128) int32 bitfields.
 
     The expand/compress networks below are lane-wise and bitwise, so 32
     independent pixel rows pack into the 32 bits of one int32 word and the
@@ -227,6 +242,58 @@ def _classify(x, pred, in_set, t: int, max_val: int):
     return e, expandable, overflow, eligible
 
 
+def _halo_predict(hbuf, w: int):
+    """Rhombus prediction for the tile's center rows from the haloed image
+    buffer ``(TROWS + 2*_HALO, 128)`` (uint8/uint16). Returns (x, pred) as
+    int32 ``(TROWS, 128)``. Values at image borders are garbage — harmless,
+    since only interior checkerboard pixels are eligible/processed."""
+    wr = w // _LANE
+    buf = hbuf[...].astype(jnp.int32)
+    center = buf[_HALO : _HALO + _TROWS]
+    up = buf[_HALO - wr : _HALO - wr + _TROWS]
+    down = buf[_HALO + wr : _HALO + wr + _TROWS]
+    prev = buf[_HALO - 1 : _HALO - 1 + _TROWS]
+    nxt = buf[_HALO + 1 : _HALO + 1 + _TROWS]
+    col = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+    left = jnp.where(
+        col >= 1, pltpu.roll(center, 1, 1), pltpu.roll(prev, 1, 1)
+    )
+    right = jnp.where(
+        col <= _LANE - 2, pltpu.roll(center, _LANE - 1, 1),
+        pltpu.roll(nxt, _LANE - 1, 1),
+    )
+    return center, (up + down + left + right) // 4
+
+
+def _fetch_rows(win, onehot_for, rowpref):
+    """Per-row window slices: out[r, j] = win_flat[rowpref[r] + j].
+
+    ``win`` is the rotated (row-aligned) window as int32 ``(>=_WROWS+1, 128)``;
+    the row index ``ar = rowpref >> 7`` spans [0, _WROWS), selected by
+    low/high one-hot matmuls; the residual ``br`` is applied as conditional
+    lane rotations."""
+    ar = rowpref >> 7
+    br = rowpref & (_LANE - 1)
+    winf = win.astype(jnp.bfloat16)
+
+    def select(base_row_shift: int, a):
+        lo = onehot_for(a).astype(jnp.bfloat16)
+        hi = onehot_for(a - _LANE).astype(jnp.bfloat16)
+        out = jnp.dot(lo, winf[base_row_shift : base_row_shift + _LANE],
+                      preferred_element_type=jnp.float32)
+        out = out + jnp.dot(
+            hi, winf[base_row_shift + _LANE : base_row_shift + 2 * _LANE],
+            preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+
+    p_rows = select(0, ar)
+    q_rows = select(1, ar)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, p_rows.shape, 1)
+    p_rot = _cond_rotl(p_rows, br)
+    q_rot = _cond_rotl(q_rows, br)
+    return jnp.where(c_id < _LANE - br, p_rot, q_rot)
+
+
 # ---------------------------------------------------------------------------
 # embed kernel
 # ---------------------------------------------------------------------------
@@ -234,9 +301,9 @@ def _classify(x, pred, in_set, t: int, max_val: int):
 
 def _embed_kernel(
     msg_base_ref, used_ref,           # scalar prefetch (B,) int32
-    img_ref, pred_ref, msg_ref,       # (1,TROWS,128) VMEM x2, (MR,128) ANY
-    stego_ref, over_ref, nproc_ref,   # outs: tiles + (1,1) SMEM partial
-    wbuf, wsem, carry,                # scratch: (WBUF,128) u8, DMA sem, SMEM
+    imgp_ref, msg_ref,                # padded image (ANY), msg (ANY)
+    stego_ref, over_ref, nproc_ref,   # outs: tile, tile, SMEM (B,T)
+    hbuf, hsem, wbuf, wsem, carry,    # scratch
     *, h: int, w: int, parity: int, t: int, max_val: int, l2: int,
 ):
     b = pl.program_id(0)
@@ -249,14 +316,21 @@ def _embed_kernel(
     tile_base = carry[0]
     used = used_ref[b]
 
+    # haloed image rows (padded layout keeps every window in bounds)
+    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
+    cp_img = pltpu.make_async_copy(
+        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
+    )
+    cp_img.start()
+
     r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
     pos = tt * TILE_PX + r_id * _LANE + c_id
-
-    x = img_ref[0].astype(jnp.int32)
-    p = pred_ref[0].astype(jnp.int32)
     in_set, set_rank = _geometry(pos, h, w, parity)
-    e, expandable, overflow, eligible = _classify(x, p, in_set, t, max_val)
+
+    cp_img.wait()
+    x, pred = _halo_predict(hbuf, w)
+    e, expandable, overflow, eligible = _classify(x, pred, in_set, t, max_val)
 
     elig = eligible.astype(jnp.int32)
     inrow_incl = _inrow_inclusive(elig)
@@ -283,23 +357,10 @@ def _embed_kernel(
     cp.wait()
     win = _rot_window(wbuf[...].astype(jnp.int32), delta, _WROWS + 8)
 
-    # per-row window fetch: rowpref = ar*128 + br; row slice spans window
-    # rows ar and ar+1 (one-hot MXU row-select + conditional lane rotation)
-    ar = rowpref >> 7
-    br = rowpref & (_LANE - 1)
-    onehot_a = (c_id == ar).astype(jnp.bfloat16)
-    p_rows = jnp.dot(
-        onehot_a, win[0:_WROWS].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    q_rows = jnp.dot(
-        onehot_a, win[1 : _WROWS + 1].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    p_rot = _cond_rotl(p_rows, br)
-    q_rot = _cond_rotl(q_rows, br)
-    rw = jnp.where(c_id < _LANE - br, p_rot, q_rot)   # rw[c] = win[rowpref+c]
+    def onehot_for(a):
+        return c_id == a
 
+    rw = _fetch_rows(win, onehot_for, rowpref)       # rw[c] = win[rowpref+c]
     bits = _expand_rows(rw, embeds.astype(jnp.int32))
 
     e_new = jnp.where(
@@ -308,7 +369,7 @@ def _embed_kernel(
         e + jnp.where(e >= t, t, -t),
     )
     modify = processed & ~overflow & (embeds | ~expandable)
-    stego_ref[0] = jnp.where(modify, p + e_new, x).astype(stego_ref.dtype)
+    stego_ref[0] = jnp.where(modify, pred + e_new, x).astype(stego_ref.dtype)
     over_ref[0] = (overflow & processed).astype(jnp.int32).astype(jnp.uint8)
     nproc_ref[b, tt] = jnp.max(jnp.where(embeds, set_rank, 0))
 
@@ -317,11 +378,12 @@ def _embed_kernel(
     jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "l2", "interpret")
 )
 def _embed_call(
-    imgs3, preds3, msg2d, msg_base, used,
+    imgs_pad, msg2d, msg_base, used,
     h: int, w: int, parity: int, t: int, max_val: int, l2: int,
     interpret: bool = False,
 ):
-    b, nr, _ = imgs3.shape
+    b = imgs_pad.shape[0]
+    nr = imgs_pad.shape[1] - 2 * _HALO
     tiles = nr // _TROWS
     kernel = functools.partial(
         _embed_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val, l2=l2
@@ -330,10 +392,7 @@ def _embed_call(
         num_scalar_prefetch=2,
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -346,6 +405,8 @@ def _embed_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), imgs_pad.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.VMEM((_WBUF_ROWS, _LANE), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.int32),
@@ -355,12 +416,69 @@ def _embed_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(imgs3.shape, imgs3.dtype),
-            jax.ShapeDtypeStruct(imgs3.shape, jnp.uint8),
+            jax.ShapeDtypeStruct((b, nr, _LANE), imgs_pad.dtype),
+            jax.ShapeDtypeStruct((b, nr, _LANE), jnp.uint8),
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
-    )(msg_base, used, imgs3, preds3, msg2d)
+    )(msg_base, used, imgs_pad, msg2d)
+
+
+# ---------------------------------------------------------------------------
+# capacity kernel (count pass: same classification, no writes)
+# ---------------------------------------------------------------------------
+
+
+def _count_kernel(
+    imgp_ref, cnt_ref, hbuf, hsem,
+    *, h: int, w: int, parity: int, t: int, max_val: int,
+):
+    b = pl.program_id(0)
+    tt = pl.program_id(1)
+    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
+    cp = pltpu.make_async_copy(
+        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
+    )
+    cp.start()
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
+    pos = tt * TILE_PX + r_id * _LANE + c_id
+    in_set, _ = _geometry(pos, h, w, parity)
+    cp.wait()
+    x, pred = _halo_predict(hbuf, w)
+    _, _, _, eligible = _classify(x, pred, in_set, t, max_val)
+    cnt_ref[b, tt] = jnp.sum(eligible.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "interpret")
+)
+def _count_call(
+    imgs_pad, h: int, w: int, parity: int, t: int, max_val: int,
+    interpret: bool = False,
+):
+    b = imgs_pad.shape[0]
+    nr = imgs_pad.shape[1] - 2 * _HALO
+    tiles = nr // _TROWS
+    kernel = functools.partial(
+        _count_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), imgs_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tiles), jnp.int32),
+        interpret=interpret,
+    )(imgs_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -370,27 +488,32 @@ def _embed_call(
 
 def _extract_kernel(
     nproc_ref,                         # scalar prefetch (B,) int32
-    stego_ref, pred_ref, over_ref,     # (1,TROWS,128) VMEM
+    stegop_ref, over_ref,              # padded stego (ANY), overflow block
     restored_ref, seg_ref, cnt_ref,    # outs: tile, (1,1,WROWS,128), SMEM
+    hbuf, hsem,
     *, h: int, w: int, parity: int, t: int, max_val: int,
 ):
     b = pl.program_id(0)
     tt = pl.program_id(1)
+    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
+    cp = pltpu.make_async_copy(
+        stegop_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
+    )
+    cp.start()
     r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
     c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
     pos = tt * TILE_PX + r_id * _LANE + c_id
-
-    x2 = stego_ref[0].astype(jnp.int32)
-    p = pred_ref[0].astype(jnp.int32)
-    ov = over_ref[0].astype(jnp.int32) > 0   # no unsigned-i8 compares on v5e
     in_set, set_rank = _geometry(pos, h, w, parity)
+    ov = over_ref[0].astype(jnp.int32) > 0   # no unsigned-i8 compares on v5e
+    cp.wait()
+    x2, pred = _halo_predict(hbuf, w)
 
-    e2 = x2 - p
+    e2 = x2 - pred
     processed = in_set & (set_rank <= nproc_ref[b]) & ~ov
     expanded = processed & (e2 >= -2 * t) & (e2 < 2 * t)
     bitv = e2 & 1
     e = jnp.where(expanded, (e2 - bitv) >> 1, e2 + jnp.where(e2 >= 2 * t, -t, t))
-    restored_ref[0] = jnp.where(processed, p + e, x2).astype(restored_ref.dtype)
+    restored_ref[0] = jnp.where(processed, pred + e, x2).astype(restored_ref.dtype)
 
     # pack bits into message (raster-rank) order: per-row compress, then
     # scatter each row's packed run into the tile window via transposed
@@ -408,15 +531,25 @@ def _extract_kernel(
     rot = _cond_rotr(packed, br)                    # rot[u] = packed[u-br]
     p_part = jnp.where(c_id >= br, rot, 0).astype(jnp.bfloat16)
     q_part = jnp.where(c_id < br, rot, 0).astype(jnp.bfloat16)
-    onehot_a = (c_id == ar).astype(jnp.bfloat16)
-    onehot_a1 = (c_id == ar + 1).astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
-    w2 = jax.lax.dot_general(onehot_a, p_part, dn,
-                             preferred_element_type=jnp.float32)
-    w2 = w2 + jax.lax.dot_general(onehot_a1, q_part, dn,
+
+    def scatter_half(a_vals):
+        """(128, 128) f32: window rows [base, base+128) of the tile segment
+        for one-hot row targets given by a_vals (ar or ar+1, shifted)."""
+        oh = (c_id == a_vals).astype(jnp.bfloat16)
+        oh1 = (c_id == a_vals + 1).astype(jnp.bfloat16)  # Q targets row ar+1
+        out = jax.lax.dot_general(oh, p_part, dn,
                                   preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(oh1, q_part, dn,
+                                         preferred_element_type=jnp.float32)
+
     # Mosaic has no f32->u8 cast; hop through int32
-    seg_ref[0, 0] = w2.astype(jnp.int32).astype(jnp.uint8)
+    seg_ref[0, 0, 0:_LANE] = (
+        scatter_half(ar).astype(jnp.int32).astype(jnp.uint8)
+    )
+    seg_ref[0, 0, _LANE : 2 * _LANE] = (
+        scatter_half(ar - _LANE).astype(jnp.int32).astype(jnp.uint8)
+    )
     cnt_ref[b, tt] = jnp.sum(exp)
 
 
@@ -424,11 +557,12 @@ def _extract_kernel(
     jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "interpret")
 )
 def _extract_call(
-    stego3, preds3, over3, nproc,
+    stego_pad, over3, nproc,
     h: int, w: int, parity: int, t: int, max_val: int,
     interpret: bool = False,
 ):
-    b, nr, _ = stego3.shape
+    b = stego_pad.shape[0]
+    nr = stego_pad.shape[1] - 2 * _HALO
     tiles = nr // _TROWS
     kernel = functools.partial(
         _extract_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val
@@ -437,10 +571,7 @@ def _extract_call(
         num_scalar_prefetch=1,
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -451,17 +582,21 @@ def _extract_call(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), stego_pad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(stego3.shape, stego3.dtype),
+            jax.ShapeDtypeStruct((b, nr, _LANE), stego_pad.dtype),
             jax.ShapeDtypeStruct((b, tiles, _WROWS, _LANE), jnp.uint8),
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
-    )(nproc, stego3, preds3, over3)
+    )(nproc, stego_pad, over3)
 
 
 # ---------------------------------------------------------------------------
@@ -481,31 +616,11 @@ def prep_messages(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
     return flat.reshape(-1, _LANE), l2
 
 
-def _predict3(imgs3, h: int, w: int):
-    """Rhombus prediction in XLA (fused stencil), pixel-major layout."""
-    from .pee import rhombus_predict
-
-    b = imgs3.shape[0]
-    imgs = imgs3.reshape(b, h, w)
-    pred = jax.vmap(rhombus_predict)(imgs)
-    return pred.astype(jnp.uint16).reshape(b, h * w // _LANE, _LANE)
-
-
-@functools.partial(jax.jit, static_argnames=("h", "w", "parity", "t", "max_val"))
-def _capacity3(imgs3, preds3, h: int, w: int, parity: int, t: int, max_val: int):
-    b, nr, _ = imgs3.shape
-    r = jax.lax.broadcasted_iota(jnp.int32, (nr, _LANE), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (nr, _LANE), 1)
-    pos = r * _LANE + c
-    in_set, _ = _geometry(pos, h, w, parity)
-
-    def one(x3, p3):
-        _, _, _, eligible = _classify(
-            x3.astype(jnp.int32), p3.astype(jnp.int32), in_set, t, max_val
-        )
-        return jnp.sum(eligible.astype(jnp.int32))
-
-    return jax.vmap(one)(imgs3, preds3)
+@jax.jit
+def pad_images(imgs3: jax.Array) -> jax.Array:
+    """(B, N/128, 128) -> (B, N/128 + 2*_HALO, 128) with zero halo rows, so
+    every kernel halo DMA stays in bounds."""
+    return jnp.pad(imgs3, ((0, 0), (_HALO, _HALO), (0, 0)))
 
 
 def embed_pass_batch(
@@ -517,11 +632,14 @@ def embed_pass_batch(
     interpret: bool = False,
 ):
     """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,))."""
-    preds3 = _predict3(imgs3, h, w)
-    cap = _capacity3(imgs3, preds3, h, w, parity, t, max_val)
+    imgs_pad = pad_images(imgs3)
+    cap = jnp.sum(
+        _count_call(imgs_pad, h, w, parity, t, max_val, interpret=interpret),
+        axis=1,
+    )
     used = jnp.minimum(want, cap)
     stego3, over3, nproc_t = _embed_call(
-        imgs3, preds3, msg2d, msg_base.astype(jnp.int32), used.astype(jnp.int32),
+        imgs_pad, msg2d, msg_base.astype(jnp.int32), used.astype(jnp.int32),
         h, w, parity, t, max_val, l2, interpret=interpret,
     )
     return stego3, over3, used, jnp.max(nproc_t, axis=1)
@@ -534,11 +652,10 @@ def extract_pass_batch(
     h: int, w: int, parity: int, t: int, max_val: int,
     interpret: bool = False,
 ):
-    """Invert one PEE pass. Returns (restored3, segs (B,T,128,128) u8,
+    """Invert one PEE pass. Returns (restored3, segs (B,T,256,128) u8,
     counts (B,T) int32); feed segs/counts to :func:`collect_bits`."""
-    preds3 = _predict3(stego3, h, w)
     return _extract_call(
-        stego3, preds3, over3, nproc.astype(jnp.int32),
+        pad_images(stego3), over3, nproc.astype(jnp.int32),
         h, w, parity, t, max_val, interpret=interpret,
     )
 

@@ -44,7 +44,7 @@ def _xla_two_pass(imgs, msgs, want, t, max_val):
     (np.uint8, 256, 255, 4),
 ])
 def test_pallas_pee_embed_matches_xla(rng, dtype, hi, max_val, t):
-    b, h, w = 2, 256, 128
+    b, h, w = 2, 512, 128
     n = h * w
     imgs = rng.integers(0, hi, size=(b, h, w)).astype(dtype)
     lpad = 8192
@@ -127,7 +127,7 @@ def test_pallas_pee_full_cycle_roundtrip(rng):
 
 def test_pallas_pee_extract_matches_xla(rng):
     """Pallas extraction agrees with ops.pee.extract_pass restored/bits."""
-    b, h, w = 1, 256, 128
+    b, h, w = 1, 512, 128
     n = h * w
     t, max_val = 2, 4095
     imgs = rng.integers(0, 837, size=(b, h, w)).astype(np.uint16)
