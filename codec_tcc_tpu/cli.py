@@ -95,6 +95,31 @@ def _build_parser() -> argparse.ArgumentParser:
     demo.add_argument("--input", default="/root/reference/images/pe.dcm")
     demo.add_argument("--output-dir", default="output")
     demo.add_argument("--codec", default="deflate")
+
+    venc = sub.add_parser(
+        "encode-volume",
+        help="embed one payload across a volume (STGV container: one global "
+             "cut point, capacity-aware per-slice split, per-slice recovery)",
+    )
+    venc.add_argument(
+        "inputs", nargs="+",
+        help="one 3-D .npy volume, or 2-D slice files (DICOM/PNG) in order",
+    )
+    venc.add_argument("--output", required=True, help="output .stgv file")
+    gv = venc.add_mutually_exclusive_group(required=True)
+    gv.add_argument("--message", help="text payload")
+    gv.add_argument("--payload-file", help="binary payload file")
+    venc.add_argument("--beta", type=float, default=0.4)
+    venc.add_argument("--codec", default="deflate",
+                      help=f"transport codec (available: {available_names()})")
+    venc.add_argument("--seed", type=int, default=42)
+    venc.add_argument("--report", help="write a JSON run report here")
+
+    vdec = sub.add_parser(
+        "decode-volume", help="extract payload + volumes from an STGV file"
+    )
+    vdec.add_argument("input", help=".stgv file")
+    vdec.add_argument("--output-prefix", default="volume")
     return p
 
 
@@ -304,6 +329,71 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0 if (ok_msg and ok_img) else 1
 
 
+def _load_volume(paths: List[str]) -> np.ndarray:
+    if len(paths) == 1 and paths[0].lower().endswith(".npy"):
+        vol = np.load(paths[0])
+        if vol.ndim != 3:
+            raise ValueError(f"expected a 3-D volume, got shape {vol.shape}")
+        return vol
+    slices = [_load_any(p) for p in paths]
+    shapes = {s.shape for s in slices}
+    if len(shapes) != 1:
+        raise ValueError(f"slice shapes differ: {sorted(shapes)}")
+    return np.stack(slices)
+
+
+def cmd_encode_volume(args: argparse.Namespace) -> int:
+    from .config import EncodeConfig
+    from .parallel import volume as volume_par
+
+    if args.message is not None:
+        payload: object = args.message
+    else:
+        with open(args.payload_file, "rb") as f:
+            payload = f.read()
+    vol = _load_volume(args.inputs)
+    cfg = EncodeConfig(beta=args.beta, codec=args.codec, seed=args.seed,
+                       strategy="multi_plane")
+    result = volume_par.encode_volume(vol, payload, cfg)
+    blob = volume_par.pack_volume(vol, result, cfg)
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"volume               : {vol.shape[0]} x {vol.shape[1]}x{vol.shape[2]}")
+    print(f"global cut point s   : {result.s}")
+    print(f"payload bits         : {int(result.slice_bits.sum())}")
+    print(f"container bytes      : {len(blob)}")
+    if result.metrics:
+        print(f"PSNR (volume)        : {result.metrics['psnr']:.2f} dB")
+    if args.report:
+        write_json_report(args.report, {
+            "command": "encode-volume", "output": args.output,
+            "slices": int(vol.shape[0]), "s": result.s,
+            "payload_bits": int(result.slice_bits.sum()),
+            "container_bytes": len(blob), "metrics": result.metrics,
+        })
+    return 0
+
+
+def cmd_decode_volume(args: argparse.Namespace) -> int:
+    from .parallel import volume as volume_par
+    from .utils import bits as bit_utils
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    payload_bits, stego, original = volume_par.unpack_volume(data)
+    payload = bit_utils.bits_to_bytes(payload_bits)
+    with open(f"{args.output_prefix}_payload.bin", "wb") as f:
+        f.write(payload)
+    np.save(f"{args.output_prefix}_stego.npy", stego)
+    print(f"payload bits         : {payload_bits.size}")
+    print(f"payload written to   : {args.output_prefix}_payload.bin")
+    print(f"stego volume         : {args.output_prefix}_stego.npy {stego.shape}")
+    if original is not None:
+        np.save(f"{args.output_prefix}_original.npy", original)
+        print(f"restored original    : {args.output_prefix}_original.npy")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
@@ -314,6 +404,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "analyze": cmd_analyze,
         "analyze-batch": cmd_analyze_batch,
         "demo": cmd_demo,
+        "encode-volume": cmd_encode_volume,
+        "decode-volume": cmd_decode_volume,
     }[args.command]
     try:
         return handler(args)

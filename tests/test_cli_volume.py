@@ -1,0 +1,58 @@
+"""CLI volume surface: encode-volume / decode-volume round-trip (STGV)."""
+
+import numpy as np
+
+from codec_tcc_tpu.cli import main
+from codec_tcc_tpu.io import dicom
+
+
+def test_volume_roundtrip_npy(tmp_path, rng, capsys):
+    vol = rng.integers(0, 4096, size=(6, 64, 64)).astype(np.uint16)
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    payload = rng.bytes(600)
+    pf = tmp_path / "payload.bin"
+    pf.write_bytes(payload)
+    out = tmp_path / "vol.stgv"
+
+    rc = main(["encode-volume", str(vol_path), "--output", str(out),
+               "--payload-file", str(pf), "--codec", "deflate"])
+    assert rc == 0
+    assert out.exists()
+
+    prefix = str(tmp_path / "dec")
+    rc = main(["decode-volume", str(out), "--output-prefix", prefix])
+    assert rc == 0
+    got = (tmp_path / "dec_payload.bin").read_bytes()
+    assert got == payload
+    stego = np.load(prefix + "_stego.npy")
+    original = np.load(prefix + "_original.npy")
+    assert stego.shape == vol.shape
+    np.testing.assert_array_equal(original, vol)
+    assert (stego != vol).any()          # something was actually embedded
+
+
+def test_volume_from_dicom_slices(tmp_path, rng):
+    slices = []
+    for i in range(3):
+        img = rng.integers(0, 4096, size=(32, 32)).astype(np.uint16)
+        p = tmp_path / f"slice{i}.dcm"
+        dicom.save_image(img, str(p), bits_stored=12)
+        slices.append(str(p))
+    out = tmp_path / "v.stgv"
+    rc = main(["encode-volume", *slices, "--output", str(out),
+               "--message", "fatias dicom"])
+    assert rc == 0
+    prefix = str(tmp_path / "d")
+    assert main(["decode-volume", str(out), "--output-prefix", prefix]) == 0
+    payload = (tmp_path / "d_payload.bin").read_bytes()
+    assert payload.decode("utf-8", errors="replace").startswith("fatias dicom")
+
+
+def test_volume_shape_mismatch_errors(tmp_path, rng, capsys):
+    a = tmp_path / "a.npy"
+    np.save(a, rng.integers(0, 10, size=(4, 4)).astype(np.uint8))  # 2-D
+    rc = main(["encode-volume", str(a), "--output", str(tmp_path / "x.stgv"),
+               "--message", "x"])
+    assert rc == 1
+    assert "3-D" in capsys.readouterr().err
