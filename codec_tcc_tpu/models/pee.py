@@ -159,10 +159,10 @@ def encode_pee_array(
     )
 
 
-def decode_pee_container(cont: container_io.Container, *, restore_original: bool = True):
-    from ..pipeline import DecodeResult
-    from ..io.codecs import get as get_codec
-
+def parse_pee_container_parts(cont: container_io.Container):
+    """Validate and unpack a PEE container's strategy parts with the
+    'Invalid file: ...' ValueError contract (shared by the single-image and
+    batched decoders). Returns ``(ext_tuple, overflow_bool_hw)``."""
     meta = cont.meta
     if len(meta.ext) < struct.calcsize(container_io._PEE_EXT_FMT):
         raise ValueError(
@@ -170,15 +170,8 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
             f"({len(meta.ext)} bytes, need "
             f"{struct.calcsize(container_io._PEE_EXT_FMT)})"
         )
-    t, passes, nproc0, nproc1, bits0, bits1 = _parse_ext(meta.ext)
-    stego = get_codec(meta.codec).decode(cont.stego_blob)
-    if stego.dtype != meta.dtype:
-        stego = stego.astype(meta.dtype)
+    ext = _parse_ext(meta.ext)
     h, w = meta.height, meta.width
-    max_val = (1 << meta.bits_stored) - 1
-    if int(stego.max()) > max_val:
-        max_val = (1 << (stego.dtype.itemsize * 8)) - 1
-
     try:
         raw = zlib.decompress(cont.bitmaps_blob)
     except zlib.error as exc:
@@ -189,7 +182,24 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
             f"Invalid file: PEE overflow map holds {overflow.size} bits, "
             f"image needs {h * w}"
         )
-    overflow = overflow[: h * w].reshape(h, w).astype(bool)
+    return ext, overflow[: h * w].reshape(h, w).astype(bool)
+
+
+def decode_pee_container(cont: container_io.Container, *, restore_original: bool = True):
+    from ..pipeline import DecodeResult
+    from ..io.codecs import get as get_codec
+
+    meta = cont.meta
+    (t, passes, nproc0, nproc1, bits0, bits1), overflow = (
+        parse_pee_container_parts(cont)
+    )
+    stego = get_codec(meta.codec).decode(cont.stego_blob)
+    if stego.dtype != meta.dtype:
+        stego = stego.astype(meta.dtype)
+    h, w = meta.height, meta.width
+    max_val = (1 << meta.bits_stored) - 1
+    if int(stego.max()) > max_val:
+        max_val = (1 << (stego.dtype.itemsize * 8)) - 1
 
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 

@@ -67,6 +67,7 @@ from .pallas_embed import _ALIGN_E, _ALIGN_R, _LANE, _PAD_R, _rot_window
 
 __all__ = [
     "TILE_PX",
+    "supports",
     "prep_messages",
     "pad_images",
     "embed_pass_batch",
@@ -79,7 +80,19 @@ _TROWS = TILE_PX // _LANE       # 512 pixel-major rows per tile
 _WCAP = TILE_PX // 2            # max eligible pixels per tile (checkerboard)
 _WROWS = _WCAP // _LANE         # 256 window rows
 _WBUF_ROWS = _WROWS + _PAD_R    # message DMA buffer rows
-_HALO = 8                       # image halo rows (supports W/128 + 1 <= 8)
+_HALO = 8                       # image halo rows (supports W/128 <= 8)
+
+
+def supports(h: int, w: int) -> bool:
+    """Whether these kernels handle an (h, w) image: the width must pack an
+    integral number of pixel-major rows (the in-kernel rhombus prediction's
+    vertical-neighbor offset is ``w // 128`` buffer rows) and the halo must
+    cover that offset; the flat size must tile evenly."""
+    return (
+        w % _LANE == 0
+        and 1 <= w // _LANE <= _HALO
+        and (h * w) % TILE_PX == 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +645,11 @@ def embed_pass_batch(
     interpret: bool = False,
 ):
     """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,))."""
+    if not supports(h, w):
+        raise ValueError(
+            f"pallas PEE kernels do not support {h}x{w} images "
+            f"(need w % 128 == 0, w <= {_HALO * _LANE}, n % {TILE_PX} == 0)"
+        )
     imgs_pad = pad_images(imgs3)
     cap = jnp.sum(
         _count_call(imgs_pad, h, w, parity, t, max_val, interpret=interpret),
@@ -654,6 +672,11 @@ def extract_pass_batch(
 ):
     """Invert one PEE pass. Returns (restored3, segs (B,T,256,128) u8,
     counts (B,T) int32); feed segs/counts to :func:`collect_bits`."""
+    if not supports(h, w):
+        raise ValueError(
+            f"pallas PEE kernels do not support {h}x{w} images "
+            f"(need w % 128 == 0, w <= {_HALO * _LANE}, n % {TILE_PX} == 0)"
+        )
     return _extract_call(
         pad_images(stego3), over3, nproc.astype(jnp.int32),
         h, w, parity, t, max_val, interpret=interpret,

@@ -29,7 +29,7 @@ from ..utils.logging import get_logger
 
 logger = get_logger("parallel.batch_pee")
 
-__all__ = ["BatchPeeResult", "encode_pee_batch"]
+__all__ = ["BatchPeeResult", "encode_pee_batch", "decode_pee_batch"]
 
 
 @dataclass
@@ -84,11 +84,7 @@ def encode_pee_batch(
     # bottleneck — see ops/pallas_pee.py). Bit-exact with the XLA path.
     from ..ops import pallas_pee as pp
 
-    if (
-        mesh is None
-        and jax.default_backend() == "tpu"
-        and (h * w) % pp.TILE_PX == 0
-    ):
+    if mesh is None and jax.default_backend() == "tpu" and pp.supports(h, w):
         return _encode_pee_batch_pallas(
             images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
         )
@@ -244,3 +240,95 @@ def _encode_pee_batch_pallas(
     return BatchPeeResult(
         stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
     )
+
+
+def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = True):
+    """Batched decode of PEE containers — the symmetric counterpart of
+    :func:`encode_pee_batch`.
+
+    When every container shares geometry/threshold/dtype (what the batch
+    encoder produces) and the backend is TPU, both inverse passes run as the
+    fused Pallas kernels over the whole batch; otherwise each item decodes
+    through the standard single-image path. Returns a list of
+    ``pipeline.DecodeResult``."""
+    import jax
+
+    from ..pipeline import DecodeResult, decode_container
+    from ..io.codecs import get as get_codec
+    from ..ops import pallas_pee as pp
+
+    from ..models.pee import parse_pee_container_parts
+
+    conts = [container_io.parse(c) for c in containers]
+    keys = set()
+    parsed_ext = []
+    overflow_maps = []
+    for c in conts:
+        if c.meta.strategy != "pee":
+            raise ValueError(f"not a PEE container (strategy={c.meta.strategy})")
+        # shared hardened parsing: 'Invalid file: ...' ValueErrors on
+        # truncated ext blocks / corrupt or short overflow maps
+        ext, over = parse_pee_container_parts(c)
+        parsed_ext.append(ext)
+        overflow_maps.append(over)
+        keys.add((c.meta.width, c.meta.height, c.meta.bits_stored,
+                  str(np.dtype(c.meta.dtype)), c.meta.codec, ext[0]))
+    w, h = conts[0].meta.width, conts[0].meta.height
+    if (
+        len(keys) != 1
+        or jax.default_backend() != "tpu"
+        or not pp.supports(h, w)
+    ):
+        return [decode_container(c, restore_original=restore_original)
+                for c in conts]
+
+    b = len(conts)
+    n = h * w
+    t = parsed_ext[0][0]
+    bits_stored = conts[0].meta.bits_stored
+    dtype = conts[0].meta.dtype
+    max_val = (1 << bits_stored) - 1
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    codec = get_codec(conts[0].meta.codec)
+
+    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        stegos = list(pool.map(
+            lambda c: codec.decode(c.stego_blob).astype(dtype), conts
+        ))
+    stego = np.stack(stegos)
+    if int(stego.max()) > max_val:
+        max_val = (1 << (np.dtype(dtype).itemsize * 8)) - 1
+    over = np.stack(overflow_maps).astype(np.uint8)
+    nproc0 = jnp.asarray([e[2] for e in parsed_ext], dtype=jnp.int32)
+    nproc1 = jnp.asarray([e[3] for e in parsed_ext], dtype=jnp.int32)
+
+    stego3 = jnp.asarray(stego).reshape(b, n // 128, 128)
+    over3 = jnp.asarray(over).reshape(b, n // 128, 128)
+    r1, segs1, cnts1 = pp.extract_pass_batch(
+        stego3, over3, nproc1, h, w, 1, t, max_val
+    )
+    r0, segs0, cnts0 = pp.extract_pass_batch(
+        r1, over3, nproc0, h, w, 0, t, max_val
+    )
+    restored = np.asarray(r0).reshape(b, h, w)
+    out_len0 = max(int(max(e[4] for e in parsed_ext)), 1)
+    out_len1 = max(int(max(e[5] for e in parsed_ext)), 1)
+    bits0 = pp.collect_bits(segs0, cnts0, out_len0)
+    bits1 = pp.collect_bits(segs1, cnts1, out_len1)
+
+    results = []
+    for i, c in enumerate(conts):
+        _, _, _, _, b0, b1 = parsed_ext[i]
+        payload = np.concatenate(
+            [bits0[i, :b0], bits1[i, :b1]]
+        )[: c.meta.payload_bits].astype(np.uint8)
+        results.append(DecodeResult(
+            payload_bits=payload,
+            stego=stego[i],
+            meta=c.meta,
+            original=restored[i] if restore_original else None,
+        ))
+    logger.info("pee batch decode (pallas): B=%d T=%d", b, t)
+    return results

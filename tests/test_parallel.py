@@ -168,3 +168,12 @@ def test_batch_pee_roundtrip(mesh8, rng):
         dec = decode_container(res.containers[i])
         np.testing.assert_array_equal(dec.payload_bits, payloads[i])
         np.testing.assert_array_equal(dec.original, imgs[i])
+
+    # the symmetric batched decode (Pallas on TPU, per-item fallback here)
+    from codec_tcc_tpu.parallel.batch_pee import decode_pee_batch
+
+    outs = decode_pee_batch(res.containers)
+    assert len(outs) == 8
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out.payload_bits, payloads[i])
+        np.testing.assert_array_equal(out.original, imgs[i])
