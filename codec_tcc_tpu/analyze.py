@@ -135,8 +135,8 @@ class QualityAnalyzer:
         # fall back to data maxima (range=None)
         metrics = metric_ops.analyze_pair(
             orig, steg,
-            max_o if isinstance(original, str) else None,
-            max_s if isinstance(stego, str) else None,
+            range_a=max_o if isinstance(original, str) else None,
+            range_b=max_s if isinstance(stego, str) else None,
         )
 
         qv, sv = _verdicts(metrics)

@@ -286,13 +286,23 @@ class JxlCodec(Codec):
     def encode(self, image: np.ndarray) -> bytes:
         binding = self._binding()
         if binding is not None:
-            return binding.encode(image)
+            try:
+                return binding.encode(image)
+            except RuntimeError:
+                # libjxl present but the shim build failed (no compiler,
+                # read-only package dir, ...): use the binaries if any
+                if self._tools() is None:
+                    raise
         return self._encode_subprocess(image)
 
     def decode(self, data: bytes) -> np.ndarray:
         binding = self._binding()
         if binding is not None:
-            return binding.decode(data)
+            try:
+                return binding.decode(data)
+            except RuntimeError:
+                if self._tools() is None:
+                    raise
         return self._decode_subprocess(data)
 
     def _encode_subprocess(self, image: np.ndarray) -> bytes:

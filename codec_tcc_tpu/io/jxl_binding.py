@@ -17,7 +17,7 @@ import glob
 import os
 import subprocess
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -110,6 +110,12 @@ def load_library() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.jxl_probe.restype = ctypes.c_int
+        lib.jxl_probe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.jxl_runtime_version.restype = ctypes.c_uint
         lib.jxl_runtime_version.argtypes = []
         _lib = lib
@@ -146,13 +152,28 @@ def encode(image: np.ndarray, effort: int = 3) -> bytes:
     return dst[: out_size.value].tobytes()
 
 
+def probe(data: bytes) -> Tuple[int, int, int]:
+    """(height, width, bits_per_sample) from a JXL stream's basic info."""
+    import ctypes as C
+
+    lib = load_library()
+    src = np.frombuffer(data, dtype=np.uint8)
+    h, w, bits = C.c_int(0), C.c_int(0), C.c_int(0)
+    rc = lib.jxl_probe(
+        src.ctypes.data_as(C.POINTER(C.c_uint8)), src.size,
+        C.byref(h), C.byref(w), C.byref(bits),
+    )
+    if rc != 0:
+        raise ValueError("not a JXL stream (or not grayscale)")
+    return h.value, w.value, bits.value
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode a JXL stream; dtype follows the codestream bit depth."""
     lib = load_library()
     src = np.frombuffer(data, dtype=np.uint8)
-    # size from the stream itself; cap generously and let the shim check
-    cap = max(len(data) * 64, 1 << 24)
-    dst = np.empty(cap // 2, dtype=np.uint16)
+    ph, pw, pbits = probe(data)           # exact output size from the stream
+    dst = np.empty(max(ph * pw, 1), dtype=np.uint16)
     h = ctypes.c_int(0)
     w = ctypes.c_int(0)
     bits = ctypes.c_int(0)
@@ -164,6 +185,11 @@ def decode(data: bytes) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"not a decodable JXL stream (rc={rc})")
     out = dst[: h.value * w.value].reshape(h.value, w.value).copy()
+    # libjxl scales integer samples of depth b to the full uint16 range
+    # (v = round(s * 65535 / (2^b - 1))); invert to recover raw samples
+    if bits.value < 16:
+        scale = (1 << bits.value) - 1
+        out = np.round(out.astype(np.float64) * scale / 65535.0).astype(np.uint16)
     if bits.value <= 8:
         return out.astype(np.uint8)
     return out

@@ -100,6 +100,36 @@ int jxl_encode(const void* pixels, int h, int w, int dtype_bits, int effort,
   return 0;
 }
 
+// Parses the basic info only. Returns 0 on success.
+int jxl_probe(const uint8_t* src, size_t n, int* out_h, int* out_w,
+              int* out_bits) {
+  JxlDecoder* dec = JxlDecoderCreate(nullptr);
+  if (!dec) return 1;
+  int rc = 1;
+  if (JxlDecoderSubscribeEvents(dec, JXL_DEC_BASIC_INFO) == JXL_DEC_SUCCESS &&
+      JxlDecoderSetInput(dec, src, n) == JXL_DEC_SUCCESS) {
+    JxlDecoderCloseInput(dec);
+    for (;;) {
+      JxlDecoderStatus st = JxlDecoderProcessInput(dec);
+      if (st == JXL_DEC_BASIC_INFO) {
+        JxlBasicInfo info;
+        std::memset(&info, 0, sizeof(info));
+        if (JxlDecoderGetBasicInfo(dec, &info) == JXL_DEC_SUCCESS &&
+            info.num_color_channels == 1 && info.xsize && info.ysize) {
+          *out_h = static_cast<int>(info.ysize);
+          *out_w = static_cast<int>(info.xsize);
+          *out_bits = static_cast<int>(info.bits_per_sample);
+          rc = 0;
+        }
+        break;
+      }
+      if (st != JXL_DEC_SUCCESS && st != JXL_DEC_FULL_IMAGE) break;
+    }
+  }
+  JxlDecoderDestroy(dec);
+  return rc;
+}
+
 // Returns 0 on success; fills dst (row-major uint16 regardless of depth).
 int jxl_decode(const uint8_t* src, size_t n, uint16_t* dst, size_t dst_cap,
                int* out_h, int* out_w, int* out_bits) {

@@ -181,8 +181,10 @@ def host_pair_report(
 def analyze_pair(
     original,
     stego,
+    *,
     range_a: float | None = None,
     range_b: float | None = None,
+    max_value: float | None = None,
 ) -> Dict[str, float]:
     """THE metric entry point for an image pair (the reference's
     ``analisar_par_imagens`` core, src/mse.py:181-261) with an explicit range
@@ -195,8 +197,12 @@ def analyze_pair(
       src/mse.py:18-37): pass the loaded ``2^BitsStored - 1`` ranges.
 
     Cross-range normalization fires iff ``range_a != range_b`` (the
-    reference's ``max1 != max2`` test) and rescales both images to
-    ``max_value = max(range_a, range_b)`` before differencing.
+    reference's ``max1 != max2`` test) and rescales both images toward the
+    final range before differencing. ``max_value`` overrides that final
+    PSNR/SSIM range only (default ``max(range_a, range_b)``); it does not
+    affect the normalization decision. All three are keyword-only — the
+    per-image ranges and the final range are different policies and a
+    positional float would be ambiguous.
 
     Routing: the fused one-pass device reduction serves the equal-range case
     (cancellation-free); the normalization branch uses exact float64 host
@@ -208,8 +214,8 @@ def analyze_pair(
     ra = float(stats["max_a"]) if range_a is None else float(range_a)
     rb = float(stats["max_b"]) if range_b is None else float(range_b)
     if ra != rb and ra > 0 and rb > 0:
-        return host_pair_report(original, stego, range_a=ra, range_b=rb)
-    return quality_report(stats, range_a=ra, range_b=rb)
+        return host_pair_report(original, stego, max_value, range_a=ra, range_b=rb)
+    return quality_report(stats, max_value, range_a=ra, range_b=rb)
 
 
 @partial(jax.jit, static_argnames=("window",))

@@ -354,7 +354,9 @@ def encode_array_tiled(
         metrics = metric_ops.quality_report(stats)
     stego = np.asarray(stego_d)
 
-    maps = np.asarray(embed_ops.xor_maps(image, stego))[:s]
+    from ..pipeline import _host_xor_maps
+
+    maps = _host_xor_maps(image, stego, s)
     from ..io.codecs import get as get_codec
 
     stego_blob = get_codec(config.codec).encode(stego)
@@ -434,9 +436,7 @@ def decode_container_tiled(
     if restore_original and meta.has_bitmaps:
         maps = cont.bitmaps()
         if maps is not None:
-            maps_full = np.zeros((kernel_bits, h, w), dtype=np.uint8)
-            maps_full[: meta.s] = maps
-            original = np.asarray(
-                embed_ops.restore_original(stego, maps_full, np.int32(meta.s))
-            )
+            from ..pipeline import _host_restore
+
+            original = _host_restore(stego, maps, meta.s)
     return DecodeResult(bits, stego, meta, original)

@@ -14,6 +14,7 @@ XOR location maps make the *original* image recoverable, not just the payload.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, Optional, Union
 
 import jax
@@ -85,6 +86,45 @@ def _as_payload_bits(payload: Union[bytes, str, np.ndarray]) -> np.ndarray:
     if isinstance(payload, (bytes, bytearray)):
         return bit_utils.bytes_to_bits(bytes(payload))
     return np.asarray(payload, dtype=np.uint8)
+
+
+@partial(jax.jit, static_argnames=("nbits", "with_stats"))
+def _fused_embed_step(image, msg, starts, lengths, offsets, s, nbits, with_stats):
+    """One device dispatch for the whole embed stage: stego + fused metric
+    moments. Separate launches cost ~9 ms each through the dev TPU tunnel
+    and an extra host->device image transfer besides. XOR maps are NOT
+    produced here: they are a cheap host XOR/shift of arrays the host holds
+    anyway, and returning all ``nbits`` planes would move 8x the image size
+    back over the link."""
+    stego = embed_ops.embed(image, msg, starts, lengths, offsets, s, nbits)
+    stats = metric_ops.pair_stats(image, stego) if with_stats else None
+    return stego, stats
+
+
+@partial(jax.jit, static_argnames=("nbits", "block", "with_stats"))
+def _fused_block_embed_step(
+    image, msg, bases, lengths, offsets, s, nbits, block, with_stats
+):
+    stego = embed_ops.embed_block_adaptive(
+        image, msg, bases, lengths, offsets, s, nbits, block
+    )
+    stats = metric_ops.pair_stats(image, stego) if with_stats else None
+    return stego, stats
+
+
+def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarray:
+    """(s, H, W) uint8 XOR location maps computed on host (the reference's
+    ``orig ^ stego`` bitmaps, src/codec.py:309-311)."""
+    diff = (original ^ stego).astype(np.int64)
+    shifts = np.arange(s, dtype=np.int64).reshape(s, 1, 1)
+    return ((diff[None] >> shifts) & 1).astype(np.uint8)
+
+
+def _host_restore(stego: np.ndarray, maps: np.ndarray, s: int) -> np.ndarray:
+    """original = stego XOR (maps recombined over the s local planes)."""
+    shifts = np.arange(s, dtype=np.int64).reshape(s, 1, 1)
+    diff = np.sum(maps[:s].astype(np.int64) << shifts, axis=0)
+    return (stego ^ diff.astype(stego.dtype)).astype(stego.dtype)
 
 
 def _block_bases(
@@ -183,27 +223,24 @@ def encode_array(
         msg_pad = np.pad(msg_pad, (0, lpad - msg_pad.size))
 
     with stage("embed"):
+        # 3b+4. one fused device dispatch: embed + metric moments
         if config.strategy == "block_adaptive":
             bases = _block_bases(image, kernel_bits, s, config.block_size, h, w)
-            stego_dev = embed_ops.embed_block_adaptive(
+            stego_dev, stats = _fused_block_embed_step(
                 image, msg_pad, bases, pp.lengths, pp.offsets,
                 np.int32(s), kernel_bits, config.block_size,
+                config.compute_metrics,
             )
         else:
-            stego_dev = embed_ops.embed(
+            stego_dev, stats = _fused_embed_step(
                 image, msg_pad, pp.starts, pp.lengths, pp.offsets,
-                np.int32(s), kernel_bits,
+                np.int32(s), kernel_bits, config.compute_metrics,
             )
-
-        # 4. XOR location maps (device) + metrics (fused, device)
-        maps_dev = embed_ops.xor_maps(image, stego_dev)
-        metrics = None
-        if config.compute_metrics:
-            stats = metric_ops.pair_stats(image, stego_dev)
-            metrics = metric_ops.quality_report(stats)
-
+        metrics = (
+            metric_ops.quality_report(stats) if config.compute_metrics else None
+        )
         stego = np.asarray(stego_dev)
-        maps = np.asarray(maps_dev)[:s]
+        maps = _host_xor_maps(image, stego, s)
 
     # 5. transport codec + container
     with stage("transport_codec"):
@@ -360,11 +397,7 @@ def decode_container(
                 "block_adaptive extraction requires the XOR location maps"
             )
         block = container_io.parse_block_ext(meta.ext)
-        maps_full = np.zeros((kernel_bits, h, w), dtype=np.uint8)
-        maps_full[: meta.s] = maps
-        original = np.asarray(
-            embed_ops.restore_original(stego, maps_full, np.int32(meta.s))
-        )
+        original = _host_restore(stego, maps, meta.s)
         bases = _block_bases(original, kernel_bits, meta.s, block, h, w)
         aligned = embed_ops.extract_block_aligned(
             stego, bases, lengths, np.int32(meta.s), kernel_bits, block
@@ -386,11 +419,7 @@ def decode_container(
     if restore_original and meta.has_bitmaps:
         maps = cont.bitmaps()
         if maps is not None:
-            maps_full = np.zeros((kernel_bits, h, w), dtype=np.uint8)
-            maps_full[: meta.s] = maps
-            original = np.asarray(
-                embed_ops.restore_original(stego, maps_full, np.int32(meta.s))
-            )
+            original = _host_restore(stego, maps, meta.s)
     return DecodeResult(bits, stego, meta, original)
 
 
@@ -407,11 +436,16 @@ def decode_file(path: str, *, restore_original: bool = True) -> DecodeResult:
 def analyze_pair(
     original: ArrayLike,
     stego: ArrayLike,
+    *,
     range_a: Optional[float] = None,
     range_b: Optional[float] = None,
+    max_value: Optional[float] = None,
 ) -> Dict[str, float]:
     """Quality metrics for an image pair — delegates to the single unified
     entry point :func:`codec_tcc_tpu.ops.metrics.analyze_pair` (data-max
     range policy by default; pass BitsStored-derived ranges for the
-    reference's file branch — see that docstring for the policy split)."""
-    return metric_ops.analyze_pair(original, stego, range_a, range_b)
+    reference's file branch, or ``max_value`` to override only the final
+    PSNR/SSIM range — all keyword-only, see that docstring)."""
+    return metric_ops.analyze_pair(
+        original, stego, range_a=range_a, range_b=range_b, max_value=max_value
+    )
