@@ -73,6 +73,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ana.add_argument("stego")
     ana.add_argument("--windowed-ssim", action="store_true",
                      help="also compute standard sliding-window SSIM")
+    ana.add_argument("--bits-stored-range", action="store_true",
+                     help="use BitsStored-derived value ranges for DICOM "
+                          "inputs (the reference mse.py CLI's policy) "
+                          "instead of the data maxima")
     ana.add_argument("--report", help="write a JSON run report here")
 
     anb = sub.add_parser(
@@ -240,9 +244,19 @@ def cmd_decode(args: argparse.Namespace) -> int:
 def cmd_analyze(args: argparse.Namespace) -> int:
     from . import pipeline
 
-    orig = _load_any(args.original)
-    stego = _load_any(args.stego)
-    rep = pipeline.analyze_pair(orig, stego)
+    if args.bits_stored_range:
+        # the reference mse.py CLI derives ranges from carregar_imagem's
+        # BitsStored for DICOM inputs (src/mse.py:18-37)
+        from .analyze import load_image
+        from .ops import metrics as metric_ops
+
+        orig, max_o, _ = load_image(args.original)
+        stego, max_s, _ = load_image(args.stego)
+        rep = metric_ops.analyze_pair(orig, stego, range_a=max_o, range_b=max_s)
+    else:
+        orig = _load_any(args.original)
+        stego = _load_any(args.stego)
+        rep = pipeline.analyze_pair(orig, stego)
     if args.windowed_ssim:
         from .ops.metrics import ssim_windowed
 

@@ -227,10 +227,18 @@ def unpack_volume(data: bytes):
 
     if data[:4] != VOLUME_MAGIC:
         raise ValueError("Invalid file: bad STGV signature")
-    version, d, total_bits, s = struct.unpack_from(">IIQI", data, 4)
-    off = 4 + struct.calcsize(">IIQI")
-    sizes = struct.unpack_from(f">{d}Q", data, off)
+    try:
+        version, d, total_bits, s = struct.unpack_from(">IIQI", data, 4)
+        off = 4 + struct.calcsize(">IIQI")
+        sizes = struct.unpack_from(f">{d}Q", data, off)
+    except struct.error as exc:
+        raise ValueError(f"Invalid file: truncated STGV header ({exc})") from exc
     off += 8 * d
+    if off + sum(sizes) > len(data):
+        raise ValueError(
+            f"Invalid file: STGV body truncated (need {off + sum(sizes)} "
+            f"bytes, have {len(data)})"
+        )
 
     bits_parts = []
     stego_slices = []

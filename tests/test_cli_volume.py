@@ -56,3 +56,27 @@ def test_volume_shape_mismatch_errors(tmp_path, rng, capsys):
                "--message", "x"])
     assert rc == 1
     assert "3-D" in capsys.readouterr().err
+
+
+def test_stgv_truncated_is_valueerror(tmp_path, rng):
+    import pytest
+    from codec_tcc_tpu.parallel import volume as volume_par
+    from codec_tcc_tpu.config import EncodeConfig
+
+    vol = rng.integers(0, 256, size=(2, 32, 32)).astype(np.uint8)
+    res = volume_par.encode_volume(vol, b"x" * 8, EncodeConfig(codec="deflate"))
+    blob = volume_par.pack_volume(vol, res, EncodeConfig(codec="deflate"))
+    with pytest.raises(ValueError, match="STGV"):
+        volume_par.unpack_volume(blob[:10])          # truncated header
+    with pytest.raises(ValueError, match="truncated"):
+        volume_par.unpack_volume(blob[: len(blob) // 2])   # truncated body
+
+
+def test_analyze_bits_stored_range_flag(capsys):
+    """--bits-stored-range reproduces the reference mse.py CLI policy
+    (BitsStored-derived PSNR range for DICOM inputs)."""
+    rc = main(["analyze", "/root/reference/images/pe.dcm",
+               "/root/reference/images/pe.dcm", "--bits-stored-range"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out and "inf" in out  # identical pair
