@@ -124,6 +124,23 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     vdec.add_argument("input", help=".stgv file")
     vdec.add_argument("--output-prefix", default="volume")
+
+    benc = sub.add_parser(
+        "encode-batch",
+        help="encode many images with per-item checkpointing/resume (a "
+             "crashed run re-processes only unfinished items)",
+    )
+    benc.add_argument("inputs", nargs="+", help="input image files")
+    benc.add_argument("--output-dir", required=True,
+                      help="one .stgc per input + manifest.json checkpoint")
+    gb = benc.add_mutually_exclusive_group(required=True)
+    gb.add_argument("--message", help="text payload (same for every item)")
+    gb.add_argument("--payload-file", help="binary payload file")
+    benc.add_argument("--beta", type=float, default=0.4)
+    benc.add_argument("--strategy", choices=STRATEGIES, default="hybrid")
+    benc.add_argument("--codec", default="deflate")
+    benc.add_argument("--no-retry-failed", action="store_true",
+                      help="on resume, skip items that failed before")
     return p
 
 
@@ -408,6 +425,36 @@ def cmd_decode_volume(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_encode_batch(args: argparse.Namespace) -> int:
+    from .config import EncodeConfig
+    from .parallel.runner import BatchRunner
+
+    if args.message is not None:
+        payload: object = args.message
+    else:
+        with open(args.payload_file, "rb") as f:
+            payload = f.read()
+    cfg = EncodeConfig(beta=args.beta, strategy=args.strategy, codec=args.codec)
+    runner = BatchRunner(args.output_dir, cfg)
+    results = runner.run(args.inputs, payload,
+                         retry_failed=not args.no_retry_failed)
+    done = sum(1 for r in results if r.status == "done")
+    failed = [r for r in results if r.status == "failed"]
+    print(f"{'INPUT':<32} {'STATUS':<8} {'s':<3} {'BYTES':<9} {'PSNR':<7}")
+    print("-" * 64)
+    import os as _os
+
+    for r in results:
+        psnr = f"{r.psnr:.1f}" if r.psnr is not None else "-"
+        print(f"{_os.path.basename(r.input):<32} {r.status:<8} "
+              f"{r.s if r.s is not None else '-':<3} "
+              f"{r.container_bytes if r.container_bytes else '-':<9} {psnr:<7}")
+    print(f"\n{done}/{len(results)} done; manifest: {runner.manifest_path}")
+    for r in failed:
+        print(f"failed: {r.input}: {r.error}", file=sys.stderr)
+    return 0 if not failed else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
@@ -420,6 +467,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "demo": cmd_demo,
         "encode-volume": cmd_encode_volume,
         "decode-volume": cmd_decode_volume,
+        "encode-batch": cmd_encode_batch,
     }[args.command]
     try:
         return handler(args)

@@ -198,9 +198,12 @@ def encode_array(
     # power-of-two >= s (4/8/16) so a typical beta=0.4 cut (s=3-4) does a
     # quarter of the work of a full 16-plane unroll.
     kernel_bits = _plane_bucket(s, dtype_bits)
+    # upload the image once; both the block scan and the fused embed step
+    # read it (a second host->device copy costs more than the kernels here)
+    image_dev = jax.device_put(image)
     if config.strategy == "hybrid":
         counts0 = np.asarray(
-            block_ops.block_bit_counts(image, 0, config.search_block_size)
+            block_ops.block_bit_counts(image_dev, 0, config.search_block_size)
         )
         start = block_ops.best_offset_from_counts(
             counts0, h, w, config.search_block_size
@@ -225,15 +228,15 @@ def encode_array(
     with stage("embed"):
         # 3b+4. one fused device dispatch: embed + metric moments
         if config.strategy == "block_adaptive":
-            bases = _block_bases(image, kernel_bits, s, config.block_size, h, w)
+            bases = _block_bases(image_dev, kernel_bits, s, config.block_size, h, w)
             stego_dev, stats = _fused_block_embed_step(
-                image, msg_pad, bases, pp.lengths, pp.offsets,
+                image_dev, msg_pad, bases, pp.lengths, pp.offsets,
                 np.int32(s), kernel_bits, config.block_size,
                 config.compute_metrics,
             )
         else:
             stego_dev, stats = _fused_embed_step(
-                image, msg_pad, pp.starts, pp.lengths, pp.offsets,
+                image_dev, msg_pad, pp.starts, pp.lengths, pp.offsets,
                 np.int32(s), kernel_bits, config.compute_metrics,
             )
         metrics = (
@@ -402,18 +405,20 @@ def decode_container(
         aligned = embed_ops.extract_block_aligned(
             stego, bases, lengths, np.int32(meta.s), kernel_bits, block
         )
-        bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
-            : meta.payload_bits
-        ]
+        # planes >= s are all-zero; slice on device before the host pull
+        bits = embed_ops.assemble_message(
+            aligned[: meta.s], offsets[: meta.s], lengths[: meta.s], out_len
+        )[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
     with stage("extract"):
         aligned = embed_ops.extract_aligned(
             stego, starts, lengths, np.int32(meta.s), kernel_bits
         )
-        bits = embed_ops.assemble_message(aligned, offsets, lengths, out_len)[
-            : meta.payload_bits
-        ]
+        # planes >= s are all-zero; slice on device before the host pull
+        bits = embed_ops.assemble_message(
+            aligned[: meta.s], offsets[: meta.s], lengths[: meta.s], out_len
+        )[: meta.payload_bits]
 
     original = None
     if restore_original and meta.has_bitmaps:

@@ -80,3 +80,34 @@ def test_analyze_bits_stored_range_flag(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "PSNR" in out and "inf" in out  # identical pair
+
+
+def test_encode_batch_cli_with_resume(tmp_path, rng, capsys):
+    """encode-batch: per-item checkpointing, failure isolation, resume."""
+    from codec_tcc_tpu.io import dicom
+
+    paths = []
+    for i in range(3):
+        img = rng.integers(0, 4096, size=(32, 32)).astype(np.uint16)
+        p = tmp_path / f"img{i}.dcm"
+        dicom.save_image(img, str(p), bits_stored=12)
+        paths.append(str(p))
+    bad = tmp_path / "bad.dcm"
+    bad.write_bytes(b"not a dicom at all")
+    outdir = tmp_path / "out"
+
+    rc = main(["encode-batch", *paths, str(bad), "--output-dir", str(outdir),
+               "--message", "lote"])
+    assert rc == 1                       # one failure isolated, not fatal
+    out = capsys.readouterr().out
+    assert "3/4 done" in out
+    assert (outdir / "manifest.json").exists()
+    assert len(list(outdir.glob("*.stgc"))) == 3
+
+    # resume: finished items skipped (their outputs untouched), failure retried
+    before = {f.name: f.stat().st_mtime_ns for f in outdir.glob("*.stgc")}
+    rc = main(["encode-batch", *paths, str(bad), "--output-dir", str(outdir),
+               "--message", "lote"])
+    assert rc == 1
+    after = {f.name: f.stat().st_mtime_ns for f in outdir.glob("*.stgc")}
+    assert before == after
