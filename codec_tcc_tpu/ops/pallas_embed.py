@@ -458,6 +458,185 @@ def extract_aligned_batch_padded(
     return out4.reshape(b, np_planes, n)
 
 
+# ---------------------------------------------------------------------------
+# preplaced plane-bits kernels
+#
+# The windowed kernels above move each plane's message segment to its raster
+# position at run time (two DMA windows + three rotations per plane per
+# tile). Placing the bits at their raster positions ON HOST instead — two
+# memcpys per plane — leaves the device kernels pure streaming arithmetic:
+# no manual DMA, no rotations, no wrap logic. Costs NP x N bytes of HBM per
+# image; buys ~2x cycle throughput.
+# ---------------------------------------------------------------------------
+
+
+def preplace_bits(
+    msgs: np.ndarray,        # (B, Lpad) uint8 padded messages
+    starts: np.ndarray,      # (B, NP) int32
+    lens: np.ndarray,
+    offs: np.ndarray,
+    n_pixels: int,
+) -> np.ndarray:
+    """Host prep: per-plane bit buffers in raster position —
+    ``out[b, p, (start + j) % n] = msgs[b, off + j]``. Returns
+    ``(B, NP, n/128, 128) uint8``."""
+    b, np_planes = starts.shape
+    out = np.zeros((b, np_planes, n_pixels), dtype=np.uint8)
+    for i in range(b):
+        for p in range(np_planes):
+            ln = int(lens[i, p])
+            if ln <= 0:
+                continue
+            st = int(starts[i, p]) % n_pixels
+            off = int(offs[i, p])
+            seg = msgs[i, off : off + ln]
+            k = min(ln, n_pixels - st)
+            out[i, p, st : st + k] = seg[:k]
+            if ln > k:
+                out[i, p, : ln - k] = seg[k:]
+    return out.reshape(b, np_planes, n_pixels // _LANE, _LANE)
+
+
+def _embed_preplaced_kernel(
+    starts_ref, lens_ref,                    # scalar prefetch (B, NP) int32
+    img_ref, bits_ref,                       # (1,TR,128), (1,NP,TR,128)
+    out_ref,                                 # (1,TR,128)
+    *, np_planes: int, tsize: int, n: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tr = tsize // _LANE
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 1)
+    pos = t * tsize + r_id * _LANE + c_id
+    acc = img_ref[0].astype(jnp.int32)
+    for p in range(np_planes):
+        rel = pos - starts_ref[b, p]
+        rel = jnp.where(rel < 0, rel + n, rel)
+        active = rel < lens_ref[b, p]
+        bv = bits_ref[0, p].astype(jnp.int32)
+        acc = jnp.where(active, (acc & jnp.int32(~(1 << p))) | (bv << p), acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile"))
+def embed_batch_preplaced(
+    images3: jax.Array,      # (B, N/128, 128) uint8/uint16
+    bits4: jax.Array,        # (B, NP, N/128, 128) uint8 from preplace_bits
+    starts: jax.Array,
+    lens: jax.Array,
+    np_planes: int,
+    tile: int,
+) -> jax.Array:
+    b, nr, _ = images3.shape
+    n = nr * _LANE
+    tr = tile // _LANE
+    kernel = functools.partial(
+        _embed_preplaced_kernel, np_planes=np_planes, tsize=tile, n=n
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nr // tr),
+        in_specs=[
+            pl.BlockSpec((1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_planes, tr, _LANE),
+                         lambda bb, tt, *_: (bb, 0, tt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(images3.shape, images3.dtype),
+    )(starts, lens, images3, bits4)
+
+
+def _extract_raster_kernel(
+    starts_ref, lens_ref,
+    stego_ref,                               # (1,TR,128)
+    out_ref,                                 # (1,NP,TR,128)
+    *, np_planes: int, tsize: int, n: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    tr = tsize // _LANE
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 0)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANE), 1)
+    pos = t * tsize + r_id * _LANE + c_id
+    x = stego_ref[0].astype(jnp.int32)
+    for p in range(np_planes):
+        rel = pos - starts_ref[b, p]
+        rel = jnp.where(rel < 0, rel + n, rel)
+        active = rel < lens_ref[b, p]
+        bits = ((x >> p) & 1).astype(jnp.uint8)
+        out_ref[0, p] = jnp.where(active, bits, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile"))
+def extract_raster_batch(
+    stego3: jax.Array,       # (B, N/128, 128)
+    starts: jax.Array,
+    lens: jax.Array,
+    np_planes: int,
+    tile: int,
+) -> jax.Array:
+    """Plane bits in RASTER order masked to their windows —
+    ``(B, NP, N) uint8``; pair with :func:`assemble_raster` (two host
+    memcpys per plane)."""
+    b, nr, _ = stego3.shape
+    n = nr * _LANE
+    tr = tile // _LANE
+    kernel = functools.partial(
+        _extract_raster_kernel, np_planes=np_planes, tsize=tile, n=n
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nr // tr),
+        in_specs=[
+            pl.BlockSpec((1, tr, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_planes, tr, _LANE),
+                               lambda bb, tt, *_: (bb, 0, tt, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out4 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, np_planes, nr, _LANE), jnp.uint8),
+    )(starts, lens, stego3)
+    return out4.reshape(b, np_planes, n)
+
+
+def assemble_raster(rows, starts, lens, offs, out_len: int) -> np.ndarray:
+    """Host back half for :func:`extract_raster_batch`: copy each plane's
+    raster window (with at most one wrap split) to its message offset.
+    ``rows`` is (NP, N) or (B, NP, N) with per-image parameter arrays."""
+    rows = np.asarray(rows)
+    if rows.ndim == 3:
+        return np.stack([
+            assemble_raster(rows[i], starts[i], lens[i], offs[i], out_len)
+            for i in range(rows.shape[0])
+        ])
+    n = rows.shape[1]
+    out = np.zeros(out_len, dtype=np.uint8)
+    for p in range(rows.shape[0]):
+        ln = int(lens[p])
+        off = int(offs[p])
+        if ln <= 0 or off >= out_len:
+            continue
+        ln = min(ln, out_len - off)
+        st = int(starts[p]) % n
+        k = min(ln, n - st)
+        out[off : off + k] = rows[p, st : st + k]
+        if ln > k:
+            out[off + k : off + ln] = rows[p, : ln - k]
+    return out
+
+
 def unpad_stego(stego_padded: jax.Array, b: int, n: int) -> jax.Array:
     """(rows, 128) padded flat -> (B, N) images."""
     flat = stego_padded.reshape(-1)

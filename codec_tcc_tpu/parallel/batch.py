@@ -174,6 +174,20 @@ def _pallas_ok(shape: tuple, mesh: Optional[Mesh]) -> bool:
     return pe.pick_tile(n) > 0 and n % 128 == 0
 
 
+_PREPLACED_HBM_CAP = 2 << 30    # bits-buffer budget for the preplaced layout
+
+
+def _pick_pallas_backend(shape: tuple, nbits: int, mesh: Optional[Mesh]) -> str:
+    """'preplaced' (fastest: host-positioned plane bits, ~1.75x the windowed
+    kernels) unless its NP x N x B bit buffer would blow the HBM budget, in
+    which case the windowed 'pallas' kernels (O(message) memory) serve; 'xla'
+    off-TPU or under a mesh."""
+    if not _pallas_ok(shape, mesh):
+        return "xla"
+    bits_bytes = int(np.prod(shape[1:])) * int(shape[0]) * nbits
+    return "preplaced" if bits_bytes <= _PREPLACED_HBM_CAP else "pallas"
+
+
 def encode_batch(
     images: np.ndarray,
     plan: BatchPlan,
@@ -186,7 +200,23 @@ def encode_batch(
     cycle on v5e vs ~0.5 for the XLA path) and XLA elsewhere.
     """
     if backend == "auto":
-        backend = "pallas" if _pallas_ok(images.shape, mesh) else "xla"
+        backend = _pick_pallas_backend(images.shape, plan.nbits, mesh)
+    if backend == "preplaced":
+        from ..ops import pallas_embed as pe
+
+        b, h, w = images.shape
+        n = h * w
+        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        bits4 = pe.preplace_bits(
+            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        )
+        stego = pe.embed_batch_preplaced(
+            jnp.asarray(images).reshape(b, n // 128, 128),
+            jnp.asarray(bits4),
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            plan.nbits, tile,
+        )
+        return stego.reshape(b, h, w)
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 
@@ -250,7 +280,21 @@ def extract_batch(
     """(B, out_len) message bits: device-aligned rows + host assembly."""
     out_len = out_len or plan.lpad
     if backend == "auto":
-        backend = "pallas" if _pallas_ok(np.shape(stego), mesh) else "xla"
+        backend = _pick_pallas_backend(np.shape(stego), plan.nbits, mesh)
+    if backend == "preplaced":
+        from ..ops import pallas_embed as pe
+
+        b = np.shape(stego)[0]
+        n = int(np.prod(np.shape(stego)[1:]))
+        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        rows = pe.extract_raster_batch(
+            jnp.asarray(stego).reshape(b, n // 128, 128),
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            plan.nbits, tile,
+        )
+        return pe.assemble_raster(
+            rows, plan.starts, plan.lengths, plan.offsets, out_len
+        )
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 

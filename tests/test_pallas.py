@@ -176,3 +176,62 @@ def test_pallas_uint8_images(rng):
     al = np.asarray(pe.extract_aligned_batch_padded(
         padded, jnp.asarray(starts), jnp.asarray(lens), nbits, n, tile))
     np.testing.assert_array_equal(al, al_ref)
+
+
+def test_preplaced_cycle_matches_xla(rng):
+    """The preplaced-bits kernels (host-positioned plane bits, no DMA
+    windows/rotations) are bit-exact with the XLA path, embed and extract."""
+    nbits = 4
+    imgs, msgs, starts, lens, offs, svals = _random_case(rng, nbits=nbits)
+    b, h, w = imgs.shape
+    n = h * w
+    tile = pe.pick_tile(n)
+    st_ref, al_ref = _xla_reference(imgs, msgs, starts, lens, offs, svals, nbits)
+
+    bits4 = pe.preplace_bits(msgs, starts, lens, offs, n)
+    st = np.asarray(
+        pe.embed_batch_preplaced(
+            jnp.asarray(imgs).reshape(b, n // 128, 128), jnp.asarray(bits4),
+            jnp.asarray(starts), jnp.asarray(lens), nbits, tile,
+        )
+    ).reshape(b, h, w)
+    np.testing.assert_array_equal(st, st_ref)
+
+    rows = pe.extract_raster_batch(
+        jnp.asarray(st).reshape(b, n // 128, 128),
+        jnp.asarray(starts), jnp.asarray(lens), nbits, tile,
+    )
+    out_len = msgs.shape[1]
+    got = pe.assemble_raster(rows, starts, lens, offs, out_len)
+    from codec_tcc_tpu.ops import embed as _embed
+    want = _embed.assemble_message(al_ref, offs, lens, out_len)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_preplaced_wraparound_plane(rng):
+    """A window that wraps past the raster end splits into two host memcpys
+    on both the preplace and assemble sides."""
+    nbits, b, h, w = 4, 1, 32, 128
+    n = h * w
+    imgs = rng.integers(0, 4096, (b, h, w)).astype(np.uint16)
+    starts = np.array([[n - 100, 0, 0, 0]], np.int32)
+    lens = np.array([[300, 0, 0, 0]], np.int32)     # wraps by 200
+    offs = np.zeros((b, nbits), np.int32)
+    payload = rng.integers(0, 2, 300).astype(np.uint8)
+    msgs = np.zeros((b, 1 << 12), np.uint8)
+    msgs[0, :300] = payload
+
+    bits4 = pe.preplace_bits(msgs, starts, lens, offs, n)
+    st = np.asarray(pe.embed_batch_preplaced(
+        jnp.asarray(imgs).reshape(b, n // 128, 128), jnp.asarray(bits4),
+        jnp.asarray(starts), jnp.asarray(lens), nbits, pe.pick_tile(n),
+    )).reshape(b, h, w)
+    ref = np.asarray(embed_ops.embed(
+        imgs[0], msgs[0], starts[0], lens[0], offs[0], np.int32(1), nbits))
+    np.testing.assert_array_equal(st[0], ref)
+
+    rows = pe.extract_raster_batch(
+        jnp.asarray(st).reshape(b, n // 128, 128),
+        jnp.asarray(starts), jnp.asarray(lens), nbits, pe.pick_tile(n))
+    got = pe.assemble_raster(rows[0], starts[0], lens[0], offs[0], 300)
+    np.testing.assert_array_equal(got, payload)
