@@ -46,14 +46,16 @@ def main(backend: str = "auto") -> None:
 
     nbits = plan.nbits
     n = h * w
-    tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+    tile = pe.preferred_tile(n)
     use_preplaced = (
         backend in ("auto", "preplaced")
         and jax.default_backend() == "tpu" and tile > 0
     )
+    # a failed preplaced attempt falls back to the windowed kernels first
+    # (~2500 MPix/s), never straight to XLA (~717)
     use_pallas = (
-        backend in ("auto", "pallas") and jax.default_backend() == "tpu"
-        and tile > 0
+        backend in ("auto", "preplaced", "pallas")
+        and jax.default_backend() == "tpu" and tile > 0
     )
 
     starts_d = jax.device_put(jnp.asarray(plan.starts))
@@ -275,8 +277,9 @@ def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4) -> float:
 def _orchestrate() -> int:
     """Run the measurement in fresh subprocesses: a TPU-tunnel abort poisons
     the whole JAX runtime in-process (even device_put fails afterwards), so
-    each attempt needs its own interpreter. Tries the Pallas path, then the
-    XLA path, a few times each."""
+    each attempt needs its own interpreter. Tries the preplaced kernels
+    (which fall back in-process to the windowed kernels, then XLA), then the
+    windowed kernels, then XLA directly."""
     import subprocess
     import sys
 

@@ -182,10 +182,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
     from .profiling import get_profiler, trace_to
 
     with trace_to(getattr(args, "profile_dir", None)):
-        if args.input.lower().endswith(".dcm"):
-            result = pipeline.encode_dicom(args.input, payload, config)
-        else:
-            result = pipeline.encode_array(_load_any(args.input), payload, config)
+        result = pipeline.encode_file(args.input, payload, config)
     with open(args.output, "wb") as f:
         f.write(result.container)
     if args.verbose:
@@ -265,21 +262,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         # the reference mse.py CLI derives ranges from carregar_imagem's
         # BitsStored for DICOM inputs (src/mse.py:18-37)
         from .analyze import load_image
-        from .ops import metrics as metric_ops
 
         orig, max_o, _ = load_image(args.original)
         stego, max_s, _ = load_image(args.stego)
-        rep = metric_ops.analyze_pair(orig, stego, range_a=max_o, range_b=max_s)
+        if orig.shape != stego.shape:
+            raise ValueError(f"Shape mismatch: {orig.shape} vs {stego.shape}")
+        rep = pipeline.analyze_pair(orig, stego, range_a=max_o, range_b=max_s)
+        ssim_range = max(float(max_o), float(max_s))
     else:
         orig = _load_any(args.original)
         stego = _load_any(args.stego)
         rep = pipeline.analyze_pair(orig, stego)
+        ssim_range = max(float(orig.max()), float(stego.max()))
     if args.windowed_ssim:
         from .ops.metrics import ssim_windowed
 
-        rep["ssim_windowed"] = float(
-            ssim_windowed(orig, stego, max(float(orig.max()), float(stego.max())))
-        )
+        rep["ssim_windowed"] = float(ssim_windowed(orig, stego, ssim_range))
         print(f"SSIM (windowed)      : {rep['ssim_windowed']:.6f}")
     print(f"MSE                  : {rep['mse']:.6f}")
     print(f"PSNR                 : {rep['psnr']:.2f} dB")

@@ -47,6 +47,11 @@ __all__ = [
     "pad_stego_flat",
     "unpad_stego",
     "pick_tile",
+    "preferred_tile",
+    "preplace_bits",
+    "embed_batch_preplaced",
+    "extract_raster_batch",
+    "assemble_raster",
 ]
 
 _LANE = 128
@@ -61,6 +66,13 @@ def pick_tile(n: int) -> int:
         if n % t == 0:
             return t
     return 0  # caller falls back to the XLA path
+
+
+def preferred_tile(n: int) -> int:
+    """The tuned tile for these kernels: 131072 elements when it divides N
+    (the measured sweet spot on v5e), else the largest pick_tile divisor.
+    The single place the constant lives — all backends call this."""
+    return 131072 if n % 131072 == 0 else pick_tile(n)
 
 
 def shift_messages_2d(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
@@ -531,6 +543,9 @@ def embed_batch_preplaced(
     b, nr, _ = images3.shape
     n = nr * _LANE
     tr = tile // _LANE
+    # the kernel applies a single +n wrap to (pos - start); keep the host
+    # contract (preplace_bits uses % n) and the device mask in agreement
+    starts = jnp.mod(starts, n)
     kernel = functools.partial(
         _embed_preplaced_kernel, np_planes=np_planes, tsize=tile, n=n
     )
@@ -589,6 +604,7 @@ def extract_raster_batch(
     b, nr, _ = stego3.shape
     n = nr * _LANE
     tr = tile // _LANE
+    starts = jnp.mod(starts, n)   # see embed_batch_preplaced
     kernel = functools.partial(
         _extract_raster_kernel, np_planes=np_planes, tsize=tile, n=n
     )

@@ -206,7 +206,7 @@ def encode_batch(
 
         b, h, w = images.shape
         n = h * w
-        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        tile = pe.preferred_tile(n)
         bits4 = pe.preplace_bits(
             plan.msgs, plan.starts, plan.lengths, plan.offsets, n
         )
@@ -222,7 +222,7 @@ def encode_batch(
 
         b, h, w = images.shape
         n = h * w
-        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        tile = pe.preferred_tile(n)
         msg2d, l2 = pe.shift_messages_2d(plan.msgs, n)
         padded = pe.embed_batch_padded(
             jnp.asarray(images).reshape(b, n // 128, 128),
@@ -286,7 +286,7 @@ def extract_batch(
 
         b = np.shape(stego)[0]
         n = int(np.prod(np.shape(stego)[1:]))
-        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        tile = pe.preferred_tile(n)
         rows = pe.extract_raster_batch(
             jnp.asarray(stego).reshape(b, n // 128, 128),
             jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
@@ -303,7 +303,7 @@ def extract_batch(
         stego_np = np.asarray(stego)
         b = stego_np.shape[0]
         n = int(np.prod(stego_np.shape[1:]))
-        tile = 131072 if n % 131072 == 0 else pe.pick_tile(n)
+        tile = pe.preferred_tile(n)
         aligned = pe.extract_aligned_batch_padded(
             jnp.asarray(pe.pad_stego_flat(stego_np)),
             jnp.asarray(plan.starts), jnp.asarray(plan.lengths),

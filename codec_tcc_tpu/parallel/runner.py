@@ -2,7 +2,7 @@
 
 SURVEY §5 (failure detection / recovery): the reference's failure handling is
 a bare try/except around its demo (``src/codec.py:911-922``) — a crashed batch
-loses everything. This runner processes a list of DICOM files, writes one
+loses everything. This runner processes a list of image files (DICOM or PNG/PIL), writes one
 container per input plus a JSON manifest checkpoint after every item, and on
 restart skips finished items (so a failed shard re-runs only its remainder).
 Per-item failures are isolated and recorded, not fatal.
@@ -39,7 +39,7 @@ class ItemResult:
 
 
 class BatchRunner:
-    """Encode many DICOMs into containers, checkpointing after each item."""
+    """Encode many images into containers, checkpointing after each item."""
 
     def __init__(self, output_dir: str, config: EncodeConfig = EncodeConfig()):
         self.output_dir = output_dir
@@ -92,7 +92,7 @@ class BatchRunner:
             )
             t0 = time.perf_counter()
             try:
-                res = pipeline.encode_dicom(path, payload, self.config)
+                res = pipeline.encode_file(path, payload, self.config)
                 with open(out_path, "wb") as f:
                     f.write(res.container)
                 self.results[path] = ItemResult(

@@ -199,7 +199,9 @@ def encode_array(
     # quarter of the work of a full 16-plane unroll.
     kernel_bits = _plane_bucket(s, dtype_bits)
     # upload the image once; both the block scan and the fused embed step
-    # read it (a second host->device copy costs more than the kernels here)
+    # read it (a second host->device copy costs more than the kernels here).
+    # decompose above did NOT transfer it: numpy inputs take the host
+    # np.bincount histogram path.
     image_dev = jax.device_put(image)
     if config.strategy == "hybrid":
         counts0 = np.asarray(
@@ -323,6 +325,23 @@ def encode_dicom(
     if image.dtype == np.int16:
         image = image.astype(np.uint16)
     return encode_array(image, payload, config, bits_stored=ds.bits_stored)
+
+
+def encode_file(
+    path: str,
+    payload: Union[bytes, str, np.ndarray],
+    config: EncodeConfig = EncodeConfig(),
+) -> EncodeResult:
+    """Encode any supported image file: DICOM through the native reader
+    (BitsStored plumbed through), PNG/PIL grayscale formats otherwise."""
+    if path.lower().endswith(".dcm"):
+        return encode_dicom(path, payload, config)
+    from PIL import Image
+
+    arr = np.array(Image.open(path))
+    if arr.dtype == np.int32:
+        arr = arr.astype(np.uint16)
+    return encode_array(arr, payload, config)
 
 
 # ---------------------------------------------------------------------------

@@ -111,3 +111,20 @@ def test_encode_batch_cli_with_resume(tmp_path, rng, capsys):
     assert rc == 1
     after = {f.name: f.stat().st_mtime_ns for f in outdir.glob("*.stgc")}
     assert before == after
+
+
+def test_encode_batch_png_inputs(tmp_path, rng):
+    """encode-batch supports the same non-DICOM formats as `encode`."""
+    from PIL import Image
+
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+        p = tmp_path / f"g{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    outdir = tmp_path / "out"
+    rc = main(["encode-batch", *paths, "--output-dir", str(outdir),
+               "--message", "png lote"])
+    assert rc == 0
+    assert len(list(outdir.glob("*.stgc"))) == 2
