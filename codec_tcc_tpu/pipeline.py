@@ -283,6 +283,15 @@ def encode_array(
     if config.container_version == 1:
         import struct as _struct
 
+        if config.codec == "png":
+            # the reference's 'png' codec is really a whole DEFLATED DICOM
+            # file (src/codec.py:151-162); write that byte format in v1
+            # containers so the reference's own decompress path reads them
+            # (our PngCodec.decode accepts both forms)
+            stego_blob = dicom.to_bytes(
+                dicom.build_secondary_capture(stego, bits_stored=bits_stored),
+                deflated=True,
+            )
         # v1 stores only the clamped effective lengths, but decode replays
         # message offsets by accumulating the *planned* sizes; when the plan
         # has a negative bucket (tiny payloads) or per-plane clamping fired,

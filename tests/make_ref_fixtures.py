@@ -70,8 +70,15 @@ def _install_pydicom_shim() -> None:
         uid_counter[0] += 1
         return f"1.2.826.0.1.3680043.8.498.{uid_counter[0]}"
 
+    def dcmread(fp, force=False):
+        # the reference's 'png' decompress path reads a deflated DICOM from a
+        # BytesIO (src/codec.py:203-206); serve it with our own parser
+        data = fp.read() if hasattr(fp, "read") else open(fp, "rb").read()
+        return our_dicom.read_bytes(data)
+
     pydicom = types.ModuleType("pydicom")
     pydicom.config = types.SimpleNamespace(image_handlers=[])
+    pydicom.dcmread = dcmread
     dataset_mod = types.ModuleType("pydicom.dataset")
     dataset_mod.FileDataset = FileDataset
     dataset_mod.FileMetaDataset = FileMetaDataset

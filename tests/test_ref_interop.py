@@ -68,3 +68,46 @@ def test_reference_v1_header_fields_match_goldens():
     assert m.sizes == (163, 91, 40, 10)
     assert m.indices == (2, 1, 3, 0)
     assert m.start_offset == 8432
+
+
+def test_reference_reads_our_v1_containers(torax_image):
+    """Reverse interop: the reference's OWN parse/decompress/extract code
+    reads a v1 container written by this framework — header fields, stego
+    image, and local planes all recover exactly. (Payload recovery through
+    the reference's decode_message stays broken by its defect B1, which is
+    the reference's own bug, not an interchange gap.)"""
+    from make_ref_fixtures import _load_reference
+
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.pipeline import encode_array
+
+    ref = _load_reference()
+
+    payload = b"ida e volta"
+    cfg = EncodeConfig(strategy="hybrid", codec="png", container_version=1,
+                       beta=0.4, compute_metrics=False)
+    res = encode_array(torax_image, payload, cfg)
+
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(res.container)
+        path = f.name
+    try:
+        metadata, bitmaps_blob, stego_bytes = ref.parse_bin_file(path)
+    finally:
+        os.unlink(path)
+
+    assert metadata["codec"] == "png"
+    assert metadata["s"] == res.meta.s
+    assert (metadata["width"], metadata["height"]) == (512, 512)
+    assert metadata["start_offset"] == res.meta.start_offset
+    assert list(metadata["segments_indices"]) == list(res.meta.indices)
+
+    stego_ref = ref.decompress_image(stego_bytes, "png")
+    np.testing.assert_array_equal(np.asarray(stego_ref), res.stego)
+
+    planes = ref.extract_local_planes(np.asarray(stego_ref), metadata["s"])
+    for p in range(metadata["s"]):
+        np.testing.assert_array_equal(
+            np.asarray(planes[p]), (res.stego >> p) & 1
+        )
