@@ -155,6 +155,10 @@ def main(backend: str = "auto") -> None:
     baseline = 10.3  # MPix/s, reference CPU embed+merge (BASELINE.md)
     extra = {}
     try:
+        extra["lsb_cycle_2048_mpix_s"] = round(_bench_big(), 1)
+    except Exception as exc:
+        print(f"2048 bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
+    try:
         extra["pee_cycle_mpix_s"] = round(_bench_pee(), 1)
     except Exception as exc:  # PEE bench must never sink the primary metric
         print(f"pee bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
@@ -173,6 +177,51 @@ def main(backend: str = "auto") -> None:
             }
         )
     )
+
+
+def _bench_big(B: int = 8) -> float:
+    """Large-image scaling check: the preplaced LSB cycle on 2048x2048
+    uint16 images (16x the headline's pixel count per image)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.ops import pallas_embed as pe
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("TPU only")
+    h = w = 2048
+    n = h * w
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 4096, size=(B, h, w)).astype(np.uint16)
+    payloads = [rng.integers(0, 2, size=1_000_000).astype(np.uint8)
+                for _ in range(B)]
+    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
+    tile = pe.preferred_tile(n)
+    bits4 = pe.preplace_bits(plan.msgs, plan.starts, plan.lengths,
+                             plan.offsets, n)
+    imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
+    bits_d = jax.device_put(jnp.asarray(bits4))
+    st_d = jax.device_put(jnp.asarray(plan.starts))
+    ln_d = jax.device_put(jnp.asarray(plan.lengths))
+
+    @jax.jit
+    def cycle(im, bt, st, ln):
+        stego = pe.embed_batch_preplaced(im, bt, st, ln, plan.nbits, tile)
+        rows = pe.extract_raster_batch(stego, st, ln, plan.nbits, tile)
+        return stego, jnp.sum(rows, dtype=jnp.int32)
+
+    out = cycle(imgs_d, bits_d, st_d, ln_d)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = cycle(imgs_d, bits_d, st_d, ln_d)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 2)
+    return B * h * w / float(np.median(times)) / 1e6
 
 
 def _bench_pee(B: int = 128) -> float:

@@ -120,9 +120,18 @@ class DeflateCodec(Codec):
     def decode(self, data: bytes) -> np.ndarray:
         if data[:4] != _DEFLATE_MAGIC:
             raise ValueError("Not a deflate codec payload")
-        code, h, w = struct.unpack(">BII", data[4:13])
-        raw = zlib.decompress(data[13:])
-        return np.frombuffer(raw, dtype=_CODE_DTYPES[code]).reshape(h, w).copy()
+        try:
+            code, h, w = struct.unpack(">BII", data[4:13])
+            raw = zlib.decompress(data[13:])
+            dtype = np.dtype(_CODE_DTYPES[code])
+        except (struct.error, zlib.error, KeyError) as exc:
+            raise ValueError(f"Invalid file: corrupt deflate payload ({exc})") from exc
+        if len(raw) != h * w * dtype.itemsize:
+            raise ValueError(
+                f"Invalid file: deflate payload holds {len(raw)} bytes, "
+                f"header says {h}x{w} {dtype}"
+            )
+        return np.frombuffer(raw, dtype=dtype).reshape(h, w).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +194,10 @@ class PngCodec(Codec):
             from ..dicom import read_bytes
 
             return read_bytes(data).pixel_array
-        return _from_pil(Image.open(io.BytesIO(data)))
+        try:
+            return _from_pil(Image.open(io.BytesIO(data)))
+        except OSError as exc:   # PIL UnidentifiedImageError / truncated file
+            raise ValueError(f"Invalid file: not a decodable image ({exc})") from exc
 
 
 class J2kCodec(Codec):

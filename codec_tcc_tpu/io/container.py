@@ -105,8 +105,16 @@ class Container:
         """Decompress the XOR location maps to ``(s, H, W) uint8``."""
         if not self.meta.has_bitmaps:
             return None
-        raw = zlib.decompress(self.bitmaps_blob)
         m = self.meta
+        try:
+            raw = zlib.decompress(self.bitmaps_blob)
+        except zlib.error as exc:
+            raise ValueError(f"Invalid file: corrupt bitmap blob ({exc})") from exc
+        if len(raw) != m.s * m.height * m.width:
+            raise ValueError(
+                f"Invalid file: bitmap blob holds {len(raw)} bytes, header "
+                f"says {m.s}x{m.height}x{m.width}"
+            )
         return np.frombuffer(raw, dtype=np.uint8).reshape(m.s, m.height, m.width)
 
 

@@ -394,7 +394,12 @@ def read_bytes(data: bytes) -> Dataset:
 
     body = data[r.pos :]
     if ts == DEFLATED_EXPLICIT_VR_LE:
-        body = zlib.decompress(body, wbits=-15)
+        try:
+            body = zlib.decompress(body, wbits=-15)
+        except zlib.error as exc:
+            raise ValueError(
+                f"Invalid file: corrupt deflated DICOM body ({exc})"
+            ) from exc
         explicit = True
     elif ts == IMPLICIT_VR_LE:
         explicit = False

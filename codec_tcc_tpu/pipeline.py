@@ -344,7 +344,15 @@ def encode_file(
     """Encode any supported image file: DICOM through the native reader
     (BitsStored plumbed through), PNG/PIL grayscale formats otherwise."""
     if path.lower().endswith(".dcm"):
-        return encode_dicom(path, payload, config)
+        image, ds = dicom.load_image(path)
+        if image.ndim == 3:
+            raise ValueError(
+                f"{path} is a multi-frame DICOM ({image.shape[0]} frames); "
+                f"use encode-volume / parallel.volume for volumes"
+            )
+        if image.dtype == np.int16:
+            image = image.astype(np.uint16)
+        return encode_array(image, payload, config, bits_stored=ds.bits_stored)
     from PIL import Image
 
     arr = np.array(Image.open(path))
