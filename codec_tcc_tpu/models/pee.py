@@ -71,17 +71,47 @@ def encode_pee_array(
     msg_pad = np.zeros(lpad, dtype=np.uint8)
     msg_pad[:total_bits] = msg_bits
 
+    # Pallas fast path (single chip, supported geometry): identical bytes to
+    # the XLA loop below — every backend passes the UNCLAMPED want into
+    # embed_pass, which clamps to capacity itself (saturation convention,
+    # ops/pee.py) — so routing is purely a speed choice (the XLA per-pixel
+    # message gather measures ~43 MPix/s; the kernels >1 GPix/s).
+    import jax
+
+    from ..ops import pallas_pee as _pp
+
+    if jax.default_backend() == "tpu" and _pp.supports(h, w):
+        from ..parallel.batch_pee import encode_pee_batch
+
+        bres = encode_pee_batch(
+            image[None], [msg_bits], config, bits_stored=bits_stored
+        )
+        stego_np = bres.stego[0]
+        meta = container_io.parse(bres.containers[0]).meta
+        metrics = None
+        if config.compute_metrics:
+            stats = metric_ops.pair_stats(image, stego_np)
+            metrics = metric_ops.quality_report(stats)
+        from ..ops.decompose import DecompositionResult
+
+        dec = DecompositionResult(
+            s=0, nbits=eff_bits, entropy=0.0, target=0.0,
+            mi=np.zeros(0), cumulative=np.zeros(0),
+        )
+        return EncodeResult(
+            container=bres.containers[0], stego=stego_np, meta=meta,
+            decomposition=dec, metrics=metrics,
+        )
+
     # Threshold escalation must account for pass interaction: pass 1 runs on
     # the pass-0-MODIFIED image, whose capacity is smaller than the pristine
     # image's (pass-0 expansions perturb the cross pixels pass-1 predictions
-    # use). So each candidate T embeds pass 0 first and measures the true
-    # remaining capacity on the actual intermediate image.
+    # use). So each candidate T embeds pass 0 and, if bits remain, embeds
+    # pass 1 on the actual intermediate image; a pass-1 shortfall escalates.
     result = None
     for t in _threshold_schedule(config.pee_threshold):
-        cap0 = int(pee_ops.capacity(image, 0, t, max_val))
-        want0 = min(total_bits, cap0)
         stego0, over0, used0_dev, nproc0 = pee_ops.embed_pass(
-            image, msg_pad, np.int32(0), np.int32(want0), 0, t, max_val
+            image, msg_pad, np.int32(0), np.int32(total_bits), 0, t, max_val
         )
         used0 = int(used0_dev)
         want1 = total_bits - used0
@@ -89,12 +119,11 @@ def encode_pee_array(
             result = (t, stego0, np.asarray(over0), used0, int(nproc0),
                       np.zeros((h, w), dtype=bool), 0, 0, 1)
             break
-        cap1 = int(pee_ops.capacity(np.asarray(stego0), 1, t, max_val))
-        if cap1 < want1:
-            continue  # this T cannot hold the payload; escalate
         stego, over1_dev, used1_dev, nproc1_dev = pee_ops.embed_pass(
             stego0, msg_pad, np.int32(used0), np.int32(want1), 1, t, max_val
         )
+        if int(used1_dev) < want1:
+            continue  # this T cannot hold the payload; escalate
         result = (t, stego, np.asarray(over0), used0, int(nproc0),
                   np.asarray(over1_dev), int(used1_dev), int(nproc1_dev), 2)
         break
@@ -190,6 +219,18 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
     from ..io.codecs import get as get_codec
 
     meta = cont.meta
+
+    # Pallas fast path (same routing rule as encode; decode_pee_batch will
+    # not fall back to this function when the conditions hold, so there is
+    # no recursion)
+    import jax
+
+    from ..ops import pallas_pee as _pp
+
+    if jax.default_backend() == "tpu" and _pp.supports(meta.height, meta.width):
+        from ..parallel.batch_pee import decode_pee_batch
+
+        return decode_pee_batch([cont], restore_original=restore_original)[0]
     (t, passes, nproc0, nproc1, bits0, bits1), overflow = (
         parse_pee_container_parts(cont)
     )

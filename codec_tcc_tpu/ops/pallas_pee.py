@@ -313,9 +313,9 @@ def _fetch_rows(win, onehot_for, rowpref):
 
 
 def _embed_kernel(
-    msg_base_ref, used_ref,           # scalar prefetch (B,) int32
+    msg_base_ref, want_ref,           # scalar prefetch (B,) int32
     imgp_ref, msg_ref,                # padded image (ANY), msg (ANY)
-    stego_ref, over_ref, nproc_ref,   # outs: tile, tile, SMEM (B,T)
+    stego_ref, over_ref, nproc_ref, cnt_ref,  # outs: tile, tile, SMEM (B,T) x2
     hbuf, hsem, wbuf, wsem, carry,    # scratch
     *, h: int, w: int, parity: int, t: int, max_val: int, l2: int,
 ):
@@ -327,7 +327,13 @@ def _embed_kernel(
         carry[0] = 0
 
     tile_base = carry[0]
-    used = used_ref[b]
+    # `want` (unclamped) substitutes the clamped `used = min(want, cap)`:
+    # `embeds` is identical either way (grank_incl <= cap always), and for
+    # `processed` the capacity-saturated case (want > cap) extends the prefix
+    # to the whole in-set — exactly ops.pee's saturation convention, so no
+    # separate capacity count pass is needed. The host computes `used` from
+    # the per-tile counts this kernel emits (cnt_ref).
+    want = want_ref[b]
 
     # haloed image rows (padded layout keeps every window in bounds)
     row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
@@ -355,8 +361,8 @@ def _embed_kernel(
     carry[0] = tile_base + tile_cnt
 
     grank_incl = tile_base + rowpref + inrow_incl
-    embeds = eligible & (grank_incl <= used)
-    processed = in_set & ((grank_incl < used) | (eligible & (grank_incl == used)))
+    embeds = eligible & (grank_incl <= want)
+    processed = in_set & ((grank_incl < want) | (eligible & (grank_incl == want)))
 
     # contiguous message window for this tile (see module docstring bounds)
     wb = b * l2 + msg_base_ref[b] + tile_base
@@ -385,13 +391,14 @@ def _embed_kernel(
     stego_ref[0] = jnp.where(modify, pred + e_new, x).astype(stego_ref.dtype)
     over_ref[0] = (overflow & processed).astype(jnp.int32).astype(jnp.uint8)
     nproc_ref[b, tt] = jnp.max(jnp.where(embeds, set_rank, 0))
+    cnt_ref[b, tt] = tile_cnt
 
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "l2", "interpret")
 )
 def _embed_call(
-    imgs_pad, msg2d, msg_base, used,
+    imgs_pad, msg2d, msg_base, want,
     h: int, w: int, parity: int, t: int, max_val: int, l2: int,
     interpret: bool = False,
 ):
@@ -413,8 +420,9 @@ def _embed_call(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
-            # full-array SMEM ref, written at [b, t] (Mosaic rejects (1,1)
+            # full-array SMEM refs, written at [b, t] (Mosaic rejects (1,1)
             # blocks: last two block dims must be 8/128-divisible or full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -432,66 +440,10 @@ def _embed_call(
             jax.ShapeDtypeStruct((b, nr, _LANE), imgs_pad.dtype),
             jax.ShapeDtypeStruct((b, nr, _LANE), jnp.uint8),
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
+            jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
-    )(msg_base, used, imgs_pad, msg2d)
-
-
-# ---------------------------------------------------------------------------
-# capacity kernel (count pass: same classification, no writes)
-# ---------------------------------------------------------------------------
-
-
-def _count_kernel(
-    imgp_ref, cnt_ref, hbuf, hsem,
-    *, h: int, w: int, parity: int, t: int, max_val: int,
-):
-    b = pl.program_id(0)
-    tt = pl.program_id(1)
-    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
-    cp = pltpu.make_async_copy(
-        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
-    )
-    cp.start()
-    r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
-    c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
-    pos = tt * TILE_PX + r_id * _LANE + c_id
-    in_set, _ = _geometry(pos, h, w, parity)
-    cp.wait()
-    x, pred = _halo_predict(hbuf, w)
-    _, _, _, eligible = _classify(x, pred, in_set, t, max_val)
-    cnt_ref[b, tt] = jnp.sum(eligible.astype(jnp.int32))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "interpret")
-)
-def _count_call(
-    imgs_pad, h: int, w: int, parity: int, t: int, max_val: int,
-    interpret: bool = False,
-):
-    b = imgs_pad.shape[0]
-    nr = imgs_pad.shape[1] - 2 * _HALO
-    tiles = nr // _TROWS
-    kernel = functools.partial(
-        _count_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(b, tiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[
-            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), imgs_pad.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, tiles), jnp.int32),
-        interpret=interpret,
-    )(imgs_pad)
+    )(msg_base, want, imgs_pad, msg2d)
 
 
 # ---------------------------------------------------------------------------
@@ -644,23 +596,28 @@ def embed_pass_batch(
     h: int, w: int, parity: int, t: int, max_val: int, l2: int,
     interpret: bool = False,
 ):
-    """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,))."""
+    """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,)).
+
+    Single fused pass: the embed kernel itself emits per-tile eligible
+    counts, so capacity (and hence ``used = min(want, cap)``) falls out of
+    the same image sweep — no separate count pass. Capacity-saturated images
+    (want > cap) get ``nproc = h*w`` (whole in-set processed), matching
+    ops.pee's saturation convention.
+    """
     if not supports(h, w):
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images "
             f"(need w % 128 == 0, w <= {_HALO * _LANE}, n % {TILE_PX} == 0)"
         )
     imgs_pad = pad_images(imgs3)
-    cap = jnp.sum(
-        _count_call(imgs_pad, h, w, parity, t, max_val, interpret=interpret),
-        axis=1,
-    )
-    used = jnp.minimum(want, cap)
-    stego3, over3, nproc_t = _embed_call(
-        imgs_pad, msg2d, msg_base.astype(jnp.int32), used.astype(jnp.int32),
+    stego3, over3, nproc_t, cnt_t = _embed_call(
+        imgs_pad, msg2d, msg_base.astype(jnp.int32), want.astype(jnp.int32),
         h, w, parity, t, max_val, l2, interpret=interpret,
     )
-    return stego3, over3, used, jnp.max(nproc_t, axis=1)
+    cap = jnp.sum(cnt_t, axis=1)
+    used = jnp.minimum(want, cap)
+    nproc = jnp.where(want > cap, jnp.int32(h * w), jnp.max(nproc_t, axis=1))
+    return stego3, over3, used, nproc
 
 
 def extract_pass_batch(

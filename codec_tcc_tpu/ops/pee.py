@@ -173,12 +173,17 @@ def embed_pass(
     total_cap = elig_cum[-1, -1]
     used = jnp.minimum(want_bits, total_cap)
 
-    # smallest processed prefix (in set_rank counting) covering `used` bits
+    # smallest processed prefix (in set_rank counting) covering `used` bits.
+    # Capacity-saturated passes (want > capacity) process the WHOLE in-set:
+    # the natural raster-scan encoder only stops when the message is done, so
+    # if it is not done at image end, every scanned pixel was shifted. This
+    # convention lets the Pallas kernels embed without a separate capacity
+    # count pass (the per-tile running rank cannot see future tiles' counts).
     hit = eligible & (elig_cum == used)
     n_proc = jnp.where(
-        used > 0,
-        jnp.min(jnp.where(hit, set_rank, _BIG)),
-        0,
+        want_bits > total_cap,
+        jnp.int32(h * w),
+        jnp.where(used > 0, jnp.min(jnp.where(hit, set_rank, _BIG)), 0),
     )
     processed = in_set & (set_rank <= n_proc)
 

@@ -89,16 +89,18 @@ def encode_pee_batch(
             images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
         )
 
+    # Identical probe protocol to the Pallas loop below: UNCLAMPED wants into
+    # embed_pass (which clamps to capacity itself — saturation convention,
+    # ops/pee.py) and used-based acceptance, so the two backends produce
+    # byte-identical containers and no separate capacity passes run.
     chosen = None
     for t in _threshold_schedule(config.pee_threshold):
-        cap0 = jax.vmap(lambda im: pee_ops.capacity(im, 0, t, max_val))(imgs_d)
-        want0 = jnp.minimum(want_d, cap0)
         stego0, over0, used0, nproc0 = jax.vmap(
             lambda im, ms, w0: pee_ops.embed_pass(
                 im, ms, jnp.int32(0), w0, 0, t, max_val
             )
-        )(imgs_d, msgs_d, want0)
-        used0 = np.asarray(used0)
+        )(imgs_d, msgs_d, want_d)
+        used0 = np.asarray(used0).astype(np.int64)
         want1 = want - used0
         if (want1 <= 0).all():
             stego = stego0
@@ -108,18 +110,16 @@ def encode_pee_batch(
             chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
                       used1, np.asarray(nproc1))
             break
-        cap1 = np.asarray(
-            jax.vmap(lambda im: pee_ops.capacity(im, 1, t, max_val))(stego0)
-        )
-        if (cap1 >= want1).all():
-            stego, over1, used1, nproc1 = jax.vmap(
-                lambda im, ms, b0, w1: pee_ops.embed_pass(
-                    im, ms, b0, w1, 1, t, max_val
-                )
-            )(stego0, msgs_d, jnp.asarray(used0.astype(np.int32)),
-              jnp.asarray(want1.astype(np.int32)))
+        stego, over1, used1, nproc1 = jax.vmap(
+            lambda im, ms, b0, w1: pee_ops.embed_pass(
+                im, ms, b0, w1, 1, t, max_val
+            )
+        )(stego0, msgs_d, jnp.asarray(used0.astype(np.int32)),
+          jnp.asarray(want1.astype(np.int32)))
+        used1 = np.asarray(used1).astype(np.int64)
+        if (used1 >= want1).all():
             chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
-                      np.asarray(used1), np.asarray(nproc1))
+                      used1, np.asarray(nproc1))
             break
     if chosen is None:
         raise ValueError(
@@ -259,7 +259,10 @@ def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = Tr
 
     from ..models.pee import parse_pee_container_parts
 
-    conts = [container_io.parse(c) for c in containers]
+    conts = [
+        c if isinstance(c, container_io.Container) else container_io.parse(c)
+        for c in containers
+    ]
     keys = set()
     parsed_ext = []
     overflow_maps = []

@@ -125,6 +125,99 @@ def test_pallas_pee_full_cycle_roundtrip(rng):
         np.testing.assert_array_equal(got, msgs[i, : want[i]])
 
 
+def test_pallas_pee_capacity_saturated_matches_xla(rng):
+    """want > capacity (the saturation convention: the whole in-set is
+    processed, nproc = h*w, used = capacity) — Pallas and XLA must agree
+    bit-for-bit and the saturated pass must still invert exactly."""
+    b, h, w = 1, 512, 128
+    n = h * w
+    t, max_val = 2, 4095
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (400 + 60 * np.sin(yy / 11.0) * np.cos(xx / 7.0)).astype(np.uint16)
+    img += rng.integers(0, 9, size=(h, w)).astype(np.uint16)  # thin the capacity
+    imgs = img[None]
+    cap = int(pee_ops.capacity(imgs[0], 0, t, max_val))
+    lpad = 1 << max(3, (2 * cap - 1).bit_length())
+    msgs = rng.integers(0, 2, size=(b, lpad)).astype(np.uint8)
+    want = np.array([cap + 1000], dtype=np.int32)  # saturate the pass
+
+    s_ref, o_ref, u_ref, n_ref = pee_ops.embed_pass(
+        imgs[0], msgs[0], np.int32(0), np.int32(int(want[0])), 0, t, max_val
+    )
+    assert int(u_ref) == cap and int(n_ref) == h * w
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s0).reshape(b, h, w)[0], np.asarray(s_ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ov0).reshape(b, h, w)[0].astype(bool), np.asarray(o_ref)
+    )
+    assert int(u0[0]) == cap and int(np0[0]) == h * w
+
+    # the saturated pass still inverts exactly through both extractors
+    over3 = jnp.asarray(np.asarray(ov0))
+    r, segs, cnts = pp.extract_pass_batch(s0, over3, np0, h, w, 0, t, max_val)
+    np.testing.assert_array_equal(np.asarray(r).reshape(b, h, w), imgs)
+    bits = pp.collect_bits(segs, cnts, max(cap, 1))
+    np.testing.assert_array_equal(bits[0, :cap], msgs[0, :cap])
+
+
+def test_batch_pee_backends_byte_identical(rng):
+    """The XLA batch loop and the Pallas batch loop follow the same probe
+    protocol (unclamped wants, used-based acceptance), so their containers
+    must be byte-identical — including when pass 0 saturates."""
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.parallel import batch_pee as bp
+
+    b, h, w = 2, 512, 128
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (120 + 60 * np.sin(yy / 19.0) * np.cos(xx / 13.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 255).astype(np.uint8)
+        for _ in range(b)
+    ])
+    cfg = EncodeConfig(strategy="pee", pee_threshold=1, compute_metrics=False)
+    max_val = 255
+    cap0 = int(pee_ops.capacity(imgs[0], 0, 1, max_val))
+    # first payload saturates pass 0 at T=1 (forcing the saturation
+    # convention and possibly an escalation); second stays small
+    payloads = [
+        rng.integers(0, 2, size=cap0 + 500).astype(np.uint8),
+        rng.integers(0, 2, size=200).astype(np.uint8),
+    ]
+
+    xla = bp.encode_pee_batch(imgs, payloads, cfg)
+
+    bit_arrays = [np.asarray(p) for p in payloads]
+    want = np.array([x.size for x in bit_arrays], dtype=np.int64)
+    lpad = 1 << max(3, (int(want.max()) - 1).bit_length())
+    msgs = np.zeros((b, lpad), dtype=np.uint8)
+    for i, bits in enumerate(bit_arrays):
+        msgs[i, : bits.size] = bits
+    pal = bp._encode_pee_batch_pallas(
+        imgs, jnp.asarray(imgs), msgs, want, cfg, 8, max_val, bit_arrays
+    )
+
+    assert xla.threshold == pal.threshold
+    np.testing.assert_array_equal(xla.stego, pal.stego)
+    assert xla.containers == pal.containers
+
+    # and every container still round-trips exactly
+    from codec_tcc_tpu import decode_container
+
+    for i, cont in enumerate(xla.containers):
+        dec = decode_container(cont)
+        np.testing.assert_array_equal(dec.payload_bits, bit_arrays[i])
+        np.testing.assert_array_equal(dec.original, imgs[i])
+
+
 def test_pallas_pee_extract_matches_xla(rng):
     """Pallas extraction agrees with ops.pee.extract_pass restored/bits."""
     b, h, w = 1, 512, 128
