@@ -141,6 +141,21 @@ def _build_parser() -> argparse.ArgumentParser:
     benc.add_argument("--codec", default="deflate")
     benc.add_argument("--no-retry-failed", action="store_true",
                       help="on resume, skip items that failed before")
+    benc.add_argument("--fused", action="store_true",
+                      help="same-geometry inputs: one fused device dispatch "
+                           "for the whole batch (throughput mode; no "
+                           "per-item resume)")
+
+    bdec = sub.add_parser(
+        "decode-batch",
+        help="decode many containers (homogeneous batches run as one fused "
+             "device extraction)",
+    )
+    bdec.add_argument("inputs", nargs="+", help=".stgc container files")
+    bdec.add_argument("--output-dir", required=True,
+                      help="per-item <name>_message.txt / _original.dcm")
+    bdec.add_argument("--no-restore", action="store_true",
+                      help="skip original-image restoration")
     return p
 
 
@@ -433,6 +448,8 @@ def cmd_encode_batch(args: argparse.Namespace) -> int:
         with open(args.payload_file, "rb") as f:
             payload = f.read()
     cfg = EncodeConfig(beta=args.beta, strategy=args.strategy, codec=args.codec)
+    if args.fused:
+        return _encode_batch_fused(args, cfg, payload)
     runner = BatchRunner(args.output_dir, cfg)
     results = runner.run(args.inputs, payload,
                          retry_failed=not args.no_retry_failed)
@@ -453,6 +470,82 @@ def cmd_encode_batch(args: argparse.Namespace) -> int:
     return 0 if not failed else 1
 
 
+def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
+    """Throughput mode for encode-batch: one fused device dispatch for the
+    whole same-geometry batch (parallel.batch.encode_batch_containers)."""
+    import os as _os
+
+    from .parallel.batch import encode_batch_containers
+
+    images = []
+    bits_stored = set()
+    for path in args.inputs:
+        if path.lower().endswith(".dcm"):
+            arr, ds = dicom.load_image(path)
+            if arr.dtype == np.int16:
+                arr = arr.astype(np.uint16)
+            bits_stored.add(ds.bits_stored)
+        else:
+            arr = _load_any(path)
+        images.append(arr)
+    shapes = {(im.shape, im.dtype) for im in images}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"--fused needs same-geometry inputs; got {sorted(str(s) for s in shapes)} "
+            f"(drop --fused for mixed batches)"
+        )
+    bs = bits_stored.pop() if len(bits_stored) == 1 else None
+    res = encode_batch_containers(
+        np.stack(images), [payload] * len(images), cfg, bits_stored=bs
+    )
+    _os.makedirs(args.output_dir, exist_ok=True)
+    print(f"{'INPUT':<32} {'s':<3} {'BYTES':<9}")
+    print("-" * 48)
+    for path, cont in zip(args.inputs, res.containers):
+        out = _os.path.join(
+            args.output_dir,
+            _os.path.splitext(_os.path.basename(path))[0] + ".stgc",
+        )
+        with open(out, "wb") as f:
+            f.write(cont)
+        s = res.plan.s[args.inputs.index(path)] if res.plan is not None else "-"
+        print(f"{_os.path.basename(path):<32} {s:<3} {len(cont):<9}")
+    print(f"\n{len(res.containers)} containers -> {args.output_dir} (fused)")
+    return 0
+
+
+def cmd_decode_batch(args: argparse.Namespace) -> int:
+    import os as _os
+
+    from .parallel.batch import decode_batch_containers
+
+    blobs = []
+    for path in args.inputs:
+        with open(path, "rb") as f:
+            blobs.append(f.read())
+    decs = decode_batch_containers(blobs, restore_original=not args.no_restore)
+    _os.makedirs(args.output_dir, exist_ok=True)
+    for path, dec in zip(args.inputs, decs):
+        stem = _os.path.splitext(_os.path.basename(path))[0]
+        payload = dec.payload
+        try:
+            text = payload.decode("utf-8")
+            msg_path = _os.path.join(args.output_dir, f"{stem}_message.txt")
+            with open(msg_path, "w", encoding="utf-8") as f:
+                f.write(text)
+        except UnicodeDecodeError:
+            msg_path = _os.path.join(args.output_dir, f"{stem}_payload.bin")
+            with open(msg_path, "wb") as f:
+                f.write(payload)
+        if dec.original is not None:
+            dicom.save_image(
+                dec.original, _os.path.join(args.output_dir, f"{stem}_original.dcm")
+            )
+        print(f"{_os.path.basename(path)}: {dec.payload_bits.size} bits -> {msg_path}")
+    print(f"{len(decs)} containers decoded -> {args.output_dir}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
@@ -466,6 +559,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "encode-volume": cmd_encode_volume,
         "decode-volume": cmd_decode_volume,
         "encode-batch": cmd_encode_batch,
+        "decode-batch": cmd_decode_batch,
     }[args.command]
     try:
         return handler(args)

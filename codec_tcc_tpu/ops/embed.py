@@ -38,6 +38,8 @@ __all__ = [
     "embed",
     "extract_aligned",
     "assemble_message",
+    "assemble_message_device",
+    "assemble_raster_device",
     "xor_maps",
     "restore_original",
     "pad_message",
@@ -142,6 +144,61 @@ def assemble_message(
         ln = min(ln, out_len - off)
         out[off : off + ln] = aligned[p, :ln]
     return out
+
+
+@partial(jax.jit, static_argnames=("out_len",))
+def assemble_message_device(
+    aligned: jax.Array,      # (P, N) or (B, P, N) uint8 aligned plane rows
+    msg_off: jax.Array,      # (P,) / (B, P) int32
+    seg_len: jax.Array,
+    out_len: int,
+) -> jax.Array:
+    """Device counterpart of :func:`assemble_message`: returns only the
+    ``out_len`` assembled message bits, so extraction's host pull shrinks
+    from ``P x N`` bytes to the payload itself (the difference dominates
+    end-to-end decode on slow host<->device links).
+
+    Later planes OVERWRITE earlier ones where windows overlap — the host
+    loop's sequential-copy semantics (real plans are disjoint, but the
+    reference's negative-size distribution accident can alias two planes
+    onto one offset; the bit-exact contract covers that case too). Any roll
+    wrap-around lands outside the window mask, matching the host clamp."""
+    if aligned.ndim == 3:
+        return jax.vmap(
+            lambda a, o, l: assemble_message_device(a, o, l, out_len)
+        )(aligned, msg_off, seg_len)
+    p_planes, n = aligned.shape
+    pos = jnp.arange(out_len, dtype=jnp.int32)
+    acc = jnp.zeros(out_len, dtype=jnp.uint8)
+    for p in range(p_planes):
+        row = aligned[p]
+        seg = row[:out_len] if out_len <= n else jnp.pad(row, (0, out_len - n))
+        placed = jnp.roll(seg, msg_off[p])
+        rel = pos - msg_off[p]
+        acc = jnp.where((rel >= 0) & (rel < seg_len[p]), placed, acc)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("out_len",))
+def assemble_raster_device(
+    rows: jax.Array,         # (P, N) or (B, P, N) uint8 raster-order rows
+    starts: jax.Array,
+    msg_off: jax.Array,
+    seg_len: jax.Array,
+    out_len: int,
+) -> jax.Array:
+    """Device assembly for RASTER-order plane rows (the preplaced extract
+    kernel's output): un-rotate each row to message-relative order, then
+    place as in :func:`assemble_message_device`."""
+    if rows.ndim == 3:
+        return jax.vmap(
+            lambda r, s, o, l: assemble_raster_device(r, s, o, l, out_len)
+        )(rows, starts, msg_off, seg_len)
+    p_planes, n = rows.shape
+    rel_rows = jnp.stack(
+        [jnp.roll(rows[p], -starts[p]) for p in range(p_planes)]
+    )
+    return assemble_message_device(rel_rows, msg_off, seg_len, out_len)
 
 
 @partial(jax.jit, static_argnames=("nbits_planes",))

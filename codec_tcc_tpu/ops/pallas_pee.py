@@ -42,9 +42,10 @@ and interpret mode does not check):
   :func:`prep_messages` sizes each image region as
   ``l2 >= Lpad + n/2 + _WBUF_ROWS*128`` (rounded to 2048), covering the
   largest window (``msg_base <= Lpad``, ``tile_base <= n/2``);
-* image halo: both kernels copy rows ``[t*TROWS, t*TROWS + TROWS + 2*_HALO)``
-  of the **padded** image (``pad_images`` adds ``_HALO`` zero rows on each
-  side), so every window is in bounds by construction.
+* image halo: both kernels copy rows ``[t*TROWS, t*TROWS + TROWS +
+  2*_halo(w))`` of the **padded** image (``pad_images`` adds ``_halo(w)``
+  zero rows on each side, sized to the width's vertical-neighbor offset),
+  so every window is in bounds by construction.
 
 Mosaic/v5e quirks honored here (discovered on hardware): no select on i1
 operands (logical compositions instead), no f32->u8 or i1->u8 casts (hop via
@@ -80,19 +81,20 @@ _TROWS = TILE_PX // _LANE       # 512 pixel-major rows per tile
 _WCAP = TILE_PX // 2            # max eligible pixels per tile (checkerboard)
 _WROWS = _WCAP // _LANE         # 256 window rows
 _WBUF_ROWS = _WROWS + _PAD_R    # message DMA buffer rows
-_HALO = 8                       # image halo rows (supports W/128 <= 8)
+def _halo(w: int) -> int:
+    """Image halo rows for width ``w``: must cover the rhombus prediction's
+    vertical-neighbor offset of ``w // 128`` pixel-major buffer rows, rounded
+    up to a multiple of 8 (sublane-aligned DMA rows). 8 for w <= 1024, 16 for
+    w = 2048, and so on — no upper width cap."""
+    return max(8, ((w // _LANE + 7) // 8) * 8)
 
 
 def supports(h: int, w: int) -> bool:
     """Whether these kernels handle an (h, w) image: the width must pack an
     integral number of pixel-major rows (the in-kernel rhombus prediction's
-    vertical-neighbor offset is ``w // 128`` buffer rows) and the halo must
-    cover that offset; the flat size must tile evenly."""
-    return (
-        w % _LANE == 0
-        and 1 <= w // _LANE <= _HALO
-        and (h * w) % TILE_PX == 0
-    )
+    vertical-neighbor offset is ``w // 128`` buffer rows, covered by a
+    width-sized halo) and the flat size must tile evenly."""
+    return w % _LANE == 0 and w >= _LANE and (h * w) % TILE_PX == 0
 
 
 # ---------------------------------------------------------------------------
@@ -257,16 +259,17 @@ def _classify(x, pred, in_set, t: int, max_val: int):
 
 def _halo_predict(hbuf, w: int):
     """Rhombus prediction for the tile's center rows from the haloed image
-    buffer ``(TROWS + 2*_HALO, 128)`` (uint8/uint16). Returns (x, pred) as
+    buffer ``(TROWS + 2*_halo(w), 128)`` (uint8/uint16). Returns (x, pred) as
     int32 ``(TROWS, 128)``. Values at image borders are garbage — harmless,
     since only interior checkerboard pixels are eligible/processed."""
     wr = w // _LANE
+    hl = _halo(w)
     buf = hbuf[...].astype(jnp.int32)
-    center = buf[_HALO : _HALO + _TROWS]
-    up = buf[_HALO - wr : _HALO - wr + _TROWS]
-    down = buf[_HALO + wr : _HALO + wr + _TROWS]
-    prev = buf[_HALO - 1 : _HALO - 1 + _TROWS]
-    nxt = buf[_HALO + 1 : _HALO + 1 + _TROWS]
+    center = buf[hl : hl + _TROWS]
+    up = buf[hl - wr : hl - wr + _TROWS]
+    down = buf[hl + wr : hl + wr + _TROWS]
+    prev = buf[hl - 1 : hl - 1 + _TROWS]
+    nxt = buf[hl + 1 : hl + 1 + _TROWS]
     col = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
     left = jnp.where(
         col >= 1, pltpu.roll(center, 1, 1), pltpu.roll(prev, 1, 1)
@@ -338,7 +341,7 @@ def _embed_kernel(
     # haloed image rows (padded layout keeps every window in bounds)
     row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
     cp_img = pltpu.make_async_copy(
-        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
+        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _halo(w)), :], hbuf, hsem
     )
     cp_img.start()
 
@@ -403,7 +406,7 @@ def _embed_call(
     interpret: bool = False,
 ):
     b = imgs_pad.shape[0]
-    nr = imgs_pad.shape[1] - 2 * _HALO
+    nr = imgs_pad.shape[1] - 2 * _halo(w)
     tiles = nr // _TROWS
     kernel = functools.partial(
         _embed_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val, l2=l2
@@ -426,7 +429,7 @@ def _embed_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), imgs_pad.dtype),
+            pltpu.VMEM((_TROWS + 2 * _halo(w), _LANE), imgs_pad.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((_WBUF_ROWS, _LANE), jnp.uint8),
             pltpu.SemaphoreType.DMA,
@@ -462,7 +465,7 @@ def _extract_kernel(
     tt = pl.program_id(1)
     row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
     cp = pltpu.make_async_copy(
-        stegop_ref.at[b, pl.ds(row_img, _TROWS + 2 * _HALO), :], hbuf, hsem
+        stegop_ref.at[b, pl.ds(row_img, _TROWS + 2 * _halo(w)), :], hbuf, hsem
     )
     cp.start()
     r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
@@ -527,7 +530,7 @@ def _extract_call(
     interpret: bool = False,
 ):
     b = stego_pad.shape[0]
-    nr = stego_pad.shape[1] - 2 * _HALO
+    nr = stego_pad.shape[1] - 2 * _halo(w)
     tiles = nr // _TROWS
     kernel = functools.partial(
         _extract_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val
@@ -548,7 +551,7 @@ def _extract_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TROWS + 2 * _HALO, _LANE), stego_pad.dtype),
+            pltpu.VMEM((_TROWS + 2 * _halo(w), _LANE), stego_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -581,11 +584,11 @@ def prep_messages(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
     return flat.reshape(-1, _LANE), l2
 
 
-@jax.jit
-def pad_images(imgs3: jax.Array) -> jax.Array:
-    """(B, N/128, 128) -> (B, N/128 + 2*_HALO, 128) with zero halo rows, so
-    every kernel halo DMA stays in bounds."""
-    return jnp.pad(imgs3, ((0, 0), (_HALO, _HALO), (0, 0)))
+@functools.partial(jax.jit, static_argnames=("halo",))
+def pad_images(imgs3: jax.Array, halo: int) -> jax.Array:
+    """(B, N/128, 128) -> (B, N/128 + 2*halo, 128) with zero halo rows, so
+    every kernel halo DMA stays in bounds (``halo = _halo(width)``)."""
+    return jnp.pad(imgs3, ((0, 0), (halo, halo), (0, 0)))
 
 
 def embed_pass_batch(
@@ -607,9 +610,9 @@ def embed_pass_batch(
     if not supports(h, w):
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images "
-            f"(need w % 128 == 0, w <= {_HALO * _LANE}, n % {TILE_PX} == 0)"
+            f"(need w % 128 == 0 and >= 128, n % {TILE_PX} == 0)"
         )
-    imgs_pad = pad_images(imgs3)
+    imgs_pad = pad_images(imgs3, _halo(w))
     stego3, over3, nproc_t, cnt_t = _embed_call(
         imgs_pad, msg2d, msg_base.astype(jnp.int32), want.astype(jnp.int32),
         h, w, parity, t, max_val, l2, interpret=interpret,
@@ -632,10 +635,10 @@ def extract_pass_batch(
     if not supports(h, w):
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images "
-            f"(need w % 128 == 0, w <= {_HALO * _LANE}, n % {TILE_PX} == 0)"
+            f"(need w % 128 == 0 and >= 128, n % {TILE_PX} == 0)"
         )
     return _extract_call(
-        pad_images(stego3), over3, nproc.astype(jnp.int32),
+        pad_images(stego3, _halo(w)), over3, nproc.astype(jnp.int32),
         h, w, parity, t, max_val, interpret=interpret,
     )
 

@@ -31,7 +31,11 @@ from ..ops import histogram as hist_ops
 from ..ops import segments as segment_ops
 from ..utils import bits as bit_utils
 
-__all__ = ["BatchPlan", "plan_batch", "encode_batch", "extract_batch", "batched_histograms"]
+__all__ = [
+    "BatchPlan", "plan_batch", "encode_batch", "extract_batch",
+    "batched_histograms", "BatchEncodeResult", "encode_batch_containers",
+    "decode_batch_containers",
+]
 
 
 @partial(jax.jit, static_argnames=("nbins",))
@@ -61,6 +65,11 @@ class BatchPlan:
     payload_bits: np.ndarray # (B,)
     nbits: int
     lpad: int
+    # container-packing extras (filled by plan_batch; explicit-plan builders
+    # like parallel.volume may leave the defaults)
+    base_offsets: Optional[np.ndarray] = None   # (B,) hybrid start offsets
+    align: bool = True
+    seed: int = 42
 
 
 def plan_batch(
@@ -156,6 +165,8 @@ def plan_batch(
     return BatchPlan(
         s=s_arr, starts=starts, lengths=lengths, offsets=offsets,
         msgs=msgs, payload_bits=payload_bits, nbits=nbits, lpad=lpad,
+        base_offsets=np.asarray(base_offsets, dtype=np.int64), align=align,
+        seed=config.seed,
     )
 
 
@@ -204,15 +215,28 @@ def encode_batch(
     if backend == "preplaced":
         from ..ops import pallas_embed as pe
 
-        b, h, w = images.shape
+        b, h, w = np.shape(images)
         n = h * w
         tile = pe.preferred_tile(n)
-        bits4 = pe.preplace_bits(
-            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        # relayout on DEVICE from the compact messages: the raster-positioned
+        # bit tensor is NP x N bytes per image and must never cross the host
+        # link (it dominated e2e time on slow links). plan.msgs carries +N
+        # window slack for the windowed kernels; the device relayout pads
+        # internally, so ship only the payload-covering prefix (message
+        # offsets never exceed the payload size).
+        p2 = 1 << max(
+            3,
+            int(max(plan.payload_bits.max(initial=1),
+                    plan.offsets.max(initial=0) + 1) - 1).bit_length(),
+        )
+        bits4 = pe.preplace_bits_device(
+            jnp.asarray(plan.msgs[:, : min(p2, plan.msgs.shape[1])]),
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            jnp.asarray(plan.offsets), n, plan.nbits,
         )
         stego = pe.embed_batch_preplaced(
             jnp.asarray(images).reshape(b, n // 128, 128),
-            jnp.asarray(bits4),
+            bits4,
             jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
             plan.nbits, tile,
         )
@@ -277,7 +301,9 @@ def extract_batch(
     out_len: Optional[int] = None,
     backend: str = "auto",
 ) -> np.ndarray:
-    """(B, out_len) message bits: device-aligned rows + host assembly."""
+    """(B, out_len) message bits: device extraction + DEVICE assembly, so
+    only the payload itself crosses the host link (the P x N aligned-rows
+    tensor dominated end-to-end decode on slow host<->device links)."""
     out_len = out_len or plan.lpad
     if backend == "auto":
         backend = _pick_pallas_backend(np.shape(stego), plan.nbits, mesh)
@@ -292,9 +318,11 @@ def extract_batch(
             jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
             plan.nbits, tile,
         )
-        return pe.assemble_raster(
-            rows, plan.starts, plan.lengths, plan.offsets, out_len
-        )
+        return np.asarray(embed_ops.assemble_raster_device(
+            rows.reshape(b, plan.nbits, n),
+            jnp.asarray(plan.starts), jnp.asarray(plan.offsets),
+            jnp.asarray(plan.lengths), out_len,
+        ))
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 
@@ -311,4 +339,226 @@ def extract_batch(
         )
     else:
         aligned = extract_aligned_batch(stego, plan, mesh)
-    return embed_ops.assemble_message(aligned, plan.offsets, plan.lengths, out_len)
+    return np.asarray(embed_ops.assemble_message_device(
+        aligned, jnp.asarray(plan.offsets), jnp.asarray(plan.lengths), out_len
+    ))
+
+
+# ---------------------------------------------------------------------------
+# container-level batch pipeline (the production serving path)
+#
+# The reference has no batch mode at all (one image per process,
+# src/codec.py:847); BatchRunner covers fault-tolerant per-item jobs. This
+# is the throughput path: one fused device dispatch for the whole batch's
+# embedding (and one for extraction), with the host shell — transport codec,
+# XOR maps, STGC packing — spread over a thread pool. Containers are
+# byte-identical to the single-image pipeline's (tested), so the two paths
+# interoperate freely.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BatchEncodeResult:
+    stego: np.ndarray                       # (B, H, W)
+    containers: List[bytes]                 # one STGC-v2 per image
+    plan: Optional[BatchPlan]               # None for the PEE delegation
+    metrics: Optional[List[dict]] = None    # per-image quality reports
+
+
+def encode_batch_containers(
+    images: np.ndarray,
+    payloads: Sequence[Union[bytes, str, np.ndarray]],
+    config: EncodeConfig = EncodeConfig(),
+    mesh: Optional[Mesh] = None,
+    *,
+    bits_stored: Optional[int] = None,
+) -> BatchEncodeResult:
+    """Encode a ``(B, H, W)`` batch into one STGC-v2 container per image.
+
+    Raster strategies (``multi_plane`` / ``hybrid``) run as the fused batch
+    kernels; ``pee`` delegates to :func:`parallel.batch_pee.encode_pee_batch`.
+    """
+    config = config.validate()
+    if config.container_version != 2:
+        raise ValueError("batch container encoding writes v2 containers only")
+    if config.strategy == "pee":
+        from .batch_pee import encode_pee_batch
+
+        r = encode_pee_batch(
+            images, payloads, config, mesh, bits_stored=bits_stored
+        )
+        return BatchEncodeResult(
+            stego=r.stego, containers=r.containers, plan=None, metrics=None,
+        )
+
+    images = np.asarray(images)
+    b, h, w = images.shape
+    n = h * w
+    dtype_bits = images.dtype.itemsize * 8
+    nbits = config.nbits
+    if nbits is None:
+        nbits = bits_stored if (config.use_bits_stored and bits_stored) else dtype_bits
+    nbits = min(nbits, dtype_bits)
+
+    # one host->device image transfer feeds histograms, block scans and the
+    # embed kernels (three separate uploads otherwise — the link is the
+    # bottleneck of the serving path, not the kernels)
+    imgs_dev = jnp.asarray(images)
+    plan = plan_batch(imgs_dev, payloads, config)
+
+    if not config.allow_capacity_overflow:
+        for i in range(b):
+            have = int(plan.lengths[i, : plan.s[i]].sum())
+            if have < int(plan.payload_bits[i]):
+                raise ValueError(
+                    f"payload {i} of {int(plan.payload_bits[i])} bits exceeds "
+                    f"the usable capacity of {have} bits at s={int(plan.s[i])}; "
+                    f"shrink it, raise beta, or set allow_capacity_overflow=True"
+                )
+
+    stego_dev = encode_batch(images, plan, mesh)
+
+    metrics = None
+    if config.compute_metrics:
+        from ..ops import metrics as metric_ops
+
+        stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
+            jnp.asarray(images), stego_dev
+        )
+        stats_np = {k: np.asarray(v) for k, v in stats.items()}
+        metrics = [
+            metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
+            for i in range(b)
+        ]
+    stego = np.asarray(stego_dev)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io import container as container_io
+    from ..io.codecs import get as get_codec
+    from ..pipeline import _host_xor_maps
+
+    codec = get_codec(config.codec)
+
+    def pack_one(i: int) -> bytes:
+        s = int(plan.s[i])
+        seg = segment_ops.distribute_segments(
+            s, int(plan.payload_bits[i]), config.seed
+        )
+        maps = _host_xor_maps(images[i], stego[i], s)
+        meta = container_io.ContainerMeta(
+            version=2, codec=config.codec, strategy=config.strategy,
+            s=s, nbits=nbits, bits_stored=bits_stored or nbits,
+            dtype=images.dtype, width=w, height=h,
+            start_offset=int(plan.base_offsets[i]),
+            seed=config.seed,
+            payload_bits=int(plan.payload_bits[i]),
+            align_across_planes=plan.align,
+            has_bitmaps=config.store_bitmaps,
+            sizes=seg.sizes, indices=seg.indices,
+            eff_lengths=tuple(int(v) for v in plan.lengths[i, :s]),
+            plane_starts=tuple(int(v) for v in plan.starts[i, :s]),
+            ext=b"",
+        )
+        bitmaps_blob = (
+            container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
+        )
+        return container_io.pack(meta, bitmaps_blob, codec.encode(stego[i]))
+
+    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        containers = list(pool.map(pack_one, range(b)))
+    return BatchEncodeResult(
+        stego=stego, containers=containers, plan=plan, metrics=metrics
+    )
+
+
+def decode_batch_containers(
+    containers: Sequence[bytes],
+    mesh: Optional[Mesh] = None,
+    *,
+    restore_original: bool = True,
+) -> List:
+    """Batched decode: one fused device extraction for a homogeneous batch
+    of raster-strategy v2 containers (shared geometry/dtype/codec); anything
+    else falls back to the single-image decoder per item. Returns
+    ``pipeline.DecodeResult`` objects in input order."""
+    from ..io import container as container_io
+    from ..pipeline import (
+        DecodeResult, _host_restore, _plane_bucket, _plane_plan_from_meta,
+        decode_container,
+    )
+
+    conts = [
+        c if isinstance(c, container_io.Container) else container_io.parse(c)
+        for c in containers
+    ]
+    keys = {
+        (c.meta.width, c.meta.height, str(np.dtype(c.meta.dtype)),
+         c.meta.codec, c.meta.version, c.meta.strategy)
+        for c in conts
+    }
+    meta0 = conts[0].meta
+    homogeneous = (
+        len(keys) == 1
+        and meta0.version == 2
+        and meta0.strategy in ("multi_plane", "hybrid")
+    )
+    if not homogeneous:
+        return [
+            decode_container(c, restore_original=restore_original)
+            for c in conts
+        ]
+
+    b = len(conts)
+    h, w = meta0.height, meta0.width
+    n = h * w
+    kernel_bits = _plane_bucket(
+        max(int(c.meta.s) for c in conts), np.dtype(meta0.dtype).itemsize * 8
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io.codecs import get as get_codec
+
+    codec = get_codec(meta0.codec)
+    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        stegos = list(pool.map(
+            lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
+        ))
+    stego = np.stack(stegos)
+    if stego.shape != (b, h, w):
+        raise ValueError(f"decoded stego shape {stego.shape} != {(b, h, w)}")
+
+    starts = np.zeros((b, kernel_bits), dtype=np.int32)
+    lengths = np.zeros((b, kernel_bits), dtype=np.int32)
+    offsets = np.zeros((b, kernel_bits), dtype=np.int32)
+    for i, c in enumerate(conts):
+        starts[i], lengths[i], offsets[i] = _plane_plan_from_meta(
+            c.meta, n, kernel_bits
+        )
+    out_len = max(max(int(c.meta.payload_bits) for c in conts), 1)
+    plan = BatchPlan(
+        s=np.array([c.meta.s for c in conts], dtype=np.int32),
+        starts=starts, lengths=lengths, offsets=offsets,
+        msgs=np.zeros((b, 1), dtype=np.uint8),
+        payload_bits=np.array([c.meta.payload_bits for c in conts]),
+        nbits=kernel_bits, lpad=out_len,
+    )
+    bits = extract_batch(stego, plan, mesh, out_len=out_len)
+
+    results = []
+    for i, c in enumerate(conts):
+        original = None
+        if restore_original and c.meta.has_bitmaps:
+            maps = c.bitmaps()
+            if maps is not None:
+                original = _host_restore(stego[i], maps, int(c.meta.s))
+        results.append(DecodeResult(
+            payload_bits=np.asarray(
+                bits[i, : int(c.meta.payload_bits)], dtype=np.uint8
+            ),
+            stego=stego[i],
+            meta=c.meta,
+            original=original,
+        ))
+    return results

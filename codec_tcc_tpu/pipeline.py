@@ -441,20 +441,22 @@ def decode_container(
         aligned = embed_ops.extract_block_aligned(
             stego, bases, lengths, np.int32(meta.s), kernel_bits, block
         )
-        # planes >= s are all-zero; slice on device before the host pull
-        bits = embed_ops.assemble_message(
-            aligned[: meta.s], offsets[: meta.s], lengths[: meta.s], out_len
-        )[: meta.payload_bits]
+        # assemble ON DEVICE (planes >= s contribute nothing: zero lengths)
+        # so only the payload bits cross the host link, not s x N rows;
+        # bucket the static out_len to bound jit specializations
+        bits = np.asarray(embed_ops.assemble_message_device(
+            aligned, offsets, lengths, _next_pow2(out_len)
+        ))[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
     with stage("extract"):
         aligned = embed_ops.extract_aligned(
             stego, starts, lengths, np.int32(meta.s), kernel_bits
         )
-        # planes >= s are all-zero; slice on device before the host pull
-        bits = embed_ops.assemble_message(
-            aligned[: meta.s], offsets[: meta.s], lengths[: meta.s], out_len
-        )[: meta.payload_bits]
+        # device assembly: see the block_adaptive branch note above
+        bits = np.asarray(embed_ops.assemble_message_device(
+            aligned, offsets, lengths, _next_pow2(out_len)
+        ))[: meta.payload_bits]
 
     original = None
     if restore_original and meta.has_bitmaps:

@@ -319,3 +319,79 @@ def test_fused_metrics_equal_range_exact(pe_image, rng):
 def test_windowed_ssim_bounds(pe_image):
     v = float(metric_ops.ssim_windowed(pe_image, pe_image, 4095.0))
     assert v == pytest.approx(1.0, abs=1e-5)
+
+
+def test_assemble_message_device_matches_host(rng):
+    """Device assembly == host assembly over random plans, including the
+    clamping edges the host loop guards (off + len > out_len, off >= out_len,
+    zero-length planes)."""
+    from codec_tcc_tpu.ops import embed as embed_ops
+
+    p, n, out_len = 6, 512, 1024
+    for trial in range(20):
+        aligned = np.zeros((p, n), dtype=np.uint8)
+        offs = np.zeros(p, dtype=np.int32)
+        lens = np.zeros(p, dtype=np.int32)
+        for i in range(p):
+            ln = int(rng.integers(0, n + 1))
+            lens[i] = ln
+            aligned[i, :ln] = rng.integers(0, 2, size=ln)
+            # plans are disjoint in practice; exercise the guards anyway by
+            # spacing offsets widely, sometimes past out_len
+            offs[i] = int(rng.integers(0, out_len + 200))
+        if trial % 2 == 0:
+            # disjoint windows (the real-plan case)
+            order = np.argsort(offs)
+            acc = 0
+            for i in order:
+                offs[i] = max(offs[i], acc)
+                acc = offs[i] + lens[i]
+        # odd trials keep raw (possibly OVERLAPPING) offsets: the reference's
+        # negative-size plan accident aliases planes; later planes must win
+        host = embed_ops.assemble_message(aligned, offs, lens, out_len)
+        dev = np.asarray(
+            embed_ops.assemble_message_device(aligned, offs, lens, out_len)
+        )
+        np.testing.assert_array_equal(dev, host, err_msg=f"trial {trial}")
+
+
+def test_assemble_raster_device_matches_host(rng):
+    """Raster-order device assembly == the host memcpy version (wrapping
+    windows included)."""
+    from codec_tcc_tpu.ops import embed as embed_ops
+    from codec_tcc_tpu.ops import pallas_embed as pe
+
+    p, n, out_len = 4, 768, 2048
+    rows = np.zeros((p, n), dtype=np.uint8)
+    starts = np.zeros(p, dtype=np.int32)
+    offs = np.zeros(p, dtype=np.int32)
+    lens = np.zeros(p, dtype=np.int32)
+    acc = 0
+    for i in range(p):
+        ln = int(rng.integers(1, n + 1))
+        st = int(rng.integers(0, n))
+        idx = (st + np.arange(ln)) % n
+        bits = rng.integers(0, 2, size=ln).astype(np.uint8)
+        rows[i, idx] = bits
+        starts[i], lens[i], offs[i] = st, ln, acc
+        acc += ln
+    host = pe.assemble_raster(rows, starts, lens, offs, out_len)
+    dev = np.asarray(
+        embed_ops.assemble_raster_device(rows, starts, offs, lens, out_len)
+    )
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_preplace_bits_device_matches_host(rng):
+    from codec_tcc_tpu.ops import pallas_embed as pe
+
+    b, npl, n, lpad = 3, 4, 1024, 2048
+    msgs = rng.integers(0, 2, size=(b, lpad)).astype(np.uint8)
+    starts = rng.integers(0, n, size=(b, npl)).astype(np.int32)
+    lens = rng.integers(0, n + 1, size=(b, npl)).astype(np.int32)
+    offs = rng.integers(0, lpad - n, size=(b, npl)).astype(np.int32)
+    host = pe.preplace_bits(msgs, starts, lens, offs, n)
+    dev = np.asarray(
+        pe.preplace_bits_device(msgs, starts, lens, offs, n, npl)
+    )
+    np.testing.assert_array_equal(dev, host)

@@ -218,6 +218,41 @@ def test_batch_pee_backends_byte_identical(rng):
         np.testing.assert_array_equal(dec.original, imgs[i])
 
 
+def test_pallas_pee_wide_image_2048(rng):
+    """w=2048 (vertical-neighbor offset of 16 pixel-major rows — the full
+    halo): embed matches XLA bit-for-bit and the cycle round-trips."""
+    b, h, w = 1, 32, 2048
+    n = h * w
+    t, max_val = 2, 4095
+    assert pp.supports(h, w)
+    yy, xx = np.mgrid[0:h, 0:w]
+    imgs = ((400 + 300 * np.sin(yy / 7.0) * np.cos(xx / 53.0)).astype(np.int64)
+            + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)[None]
+    msgs = rng.integers(0, 2, size=(b, 8192)).astype(np.uint8)
+    want = np.array([4000], dtype=np.int32)
+
+    s_ref, o_ref, u_ref, n_ref = pee_ops.embed_pass(
+        imgs[0], msgs[0], np.int32(0), np.int32(4000), 0, t, max_val
+    )
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s0).reshape(b, h, w)[0], np.asarray(s_ref)
+    )
+    assert int(u0[0]) == int(u_ref) and int(np0[0]) == int(n_ref)
+
+    r, segs, cnts = pp.extract_pass_batch(
+        s0, jnp.asarray(np.asarray(ov0)), np0, h, w, 0, t, max_val
+    )
+    np.testing.assert_array_equal(np.asarray(r).reshape(b, h, w), imgs)
+    bits = pp.collect_bits(segs, cnts, int(u0[0]))
+    np.testing.assert_array_equal(bits[0], msgs[0, : int(u0[0])])
+
+
 def test_pallas_pee_extract_matches_xla(rng):
     """Pallas extraction agrees with ops.pee.extract_pass restored/bits."""
     b, h, w = 1, 512, 128

@@ -125,6 +125,73 @@ def test_batch_hybrid_strategy_matches_oracle(rng):
         np.testing.assert_array_equal(bits[i, :800], payloads[i])
 
 
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid"])
+def test_batch_containers_match_single_image(rng, strategy):
+    """encode_batch_containers must produce containers byte-identical to the
+    single-image pipeline's, and decode_batch_containers must round-trip
+    payloads and originals."""
+    from codec_tcc_tpu import decode_container, encode_array
+
+    b = 4
+    imgs = _make_batch(rng, b=b, dtype=np.uint8, hi=256)
+    payloads = [rng.bytes(int(k)) for k in rng.integers(5, 120, size=b)]
+    cfg = EncodeConfig(
+        beta=0.4, strategy=strategy, codec="deflate", compute_metrics=True
+    )
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    assert res.metrics is not None and len(res.metrics) == b
+
+    for i in range(b):
+        single = encode_array(imgs[i], payloads[i], cfg)
+        assert res.containers[i] == single.container, f"container {i} differs"
+        np.testing.assert_array_equal(res.stego[i], single.stego)
+        assert res.metrics[i]["psnr"] == pytest.approx(single.metrics["psnr"])
+
+    # fused batched decode
+    decs = batch_par.decode_batch_containers(res.containers)
+    for i, dec in enumerate(decs):
+        assert dec.payload == payloads[i]
+        np.testing.assert_array_equal(dec.original, imgs[i])
+
+    # single-image decoder reads the batch containers too (interop)
+    one = decode_container(res.containers[2])
+    assert one.payload == payloads[2]
+
+
+def test_decode_batch_containers_mixed_falls_back(rng, mesh8):
+    """A heterogeneous container list (different strategies) decodes item by
+    item through the single-image path; sharded homogeneous decode matches."""
+    from codec_tcc_tpu import encode_array
+
+    imgs = _make_batch(rng, b=3, dtype=np.uint16, hi=837)
+    c0 = encode_array(imgs[0], b"alpha", EncodeConfig(strategy="multi_plane"))
+    c1 = encode_array(imgs[1], b"beta", EncodeConfig(strategy="block_adaptive"))
+    c2 = encode_array(imgs[2], b"gamma", EncodeConfig(strategy="hybrid"))
+    decs = batch_par.decode_batch_containers(
+        [c0.container, c1.container, c2.container]
+    )
+    assert [d.payload for d in decs] == [b"alpha", b"beta", b"gamma"]
+
+    # homogeneous + mesh: fused path under sharding
+    cfg = EncodeConfig(strategy="hybrid", codec="deflate")
+    payloads = [rng.bytes(40) for _ in range(8)]
+    imgs8 = _make_batch(rng, b=8, dtype=np.uint16, hi=837)
+    res = batch_par.encode_batch_containers(imgs8, payloads, cfg, mesh8)
+    decs = batch_par.decode_batch_containers(res.containers, mesh8)
+    for i, dec in enumerate(decs):
+        assert dec.payload == payloads[i]
+        np.testing.assert_array_equal(dec.original, imgs8[i])
+
+
+def test_batch_containers_capacity_error(rng):
+    imgs = _make_batch(rng, b=2, h=32, w=32, dtype=np.uint8, hi=256)
+    payloads = [b"ok", bytes(4096)]  # second exceeds 32x32 capacity
+    with pytest.raises(ValueError, match="capacity"):
+        batch_par.encode_batch_containers(
+            imgs, payloads, EncodeConfig(compute_metrics=False)
+        )
+
+
 def test_batch_rejects_nonraster_strategy(rng):
     imgs = _make_batch(rng, b=2)
     with pytest.raises(ValueError, match="raster"):
