@@ -117,6 +117,11 @@ def _build_parser() -> argparse.ArgumentParser:
     venc.add_argument("--codec", default="deflate",
                       help=f"transport codec (available: {available_names()})")
     venc.add_argument("--seed", type=int, default=42)
+    venc.add_argument("--strategy", default="multi_plane",
+                      choices=["multi_plane", "pee"],
+                      help="multi_plane: global cut point + per-slice LSB "
+                           "planes; pee: shared-threshold prediction-error "
+                           "expansion across slices")
     venc.add_argument("--report", help="write a JSON run report here")
 
     vdec = sub.add_parser(
@@ -397,13 +402,16 @@ def cmd_encode_volume(args: argparse.Namespace) -> int:
             payload = f.read()
     vol = _load_volume(args.inputs)
     cfg = EncodeConfig(beta=args.beta, codec=args.codec, seed=args.seed,
-                       strategy="multi_plane")
+                       strategy=args.strategy)
     result = volume_par.encode_volume(vol, payload, cfg)
     blob = volume_par.pack_volume(vol, result, cfg)
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"volume               : {vol.shape[0]} x {vol.shape[1]}x{vol.shape[2]}")
-    print(f"global cut point s   : {result.s}")
+    if result.threshold is not None:
+        print(f"PEE threshold T      : {result.threshold}")
+    else:
+        print(f"global cut point s   : {result.s}")
     print(f"payload bits         : {int(result.slice_bits.sum())}")
     print(f"container bytes      : {len(blob)}")
     if result.metrics:
@@ -412,6 +420,7 @@ def cmd_encode_volume(args: argparse.Namespace) -> int:
         write_json_report(args.report, {
             "command": "encode-volume", "output": args.output,
             "slices": int(vol.shape[0]), "s": result.s,
+            "strategy": args.strategy, "pee_threshold": result.threshold,
             "payload_bits": int(result.slice_bits.sum()),
             "container_bytes": len(blob), "metrics": result.metrics,
         })

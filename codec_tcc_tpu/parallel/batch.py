@@ -498,6 +498,10 @@ def decode_batch_containers(
         for c in conts
     }
     meta0 = conts[0].meta
+    if len(keys) == 1 and meta0.version == 2 and meta0.strategy == "pee":
+        from .batch_pee import decode_pee_batch
+
+        return decode_pee_batch(conts, restore_original=restore_original)
     homogeneous = (
         len(keys) == 1
         and meta0.version == 2

@@ -29,7 +29,10 @@ from ..utils.logging import get_logger
 
 logger = get_logger("parallel.batch_pee")
 
-__all__ = ["BatchPeeResult", "encode_pee_batch", "decode_pee_batch"]
+__all__ = [
+    "BatchPeeResult", "encode_pee_batch", "decode_pee_batch",
+    "probe_capacity_batch",
+]
 
 
 @dataclass
@@ -46,6 +49,52 @@ def _as_bits(p) -> np.ndarray:
     if isinstance(p, (bytes, bytearray)):
         return bit_utils.bytes_to_bits(bytes(p))
     return np.asarray(p, dtype=np.uint8)
+
+
+def probe_capacity_batch(
+    images: np.ndarray, t: int, max_val: int
+) -> np.ndarray:
+    """Saturated two-pass PEE capacity per image at shared threshold ``t``
+    (``(B,)`` int64 bits). Runs the want=INF cycle the volume encoder uses to
+    split a payload across slices before committing to a threshold; the
+    saturated case is exactly the capacity convention of ``ops/pee.py``
+    (``used = cap`` when ``want > cap``)."""
+    b, h, w = images.shape
+    n = h * w
+    big = jnp.full((b,), np.int32(1 << 30), jnp.int32)
+    imgs_d = jnp.asarray(images)
+    # the saturated pass-1 window base is u0 (up to the pass-0 capacity
+    # ~n/4), so the message buffer must be sized as if the payload were that
+    # large — the kernel DMA bound requires msg_base <= Lpad (pallas_pee
+    # module docstring); zeros are fine, the probe discards the stego
+    lpad = max(8, n // 2)
+
+    from ..ops import pallas_pee as pp
+
+    if jax.default_backend() == "tpu" and pp.supports(h, w):
+        msg2d, l2 = pp.prep_messages(np.zeros((b, lpad), np.uint8), n)
+        msg2d_d = jnp.asarray(msg2d)
+        imgs3 = imgs_d.reshape(b, n // 128, 128)
+        zero = jnp.zeros(b, jnp.int32)
+        s0, _, u0, _ = pp.embed_pass_batch(
+            imgs3, msg2d_d, zero, big, h, w, 0, t, max_val, l2
+        )
+        _, _, u1, _ = pp.embed_pass_batch(
+            s0, msg2d_d, u0, big - u0, h, w, 1, t, max_val, l2
+        )
+    else:
+        zeros_msg = jnp.zeros(lpad, jnp.uint8)
+        s0, _, u0, _ = jax.vmap(
+            lambda im, w0: pee_ops.embed_pass(
+                im, zeros_msg, jnp.int32(0), w0, 0, t, max_val
+            )
+        )(imgs_d, big)
+        _, _, u1, _ = jax.vmap(
+            lambda im, b0, w1: pee_ops.embed_pass(
+                im, zeros_msg, b0, w1, 1, t, max_val
+            )
+        )(s0, u0, big - u0)
+    return np.asarray(u0).astype(np.int64) + np.asarray(u1).astype(np.int64)
 
 
 def encode_pee_batch(

@@ -43,10 +43,12 @@ __all__ = [
 @dataclass
 class VolumeResult:
     stego: np.ndarray
-    s: int
-    plan: batch_par.BatchPlan
-    slice_bits: np.ndarray      # (D,) payload bits per slice
+    s: int                       # global cut point (0 for PEE volumes)
+    plan: Optional[batch_par.BatchPlan]
+    slice_bits: np.ndarray       # (D,) payload bits per slice
     metrics: Optional[dict] = None
+    containers: Optional[list] = None   # per-slice STGC blobs (PEE volumes)
+    threshold: Optional[int] = None     # shared PEE threshold
 
 
 def volume_cut_point(
@@ -83,6 +85,9 @@ def encode_volume(
     else:
         bits = np.asarray(payload, dtype=np.uint8)
     total = int(bits.size)
+
+    if config.strategy == "pee":
+        return _encode_volume_pee(volume, bits, config, mesh)
 
     s, hist_total = volume_cut_point(volume, config.beta, mesh)
 
@@ -152,6 +157,77 @@ def encode_volume(
     )
 
 
+def _encode_volume_pee(
+    volume: np.ndarray,
+    bits: np.ndarray,
+    config: EncodeConfig,
+    mesh: Optional[Mesh],
+) -> VolumeResult:
+    """PEE over a volume: one shared threshold, contiguous capacity-aware
+    payload split across slices (the PEE analog of the global-cut-point
+    split above). The per-slice capacities come from a saturated two-pass
+    probe at escalating T; the batch encoder then escalates further if a
+    partial-prefix pass-1 falls short (its acceptance loop), which only
+    grows capacity — the split stays valid. Each slice's container is fully
+    self-describing (used0/used1 in the PEE ext), so STGV decode is the
+    standard per-slice path."""
+    from dataclasses import replace
+
+    from ..models.pee import _threshold_schedule
+    from .batch_pee import encode_pee_batch, probe_capacity_batch
+
+    d, h, w = volume.shape
+    total = int(bits.size)
+    dtype_bits = np.dtype(volume.dtype).itemsize * 8
+    max_val = (1 << dtype_bits) - 1
+
+    caps = None
+    t_probe = None
+    for t in _threshold_schedule(config.pee_threshold):
+        caps = probe_capacity_batch(volume, t, max_val)
+        t_probe = t
+        if int(caps.sum()) >= total:
+            break
+    if caps is None or int(caps.sum()) < total:
+        raise ValueError(
+            f"payload of {total} bits exceeds the volume PEE capacity of "
+            f"{int(caps.sum()) if caps is not None else 0} bits even at T=128"
+        )
+
+    slice_bits = np.zeros(d, dtype=np.int64)
+    remaining = total
+    for i in range(d):
+        slice_bits[i] = min(remaining, int(caps[i]))
+        remaining -= slice_bits[i]
+
+    chunks = []
+    off = 0
+    for i in range(d):
+        chunks.append(bits[off : off + int(slice_bits[i])])
+        off += int(slice_bits[i])
+
+    r = encode_pee_batch(
+        volume, chunks, replace(config, pee_threshold=t_probe), mesh
+    )
+
+    metrics = None
+    if config.compute_metrics:
+        stats = jax.vmap(metric_ops.pair_stats)(
+            jnp.asarray(volume), jnp.asarray(r.stego)
+        )
+        agg = {k: float(jnp.sum(v)) for k, v in stats.items()
+               if k not in ("max_absdiff", "max_a", "max_b")}
+        agg["max_absdiff"] = float(jnp.max(stats["max_absdiff"]))
+        agg["max_a"] = float(jnp.max(stats["max_a"]))
+        agg["max_b"] = float(jnp.max(stats["max_b"]))
+        metrics = metric_ops.quality_report(agg)  # type: ignore[arg-type]
+
+    return VolumeResult(
+        stego=r.stego, s=0, plan=None, slice_bits=slice_bits,
+        metrics=metrics, containers=r.containers, threshold=r.threshold,
+    )
+
+
 VOLUME_MAGIC = b"STGV"
 
 
@@ -173,6 +249,14 @@ def pack_volume(
     s = result.s
     codec = get_codec(config.codec)
     total_bits = int(result.slice_bits.sum())
+
+    if result.containers is not None:
+        # PEE volumes: the batch encoder already produced self-describing
+        # per-slice containers
+        blobs = list(result.containers)
+        header = VOLUME_MAGIC + struct.pack(">IIQI", 1, d, total_bits, s)
+        header += struct.pack(f">{d}Q", *[len(b) for b in blobs])
+        return header + b"".join(blobs)
 
     maps = np.asarray(
         jax.vmap(embed_ops.xor_maps)(jnp.asarray(volume), jnp.asarray(result.stego))
@@ -223,8 +307,6 @@ def unpack_volume(data: bytes):
     ``(payload_bits, stego_volume, original_volume)``."""
     import struct
 
-    from .. import pipeline
-
     if data[:4] != VOLUME_MAGIC:
         raise ValueError("Invalid file: bad STGV signature")
     try:
@@ -240,16 +322,19 @@ def unpack_volume(data: bytes):
             f"bytes, have {len(data)})"
         )
 
-    bits_parts = []
-    stego_slices = []
-    orig_slices = []
+    blobs = []
     for i in range(d):
-        blob = data[off : off + sizes[i]]
+        blobs.append(data[off : off + sizes[i]])
         off += sizes[i]
-        dec = pipeline.decode_container(blob)
-        bits_parts.append(dec.payload_bits)
-        stego_slices.append(dec.stego)
-        orig_slices.append(dec.original)
+    # homogeneous slices (the normal case) decode as ONE fused device
+    # extraction — raster strategies and PEE both; mixed/odd volumes fall
+    # back to the per-slice path inside decode_batch_containers
+    from .batch import decode_batch_containers
+
+    decs = decode_batch_containers(blobs)
+    bits_parts = [dec.payload_bits for dec in decs]
+    stego_slices = [dec.stego for dec in decs]
+    orig_slices = [dec.original for dec in decs]
     payload = np.concatenate(bits_parts)[:total_bits] if bits_parts else np.zeros(0, np.uint8)
     stego = np.stack(stego_slices)
     original = np.stack(orig_slices) if all(o is not None for o in orig_slices) else None

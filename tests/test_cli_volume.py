@@ -128,3 +128,29 @@ def test_encode_batch_png_inputs(tmp_path, rng):
                "--message", "png lote"])
     assert rc == 0
     assert len(list(outdir.glob("*.stgc"))) == 2
+
+
+def test_volume_pee_cli_roundtrip(tmp_path, rng, capsys):
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (300 + 80 * np.sin(yy / 8.0) * np.cos(xx / 6.0)).astype(np.int64)
+    vol = np.stack([
+        (base + rng.integers(-1, 2, size=(64, 64))).clip(0, 700).astype(np.uint16)
+        for _ in range(4)
+    ])
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    out = tmp_path / "vol.stgv"
+
+    rc = main(["encode-volume", str(vol_path), "--output", str(out),
+               "--message", "volume com expansao de erro de predicao",
+               "--strategy", "pee"])
+    assert rc == 0
+    assert "PEE threshold" in capsys.readouterr().out
+
+    prefix = str(tmp_path / "pd")
+    assert main(["decode-volume", str(out), "--output-prefix", prefix]) == 0
+    payload = (tmp_path / "pd_payload.bin").read_bytes()
+    assert payload.decode("utf-8").startswith(
+        "volume com expansao de erro de predicao")
+    original = np.load(prefix + "_original.npy")
+    np.testing.assert_array_equal(original, vol)

@@ -244,3 +244,39 @@ def test_batch_pee_roundtrip(mesh8, rng):
     for i, out in enumerate(outs):
         np.testing.assert_array_equal(out.payload_bits, payloads[i])
         np.testing.assert_array_equal(out.original, imgs[i])
+
+
+def test_volume_pee_roundtrip(rng):
+    """PEE volume: shared threshold, capacity-aware contiguous split spanning
+    multiple slices, exact payload + original back through STGV."""
+    from codec_tcc_tpu.parallel import volume as volume_par
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (400 + 90 * np.sin(yy / 9.0) * np.cos(xx / 7.0)).astype(np.int64)
+    vol = np.stack([
+        (base + rng.integers(-1, 2, size=(64, 64))).clip(0, 836).astype(np.uint16)
+        for _ in range(5)
+    ])
+    payload = rng.integers(0, 2, size=5_000).astype(np.uint8)
+    cfg = EncodeConfig(strategy="pee", codec="deflate")
+
+    res = volume_par.encode_volume(vol, payload, cfg)
+    assert res.threshold is not None and res.plan is None
+    assert int(res.slice_bits.sum()) == payload.size
+    assert (res.slice_bits > 0).sum() >= 2          # the split really spans slices
+    blob = volume_par.pack_volume(vol, res, cfg)
+
+    bits, stego, original = volume_par.unpack_volume(blob)
+    np.testing.assert_array_equal(bits, payload)
+    np.testing.assert_array_equal(stego, res.stego)
+    np.testing.assert_array_equal(original, vol)
+
+
+def test_volume_pee_capacity_error(rng):
+    from codec_tcc_tpu.parallel import volume as volume_par
+
+    vol = rng.integers(0, 65536, size=(2, 16, 16)).astype(np.uint16)  # noise
+    with np.testing.assert_raises(ValueError):
+        volume_par.encode_volume(
+            vol, np.ones(200_000, np.uint8), EncodeConfig(strategy="pee")
+        )
