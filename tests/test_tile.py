@@ -180,3 +180,63 @@ def test_tiled_histogram_matches_host(tile_mesh, big_image):
 
     counts = tile_par.histogram_tiled(big_image, 65536, tile_mesh)
     np.testing.assert_array_equal(counts, host_histogram(big_image, 65536))
+
+
+# ---------------------------------------------------------------------------
+# tile-sharded PEE (round 2): halo exchange + rank-prefix collectives
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_pee_matches_single_device(tile_mesh):
+    """Tile-sharded PEE containers are byte-identical to the single-device
+    encoder's; both decoders recover the exact payload and original."""
+    from codec_tcc_tpu import decode_container
+    from codec_tcc_tpu.models.pee import encode_pee_array
+    from codec_tcc_tpu.parallel import tile_pee
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:256, 0:256]
+    base = (500 + 200 * np.sin(yy / 23.0) * np.cos(xx / 31.0)).astype(np.int64)
+    img = (base + rng.integers(-1, 2, size=(256, 256))).clip(0, 900).astype(np.uint16)
+    payload = rng.integers(0, 2, size=9_000).astype(np.uint8)
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=False)
+
+    ref = encode_pee_array(img, payload, cfg)
+    res = tile_pee.encode_array_tiled_pee(img, payload, cfg, tile_mesh)
+    assert res.container == ref.container          # byte-identical
+    np.testing.assert_array_equal(res.stego, ref.stego)
+
+    dec = tile_pee.decode_container_tiled_pee(res.container, tile_mesh)
+    np.testing.assert_array_equal(dec.payload_bits, payload)
+    np.testing.assert_array_equal(dec.original, img)
+
+    # and the standard decoder reads the tiled container
+    dec2 = decode_container(res.container)
+    np.testing.assert_array_equal(dec2.payload_bits, payload)
+    np.testing.assert_array_equal(dec2.original, img)
+
+
+def test_tiled_pee_two_pass_and_saturation(tile_mesh):
+    """Payload spilling into pass 1 + capacity error behavior."""
+    from codec_tcc_tpu.models.pee import encode_pee_array
+    from codec_tcc_tpu.parallel import tile_pee
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:128, 0:128]
+    base = (300 + 100 * np.sin(yy / 11.0) * np.cos(xx / 13.0)).astype(np.int64)
+    img = (base + rng.integers(-1, 2, size=(128, 128))).clip(0, 600).astype(np.uint16)
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=False)
+
+    # two-pass: more bits than one pass holds at the chosen T
+    payload = rng.integers(0, 2, size=9_500).astype(np.uint8)
+    ref = encode_pee_array(img, payload, cfg)
+    res = tile_pee.encode_array_tiled_pee(img, payload, cfg, tile_mesh)
+    assert res.container == ref.container
+    dec = tile_pee.decode_container_tiled_pee(res.container, tile_mesh)
+    np.testing.assert_array_equal(dec.payload_bits, payload)
+    np.testing.assert_array_equal(dec.original, img)
+
+    with pytest.raises(ValueError, match="capacity"):
+        tile_pee.encode_array_tiled_pee(
+            img, np.ones(200_000, np.uint8), cfg, tile_mesh
+        )
