@@ -237,6 +237,22 @@ def cmd_encode(args: argparse.Namespace) -> int:
     return 0
 
 
+def _write_payload(payload: bytes, prefix: str) -> str:
+    """Write a decoded payload as ``<prefix>_message.txt`` when it is valid
+    UTF-8, else ``<prefix>_payload.bin``; returns the path written."""
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        path = f"{prefix}_payload.bin"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return path
+    path = f"{prefix}_message.txt"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    return path
+
+
 def cmd_decode(args: argparse.Namespace) -> int:
     from . import pipeline
 
@@ -244,15 +260,7 @@ def cmd_decode(args: argparse.Namespace) -> int:
     prefix = args.output_prefix
 
     payload = result.payload
-    msg_path = f"{prefix}_message.txt"
-    try:
-        text = payload.decode("utf-8")
-        with open(msg_path, "w", encoding="utf-8") as f:
-            f.write(text)
-    except UnicodeDecodeError:
-        msg_path = f"{prefix}_payload.bin"
-        with open(msg_path, "wb") as f:
-            f.write(payload)
+    msg_path = _write_payload(payload, prefix)
 
     stego_path = f"{prefix}_stego.dcm"
     dicom.save_image(result.stego, stego_path)
@@ -510,14 +518,14 @@ def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
     _os.makedirs(args.output_dir, exist_ok=True)
     print(f"{'INPUT':<32} {'s':<3} {'BYTES':<9}")
     print("-" * 48)
-    for path, cont in zip(args.inputs, res.containers):
+    for i, (path, cont) in enumerate(zip(args.inputs, res.containers)):
         out = _os.path.join(
             args.output_dir,
             _os.path.splitext(_os.path.basename(path))[0] + ".stgc",
         )
         with open(out, "wb") as f:
             f.write(cont)
-        s = res.plan.s[args.inputs.index(path)] if res.plan is not None else "-"
+        s = res.plan.s[i] if res.plan is not None else "-"
         print(f"{_os.path.basename(path):<32} {s:<3} {len(cont):<9}")
     print(f"\n{len(res.containers)} containers -> {args.output_dir} (fused)")
     return 0
@@ -536,16 +544,9 @@ def cmd_decode_batch(args: argparse.Namespace) -> int:
     _os.makedirs(args.output_dir, exist_ok=True)
     for path, dec in zip(args.inputs, decs):
         stem = _os.path.splitext(_os.path.basename(path))[0]
-        payload = dec.payload
-        try:
-            text = payload.decode("utf-8")
-            msg_path = _os.path.join(args.output_dir, f"{stem}_message.txt")
-            with open(msg_path, "w", encoding="utf-8") as f:
-                f.write(text)
-        except UnicodeDecodeError:
-            msg_path = _os.path.join(args.output_dir, f"{stem}_payload.bin")
-            with open(msg_path, "wb") as f:
-                f.write(payload)
+        msg_path = _write_payload(
+            dec.payload, _os.path.join(args.output_dir, stem)
+        )
         if dec.original is not None:
             dicom.save_image(
                 dec.original, _os.path.join(args.output_dir, f"{stem}_original.dcm")

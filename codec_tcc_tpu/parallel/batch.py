@@ -78,6 +78,7 @@ def plan_batch(
     config: EncodeConfig = EncodeConfig(),
     *,
     histograms: Optional[np.ndarray] = None,
+    nbits: Optional[int] = None,
 ) -> BatchPlan:
     """Host-side planning for a batch: per-image decomposition (from one
     vmapped histogram pass) + segment plans, padded to a common ``Lpad``.
@@ -86,12 +87,17 @@ def plan_batch(
     plane starts at raster 0) or ``hybrid`` (per-image variance-chosen start
     offset from one vmapped tile-popcount pass, SURVEY hybrid semantics with
     defect B4 fixed). Block-adaptive and PEE go through the single-image
-    pipeline, whose plans are not plain raster windows."""
+    pipeline, whose plans are not plain raster windows.
+
+    ``nbits`` caps the decomposition's plane search exactly like the
+    single-image pipeline's bits_stored-derived cap (defect B6 fixed);
+    leaving it None decomposes over the full dtype width."""
     b, h, w = images.shape
     n = h * w
     itemsize = np.dtype(images.dtype).itemsize
     dtype_bits = itemsize * 8
     max_val = 255 if itemsize == 1 else 65535
+    dec_nbits = min(nbits, dtype_bits) if nbits else dtype_bits
 
     if histograms is None:
         histograms = np.asarray(batched_histograms(images, max_val + 1))
@@ -110,7 +116,7 @@ def plan_batch(
     plans = []
     for i in range(b):
         dec = decompose_ops.decompose(
-            images[i], beta=config.beta, nbits=dtype_bits,
+            images[i], beta=config.beta, nbits=dec_nbits,
             histogram_counts=histograms[i],
         )
         s_arr[i] = dec.s
@@ -303,8 +309,15 @@ def extract_batch(
 ) -> np.ndarray:
     """(B, out_len) message bits: device extraction + DEVICE assembly, so
     only the payload itself crosses the host link (the P x N aligned-rows
-    tensor dominated end-to-end decode on slow host<->device links)."""
+    tensor dominated end-to-end decode on slow host<->device links).
+
+    The device assembly length is bucketed to the next power of two (jit
+    specializations are per static out_len; on real TPU each is a remote
+    compile) and sliced back on host."""
+    from ..pipeline import _next_pow2
+
     out_len = out_len or plan.lpad
+    pad_len = _next_pow2(max(out_len, 1))
     if backend == "auto":
         backend = _pick_pallas_backend(np.shape(stego), plan.nbits, mesh)
     if backend == "preplaced":
@@ -321,8 +334,8 @@ def extract_batch(
         return np.asarray(embed_ops.assemble_raster_device(
             rows.reshape(b, plan.nbits, n),
             jnp.asarray(plan.starts), jnp.asarray(plan.offsets),
-            jnp.asarray(plan.lengths), out_len,
-        ))
+            jnp.asarray(plan.lengths), pad_len,
+        ))[:, :out_len]
     if backend == "pallas":
         from ..ops import pallas_embed as pe
 
@@ -340,8 +353,8 @@ def extract_batch(
     else:
         aligned = extract_aligned_batch(stego, plan, mesh)
     return np.asarray(embed_ops.assemble_message_device(
-        aligned, jnp.asarray(plan.offsets), jnp.asarray(plan.lengths), out_len
-    ))
+        aligned, jnp.asarray(plan.offsets), jnp.asarray(plan.lengths), pad_len
+    ))[:, :out_len]
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +417,7 @@ def encode_batch_containers(
     # embed kernels (three separate uploads otherwise — the link is the
     # bottleneck of the serving path, not the kernels)
     imgs_dev = jnp.asarray(images)
-    plan = plan_batch(imgs_dev, payloads, config)
+    plan = plan_batch(imgs_dev, payloads, config, nbits=nbits)
 
     if not config.allow_capacity_overflow:
         for i in range(b):
@@ -416,14 +429,14 @@ def encode_batch_containers(
                     f"shrink it, raise beta, or set allow_capacity_overflow=True"
                 )
 
-    stego_dev = encode_batch(images, plan, mesh)
+    stego_dev = encode_batch(imgs_dev, plan, mesh)
 
     metrics = None
     if config.compute_metrics:
         from ..ops import metrics as metric_ops
 
         stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
-            jnp.asarray(images), stego_dev
+            imgs_dev, stego_dev
         )
         stats_np = {k: np.asarray(v) for k, v in stats.items()}
         metrics = [
@@ -488,6 +501,8 @@ def decode_batch_containers(
         decode_container,
     )
 
+    if not containers:
+        raise ValueError("Invalid file: empty container batch")
     conts = [
         c if isinstance(c, container_io.Container) else container_io.parse(c)
         for c in containers

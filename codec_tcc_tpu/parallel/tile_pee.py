@@ -314,8 +314,10 @@ def encode_array_tiled_pee(
             result = (t, s0, np.asarray(o0), used0, int(n0),
                       np.zeros((h, w), dtype=bool), 0, 0, 1)
             break
+        # s0 is already sharded P(axis, None); device_put inside is a no-op,
+        # so the intermediate image never visits the host
         s1, o1, u1, n1 = embed_pass_tiled(
-            np.asarray(s0), msg_pad, used0, want1, 1, t, max_val, mesh, axis
+            s0, msg_pad, used0, want1, 1, t, max_val, mesh, axis
         )
         if int(u1) < want1:
             continue
@@ -400,16 +402,19 @@ def decode_container_tiled_pee(
         max_val = (1 << (stego.dtype.itemsize * 8)) - 1
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 
-    img = stego
+    # shard the stego/overflow once; the inter-pass image stays on device
+    # (extract_pass_tiled's device_put is then a no-op)
+    sharding = NamedSharding(mesh, P(axis, None))
+    img = jax.device_put(jnp.asarray(stego), sharding)
+    over_d = jax.device_put(jnp.asarray(overflow), sharding)
     bits1_arr = np.zeros(0, dtype=np.uint8)
     if passes == 2:
         img, b1, n1 = extract_pass_tiled(
-            img, overflow, nproc1, 1, t, max_val, out_len, mesh, axis
+            img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis
         )
         bits1_arr = b1[:n1]
-        img = np.asarray(img)
     img, b0, n0 = extract_pass_tiled(
-        img, overflow, nproc0, 0, t, max_val, out_len, mesh, axis
+        img, over_d, nproc0, 0, t, max_val, out_len, mesh, axis
     )
     bits0_arr = b0[:n0]
 

@@ -280,3 +280,35 @@ def test_volume_pee_capacity_error(rng):
         volume_par.encode_volume(
             vol, np.ones(200_000, np.uint8), EncodeConfig(strategy="pee")
         )
+
+
+def test_batch_containers_honor_bits_stored(rng):
+    """The fused batch path must decompose under the same nbits cap as the
+    single-image pipeline (defect B6 fix): bits_stored-limited uint16 images
+    produce byte-identical containers through both paths."""
+    from codec_tcc_tpu import encode_array
+
+    from codec_tcc_tpu.ops import decompose as decompose_ops
+
+    b = 3
+    # 12-bit data in uint16 carriers with a binding 8-plane cap: at beta=0.8
+    # the MI target exceeds what 8 planes can accumulate, so the capped scan
+    # yields a different s than the full-width scan — exactly the divergence
+    # the fused path showed before plan_batch learned the cap
+    imgs = rng.integers(0, 4096, size=(b, 64, 64)).astype(np.uint16)
+    assert (
+        decompose_ops.decompose(imgs[0], beta=0.8, nbits=8).s
+        != decompose_ops.decompose(imgs[0], beta=0.8, nbits=16).s
+    ), "test inputs must make the cap binding"
+    payloads = [rng.bytes(20) for _ in range(b)]
+    cfg = EncodeConfig(beta=0.8, nbits=8, strategy="multi_plane",
+                       codec="deflate", compute_metrics=False)
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    for i in range(b):
+        single = encode_array(imgs[i], payloads[i], cfg)
+        assert res.containers[i] == single.container, f"container {i} differs"
+
+    decs = batch_par.decode_batch_containers(res.containers)
+    for i, dec in enumerate(decs):
+        assert dec.payload == payloads[i]
+        np.testing.assert_array_equal(dec.original, imgs[i])
