@@ -183,25 +183,28 @@ def _compress_rows(x, m):
     return _unpack32(x, rows)
 
 
-def _inrow_inclusive(v):
-    """Inclusive prefix sum along lanes (int32)."""
-    for k in range(7):
-        v = v + _shl(v, 1 << k)
-    return v
+def _mxu_prefixes(counts):
+    """(inrow_inclusive, rowtot_bcast, row_exclusive) of a 0/1 ``(R, 128)``
+    int32 mask — both prefix directions as ONE MXU matmul each instead of
+    ~18 sublane/lane roll+add chains (measured ~2x faster on v5e):
 
-
-def _row_exclusive(rowtot_full):
-    """Exclusive prefix along rows of a (R, 128) row-constant array."""
-    rows = rowtot_full.shape[0]
-    r_id = jax.lax.broadcasted_iota(jnp.int32, rowtot_full.shape, 0)
-    acc = jnp.where(r_id >= 1, pltpu.roll(rowtot_full, 1, 0), 0)
-    s = 1
-    while s < rows:
-        # mask only the wrapped rows (< s); rows in [s, 2s) carry real,
-        # already-complete prefixes that must still accumulate
-        acc = acc + jnp.where(r_id >= s, pltpu.roll(acc, s, 0), 0)
-        s *= 2
-    return acc
+    * in-row inclusive: ``counts @ U`` with U[j,c] = 1 for j <= c; exact in
+      bf16 (row sums <= 128 < 256, the bf16 exact-integer range);
+    * row exclusive: ``L @ rowtot`` with L[r,r'] = 1 for r' < r; f32 (sums
+      <= TILE_PX/2 = 2^15 << 2^24, exact)."""
+    rows = counts.shape[0]
+    u_r = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    u_c = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    upper = (u_r <= u_c).astype(jnp.bfloat16)
+    inrow = jnp.dot(counts.astype(jnp.bfloat16), upper,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    rowtot = inrow[:, _LANE - 1 :] + jnp.zeros((rows, _LANE), jnp.int32)
+    l_r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    l_c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    lower = (l_c < l_r).astype(jnp.float32)
+    rowpref = jnp.dot(lower, rowtot.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    return inrow, rowtot, rowpref
 
 
 def _cond_rotl(x, br):
@@ -315,15 +318,48 @@ def _fetch_rows(win, onehot_for, rowpref):
 # ---------------------------------------------------------------------------
 
 
+def _start_img_dma(imgp_ref, hbuf, hsem, step, tiles: int, w: int):
+    """Issue the haloed image-row DMA for flat grid ``step`` into buffer slot
+    ``step % 2``. Returns the copy descriptor (same args re-create it for the
+    matching ``wait``)."""
+    bb = step // tiles
+    tt = step % tiles
+    slot = step % 2
+    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
+    return pltpu.make_async_copy(
+        imgp_ref.at[bb, pl.ds(row_img, _TROWS + 2 * _halo(w)), :],
+        hbuf.at[slot], hsem.at[slot],
+    )
+
+
 def _embed_kernel(
     msg_base_ref, want_ref,           # scalar prefetch (B,) int32
     imgp_ref, msg_ref,                # padded image (ANY), msg (ANY)
     stego_ref, over_ref, nproc_ref, cnt_ref,  # outs: tile, tile, SMEM (B,T) x2
     hbuf, hsem, wbuf, wsem, carry,    # scratch
     *, h: int, w: int, parity: int, t: int, max_val: int, l2: int,
+    tiles: int, batch: int,
 ):
     b = pl.program_id(0)
     tt = pl.program_id(1)
+
+    # cross-step double buffering: the image DMA for flat step s+1 is issued
+    # before waiting on step s's, so its ~10 us latency (the measured floor
+    # of the whole kernel: a copy-only variant of this grid runs at the same
+    # speed as the full math) hides behind this step's compute — across
+    # image boundaries too (the grid is row-major, b outer).
+    step = b * tiles + tt
+
+    @pl.when(step == 0)
+    def _():
+        _start_img_dma(imgp_ref, hbuf, hsem, 0, tiles, w).start()
+
+    @pl.when(step + 1 < batch * tiles)
+    def _():
+        _start_img_dma(imgp_ref, hbuf, hsem, step + 1, tiles, w).start()
+
+    cp_img = _start_img_dma(imgp_ref, hbuf, hsem, step, tiles, w)
+    hview = hbuf.at[step % 2]
 
     @pl.when(tt == 0)
     def _():
@@ -337,13 +373,6 @@ def _embed_kernel(
     # separate capacity count pass is needed. The host computes `used` from
     # the per-tile counts this kernel emits (cnt_ref).
     want = want_ref[b]
-
-    # haloed image rows (padded layout keeps every window in bounds)
-    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
-    cp_img = pltpu.make_async_copy(
-        imgp_ref.at[b, pl.ds(row_img, _TROWS + 2 * _halo(w)), :], hbuf, hsem
-    )
-    cp_img.start()
 
     # Tiles whose first eligible rank is already past the payload embed
     # nothing and process nothing (grank_incl >= tile_base + 1 > want for any
@@ -374,7 +403,7 @@ def _embed_kernel(
     def _():
         cp_img.wait()
         hl = _halo(w)
-        stego_ref[0] = hbuf[hl : hl + _TROWS]
+        stego_ref[0] = hview[hl : hl + _TROWS]
         over_ref[0] = jnp.zeros((_TROWS, _LANE), jnp.uint8)
         nproc_ref[b, tt] = 0
         cnt_ref[b, tt] = 0
@@ -387,18 +416,14 @@ def _embed_kernel(
         in_set, set_rank = _geometry(pos, h, w, parity)
 
         cp_img.wait()
-        x, pred = _halo_predict(hbuf, w)
+        x, pred = _halo_predict(hview, w)
         e, expandable, overflow, eligible = _classify(
             x, pred, in_set, t, max_val
         )
 
         elig = eligible.astype(jnp.int32)
-        inrow_incl = _inrow_inclusive(elig)
-        rowtot = jnp.sum(elig, axis=1, keepdims=True) + jnp.zeros(
-            (_TROWS, _LANE), jnp.int32
-        )
-        rowpref = _row_exclusive(rowtot)
-        tile_cnt = jnp.sum(elig)
+        inrow_incl, rowtot, rowpref = _mxu_prefixes(elig)
+        tile_cnt = rowpref[_TROWS - 1, 0] + rowtot[_TROWS - 1, 0]
         carry[0] = tile_base + tile_cnt
 
         grank_incl = tile_base + rowpref + inrow_incl
@@ -440,7 +465,8 @@ def _embed_call(
     nr = imgs_pad.shape[1] - 2 * _halo(w)
     tiles = nr // _TROWS
     kernel = functools.partial(
-        _embed_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val, l2=l2
+        _embed_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val, l2=l2,
+        tiles=tiles, batch=b,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -460,8 +486,8 @@ def _embed_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TROWS + 2 * _halo(w), _LANE), imgs_pad.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _TROWS + 2 * _halo(w), _LANE), imgs_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_WBUF_ROWS, _LANE), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.int32),
@@ -491,14 +517,24 @@ def _extract_kernel(
     restored_ref, seg_ref, cnt_ref,    # outs: tile, (1,1,WROWS,128), SMEM
     hbuf, hsem,
     *, h: int, w: int, parity: int, t: int, max_val: int,
+    tiles: int, batch: int,
 ):
     b = pl.program_id(0)
     tt = pl.program_id(1)
-    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
-    cp = pltpu.make_async_copy(
-        stegop_ref.at[b, pl.ds(row_img, _TROWS + 2 * _halo(w)), :], hbuf, hsem
-    )
-    cp.start()
+
+    # cross-step double buffering (see _embed_kernel)
+    step = b * tiles + tt
+
+    @pl.when(step == 0)
+    def _():
+        _start_img_dma(stegop_ref, hbuf, hsem, 0, tiles, w).start()
+
+    @pl.when(step + 1 < batch * tiles)
+    def _():
+        _start_img_dma(stegop_ref, hbuf, hsem, step + 1, tiles, w).start()
+
+    cp = _start_img_dma(stegop_ref, hbuf, hsem, step, tiles, w)
+    hview = hbuf.at[step % 2]
 
     # Scalar lower bound on the tile's first inclusive in-set rank: ranks are
     # monotone in raster order and every in-set interior pixel has
@@ -518,7 +554,7 @@ def _extract_kernel(
     def _():
         cp.wait()
         hl = _halo(w)
-        restored_ref[0] = hbuf[hl : hl + _TROWS]
+        restored_ref[0] = hview[hl : hl + _TROWS]
         seg_ref[0, 0] = jnp.zeros((_WROWS, _LANE), jnp.uint8)
         cnt_ref[b, tt] = 0
 
@@ -530,7 +566,7 @@ def _extract_kernel(
         in_set, set_rank = _geometry(pos, h, w, parity)
         ov = over_ref[0].astype(jnp.int32) > 0  # no unsigned-i8 compares (v5e)
         cp.wait()
-        x2, pred = _halo_predict(hbuf, w)
+        x2, pred = _halo_predict(hview, w)
 
         e2 = x2 - pred
         processed = in_set & (set_rank <= nproc_ref[b]) & ~ov
@@ -548,10 +584,7 @@ def _extract_kernel(
         # one-hot matmuls (inverse of the embed fetch)
         exp = expanded.astype(jnp.int32)
         packed = _compress_rows(jnp.where(expanded, bitv, 0), exp)
-        rowcnt = jnp.sum(exp, axis=1, keepdims=True) + jnp.zeros(
-            (_TROWS, _LANE), jnp.int32
-        )
-        rowpref = _row_exclusive(rowcnt)
+        _, rowcnt, rowpref = _mxu_prefixes(exp)
         packed = jnp.where(c_id < rowcnt, packed, 0)
 
         ar = rowpref >> 7
@@ -579,7 +612,7 @@ def _extract_kernel(
         seg_ref[0, 0, _LANE : 2 * _LANE] = (
             scatter_half(ar - _LANE).astype(jnp.int32).astype(jnp.uint8)
         )
-        cnt_ref[b, tt] = jnp.sum(exp)
+        cnt_ref[b, tt] = rowpref[_TROWS - 1, 0] + rowcnt[_TROWS - 1, 0]
 
 
 @functools.partial(
@@ -594,7 +627,8 @@ def _extract_call(
     nr = stego_pad.shape[1] - 2 * _halo(w)
     tiles = nr // _TROWS
     kernel = functools.partial(
-        _extract_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val
+        _extract_kernel, h=h, w=w, parity=parity, t=t, max_val=max_val,
+        tiles=tiles, batch=b,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -612,8 +646,8 @@ def _extract_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TROWS + 2 * _halo(w), _LANE), stego_pad.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _TROWS + 2 * _halo(w), _LANE), stego_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
