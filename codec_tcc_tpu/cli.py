@@ -129,6 +129,9 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     vdec.add_argument("input", help=".stgv file")
     vdec.add_argument("--output-prefix", default="volume")
+    vdec.add_argument("--dicom", action="store_true",
+                      help="also write stego/restored volumes as multiframe "
+                           "DICOM files (<prefix>_stego.dcm / _original.dcm)")
 
     benc = sub.add_parser(
         "encode-batch",
@@ -393,6 +396,14 @@ def _load_volume(paths: List[str]) -> np.ndarray:
             raise ValueError(f"expected a 3-D volume, got shape {vol.shape}")
         return vol
     slices = [_load_any(p) for p in paths]
+    if len(slices) == 1 and slices[0].ndim == 3:
+        return slices[0]          # one multiframe DICOM IS the volume
+    for p, s in zip(paths, slices):
+        if s.ndim != 2:
+            raise ValueError(
+                f"{p} is a {s.ndim}-D image; mix of multiframe and "
+                f"single-frame inputs is not supported"
+            )
     shapes = {s.shape for s in slices}
     if len(shapes) != 1:
         raise ValueError(f"slice shapes differ: {sorted(shapes)}")
@@ -452,6 +463,12 @@ def cmd_decode_volume(args: argparse.Namespace) -> int:
     if original is not None:
         np.save(f"{args.output_prefix}_original.npy", original)
         print(f"restored original    : {args.output_prefix}_original.npy")
+    if args.dicom:
+        dicom.save_image(stego, f"{args.output_prefix}_stego.dcm")
+        print(f"stego DICOM          : {args.output_prefix}_stego.dcm")
+        if original is not None:
+            dicom.save_image(original, f"{args.output_prefix}_original.dcm")
+            print(f"original DICOM       : {args.output_prefix}_original.dcm")
     return 0
 
 

@@ -481,10 +481,17 @@ def build_secondary_capture(
     Field-for-field parity with the reference's ``create_dicom``
     (``src/codec.py:23-106``): SOP class ``1.2.840.10008.5.1.4.1.1.7``,
     MONOCHROME2, unsigned pixels, Window/Level centered on the intensity
-    range, computed BitsStored.
+    range, computed BitsStored. A 3-D ``(frames, rows, cols)`` array writes
+    a multiframe file (NumberOfFrames set, frames concatenated) — the
+    volume pipeline's DICOM output path.
     """
-    if image.ndim != 2:
-        raise ValueError("Image must be 2-D grayscale")
+    frames = 1
+    if image.ndim == 3:
+        frames = int(image.shape[0])
+        if frames < 1:
+            raise ValueError("multiframe image needs at least one frame")
+    elif image.ndim != 2:
+        raise ValueError("Image must be 2-D grayscale or 3-D multiframe")
     if image.dtype not in (np.uint8, np.uint16):
         raise ValueError("Image must be uint8 or uint16")
 
@@ -524,8 +531,10 @@ def build_secondary_capture(
     put(0x0020, 0x0013, "IS", "1")
     put(0x0028, 0x0002, "US", 1)
     put(0x0028, 0x0004, "CS", "MONOCHROME2")
-    put(0x0028, 0x0010, "US", int(image.shape[0]))
-    put(0x0028, 0x0011, "US", int(image.shape[1]))
+    if frames > 1:
+        put(0x0028, 0x0008, "IS", str(frames))
+    put(0x0028, 0x0010, "US", int(image.shape[-2]))
+    put(0x0028, 0x0011, "US", int(image.shape[-1]))
     put(0x0028, 0x0100, "US", bits_allocated)
     put(0x0028, 0x0101, "US", bits_stored)
     put(0x0028, 0x0102, "US", bits_stored - 1)

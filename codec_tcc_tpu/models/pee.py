@@ -201,6 +201,18 @@ def parse_pee_container_parts(cont: container_io.Container):
         )
     ext = _parse_ext(meta.ext)
     h, w = meta.height, meta.width
+    t_val, passes, nproc0, nproc1, bits0, bits1 = ext
+    n = h * w
+    if not (1 <= t_val <= _MAX_T) or passes not in (1, 2):
+        raise ValueError(
+            f"Invalid file: PEE ext out of range (T={t_val}, passes={passes})"
+        )
+    if not (0 <= nproc0 <= n and 0 <= nproc1 <= n
+            and 0 <= bits0 <= n and 0 <= bits1 <= n):
+        raise ValueError(
+            "Invalid file: PEE ext boundaries exceed the image size "
+            f"({nproc0}, {nproc1}, {bits0}, {bits1} vs {n} pixels)"
+        )
     try:
         raw = zlib.decompress(cont.bitmaps_blob)
     except zlib.error as exc:

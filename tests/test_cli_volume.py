@@ -154,3 +154,28 @@ def test_volume_pee_cli_roundtrip(tmp_path, rng, capsys):
         "volume com expansao de erro de predicao")
     original = np.load(prefix + "_original.npy")
     np.testing.assert_array_equal(original, vol)
+
+
+def test_volume_multiframe_dicom_roundtrip(tmp_path, rng):
+    """One multiframe DICOM file IS the volume: encode-volume reads it
+    directly, decode-volume --dicom writes multiframe DICOMs back, and the
+    restored file's frames equal the input exactly."""
+    vol = rng.integers(0, 4096, size=(5, 32, 32)).astype(np.uint16)
+    src = tmp_path / "series.dcm"
+    dicom.save_image(vol, str(src), bits_stored=12)
+
+    # reader returns the (frames, rows, cols) stack
+    back, ds = dicom.load_image(str(src))
+    assert ds.number_of_frames == 5
+    np.testing.assert_array_equal(back, vol)
+
+    out = tmp_path / "mf.stgv"
+    assert main(["encode-volume", str(src), "--output", str(out),
+                 "--message", "multiframe"]) == 0
+    prefix = str(tmp_path / "mf")
+    assert main(["decode-volume", str(out), "--output-prefix", prefix,
+                 "--dicom"]) == 0
+    restored, _ = dicom.load_image(prefix + "_original.dcm")
+    np.testing.assert_array_equal(restored, vol)
+    payload = (tmp_path / "mf_payload.bin").read_bytes()
+    assert payload.decode("utf-8").startswith("multiframe")

@@ -53,7 +53,8 @@ def test_deflated_transfer_syntax_roundtrip(rng):
 
 def test_invalid_inputs():
     with pytest.raises(ValueError):
-        dicom.build_secondary_capture(np.zeros((4, 4, 4), dtype=np.uint8))
+        # 3-D is now multiframe-valid; 4-D is not
+        dicom.build_secondary_capture(np.zeros((2, 4, 4, 4), dtype=np.uint8))
     with pytest.raises(ValueError):
         dicom.build_secondary_capture(np.zeros((4, 4), dtype=np.int32))
 
