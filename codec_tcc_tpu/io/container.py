@@ -201,6 +201,19 @@ def _parse_v2(header: bytes, body: bytes) -> Container:
     off += ext_len
     (bitmaps_size,) = struct.unpack_from(">I", header, off)
 
+    # a corrupt u64 payload_bits must not reach the decoders: their static
+    # extraction lengths derive from it (a huge value aborts the process
+    # inside XLA on allocation, not in Python). The loosest legitimate
+    # bound is every plane of every pixel carrying payload.
+    max_payload = 32 * int(width) * int(height)
+    if payload_bits > max_payload:
+        raise ValueError(
+            f"Invalid file: payload_bits {payload_bits} exceeds any possible "
+            f"capacity of a {width}x{height} image"
+        )
+    if dtype_code not in _CODE_DTYPES:
+        raise ValueError(f"Invalid file: unknown dtype code {dtype_code}")
+
     meta = ContainerMeta(
         version=2,
         codec=_CODEC_NAMES.get(codec_id, "unknown"),

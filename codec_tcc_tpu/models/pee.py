@@ -213,6 +213,11 @@ def parse_pee_container_parts(cont: container_io.Container):
             "Invalid file: PEE ext boundaries exceed the image size "
             f"({nproc0}, {nproc1}, {bits0}, {bits1} vs {n} pixels)"
         )
+    if meta.payload_bits > bits0 + bits1:
+        raise ValueError(
+            f"Invalid file: payload_bits {meta.payload_bits} exceeds the "
+            f"recorded pass totals ({bits0} + {bits1})"
+        )
     try:
         raw = zlib.decompress(cont.bitmaps_blob)
     except zlib.error as exc:
