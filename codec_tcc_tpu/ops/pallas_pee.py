@@ -56,7 +56,7 @@ SMEM refs (``(1,1)`` block specs are rejected).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -333,7 +333,7 @@ def _start_img_dma(imgp_ref, hbuf, hsem, step, tiles: int, w: int):
 
 
 def _embed_kernel(
-    msg_base_ref, want_ref,           # scalar prefetch (B,) int32
+    msg_base_ref, want_ref, pos_base_ref, rank_base_ref,  # prefetch (B,) i32
     imgp_ref, msg_ref,                # padded image (ANY), msg (ANY)
     stego_ref, over_ref, nproc_ref, cnt_ref,  # outs: tile, tile, SMEM (B,T) x2
     hbuf, hsem, wbuf, wsem, carry,    # scratch
@@ -361,9 +361,13 @@ def _embed_kernel(
     cp_img = _start_img_dma(imgp_ref, hbuf, hsem, step, tiles, w)
     hview = hbuf.at[step % 2]
 
+    # rank_base/pos_base generalize the kernel to a SHARD of a larger image
+    # (parallel/tile_pee.py): positions offset by the shard's first global
+    # raster index, the rank carry seeded with the eligible count of the
+    # shards before it. Zeros = the whole-image case.
     @pl.when(tt == 0)
     def _():
-        carry[0] = 0
+        carry[0] = rank_base_ref[b]
 
     tile_base = carry[0]
     # `want` (unclamped) substitutes the clamped `used = min(want, cap)`:
@@ -412,7 +416,7 @@ def _embed_kernel(
     def _():
         r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
         c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
-        pos = tt * TILE_PX + r_id * _LANE + c_id
+        pos = pos_base_ref[b] + tt * TILE_PX + r_id * _LANE + c_id
         in_set, set_rank = _geometry(pos, h, w, parity)
 
         cp_img.wait()
@@ -457,7 +461,7 @@ def _embed_kernel(
     jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "l2", "interpret")
 )
 def _embed_call(
-    imgs_pad, msg2d, msg_base, want,
+    imgs_pad, msg2d, msg_base, want, pos_base, rank_base,
     h: int, w: int, parity: int, t: int, max_val: int, l2: int,
     interpret: bool = False,
 ):
@@ -469,7 +473,7 @@ def _embed_call(
         tiles=tiles, batch=b,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -503,7 +507,7 @@ def _embed_call(
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
-    )(msg_base, want, imgs_pad, msg2d)
+    )(msg_base, want, pos_base, rank_base, imgs_pad, msg2d)
 
 
 # ---------------------------------------------------------------------------
@@ -512,7 +516,7 @@ def _embed_call(
 
 
 def _extract_kernel(
-    nproc_ref,                         # scalar prefetch (B,) int32
+    nproc_ref, pos_base_ref,           # scalar prefetch (B,) int32
     stegop_ref, over_ref,              # padded stego (ANY), overflow block
     restored_ref, seg_ref, cnt_ref,    # outs: tile, (1,1,WROWS,128), SMEM
     hbuf, hsem,
@@ -541,7 +545,7 @@ def _extract_kernel(
     # in_row >= 1, so min rank >= row_excl(first row) + 1. Tiles entirely
     # past `nproc` have no processed pixels — pure stego copy (with
     # realistic payloads most tiles, and whole nproc==0 passes, skip).
-    y0 = (tt * TILE_PX) // w
+    y0 = (pos_base_ref[b] + tt * TILE_PX) // w
     m0 = jnp.clip(y0 - 1, 0, h - 2)
     if parity % 2 == 0:
         n_q1 = (m0 + 1) // 2
@@ -562,7 +566,7 @@ def _extract_kernel(
     def _():
         r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
         c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
-        pos = tt * TILE_PX + r_id * _LANE + c_id
+        pos = pos_base_ref[b] + tt * TILE_PX + r_id * _LANE + c_id
         in_set, set_rank = _geometry(pos, h, w, parity)
         ov = over_ref[0].astype(jnp.int32) > 0  # no unsigned-i8 compares (v5e)
         cp.wait()
@@ -619,7 +623,7 @@ def _extract_kernel(
     jax.jit, static_argnames=("h", "w", "parity", "t", "max_val", "interpret")
 )
 def _extract_call(
-    stego_pad, over3, nproc,
+    stego_pad, over3, nproc, pos_base,
     h: int, w: int, parity: int, t: int, max_val: int,
     interpret: bool = False,
 ):
@@ -631,7 +635,7 @@ def _extract_call(
         tiles=tiles, batch=b,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -659,7 +663,7 @@ def _extract_call(
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
-    )(nproc, stego_pad, over3)
+    )(nproc, pos_base, stego_pad, over3)
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +697,8 @@ def embed_pass_batch(
     want: jax.Array,         # (B,) int32 — bits this pass should embed
     h: int, w: int, parity: int, t: int, max_val: int, l2: int,
     interpret: bool = False,
+    *,
+    shard: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ):
     """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,)).
 
@@ -701,18 +707,38 @@ def embed_pass_batch(
     the same image sweep — no separate count pass. Capacity-saturated images
     (want > cap) get ``nproc = h*w`` (whole in-set processed), matching
     ops.pee's saturation convention.
+
+    ``shard=(imgs_pad, pos_base, rank_base)`` runs the kernel on a SHARD of
+    a larger image (parallel/tile_pee.py): the caller supplies the padded
+    buffer (neighbor halo rows already in place), the shard's first global
+    raster index, and the global eligible-rank prefix before the shard.
+    ``h``/``w`` are then the GLOBAL geometry, ``want`` the global budget,
+    and the returned (cnt per-shard capacity, nproc per-shard max) combine
+    across shards at the caller; the saturation fixup is skipped (the
+    caller resolves it globally). ``imgs3`` is ignored in that mode.
     """
-    if not supports(h, w):
+    if not supports(h, w) and shard is None:
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images "
             f"(need w % 128 == 0 and >= 128, n % {TILE_PX} == 0)"
         )
-    imgs_pad = pad_images(imgs3, _halo(w))
+    if shard is None:
+        imgs_pad = pad_images(imgs3, _halo(w))
+        b = imgs_pad.shape[0]
+        pos_base = jnp.zeros(b, jnp.int32)
+        rank_base = jnp.zeros(b, jnp.int32)
+    else:
+        imgs_pad, pos_base, rank_base = shard
+        pos_base = pos_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
+        rank_base = rank_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
     stego3, over3, nproc_t, cnt_t = _embed_call(
         imgs_pad, msg2d, msg_base.astype(jnp.int32), want.astype(jnp.int32),
+        pos_base, rank_base,
         h, w, parity, t, max_val, l2, interpret=interpret,
     )
     cap = jnp.sum(cnt_t, axis=1)
+    if shard is not None:
+        return stego3, over3, cap, jnp.max(nproc_t, axis=1)
     used = jnp.minimum(want, cap)
     nproc = jnp.where(want > cap, jnp.int32(h * w), jnp.max(nproc_t, axis=1))
     return stego3, over3, used, nproc
@@ -724,16 +750,35 @@ def extract_pass_batch(
     nproc: jax.Array,        # (B,) int32
     h: int, w: int, parity: int, t: int, max_val: int,
     interpret: bool = False,
+    *,
+    shard: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """Invert one PEE pass. Returns (restored3, segs (B,T,256,128) u8,
-    counts (B,T) int32); feed segs/counts to :func:`collect_bits`."""
+    counts (B,T) int32); feed segs/counts to :func:`collect_bits`.
+
+    ``shard=(stego_pad, pos_base)`` inverts one SHARD of a larger image (see
+    :func:`embed_pass_batch`): the caller supplies the padded buffer with
+    neighbor halo rows and the shard's first global raster index; ``nproc``
+    is the pass's GLOBAL boundary (same value on every shard). Per-shard
+    tile counts are exact (inactive tiles truly hold no bits), so cross-
+    shard bit assembly is count-prefix placement at the caller. ``stego3``
+    is ignored in that mode."""
+    if shard is not None:
+        stego_pad, pos_base = shard
+        pos_base = pos_base.astype(jnp.int32).reshape(stego_pad.shape[0])
+        return _extract_call(
+            stego_pad, over3, nproc.astype(jnp.int32), pos_base,
+            h, w, parity, t, max_val, interpret=interpret,
+        )
     if not supports(h, w):
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images "
             f"(need w % 128 == 0 and >= 128, n % {TILE_PX} == 0)"
         )
+    b = stego3.shape[0]
     return _extract_call(
         pad_images(stego3, _halo(w)), over3, nproc.astype(jnp.int32),
+        jnp.zeros(b, jnp.int32),
         h, w, parity, t, max_val, interpret=interpret,
     )
 

@@ -44,6 +44,7 @@ __all__ = [
     "extract_pass_tiled",
     "encode_array_tiled_pee",
     "decode_container_tiled_pee",
+    "pallas_supported",
 ]
 
 _BIG = jnp.int32(2**31 - 1)
@@ -270,6 +271,135 @@ def extract_pass_tiled(
     return restored, out, int(counts.sum())
 
 
+# ---------------------------------------------------------------------------
+# Pallas per-shard compute: the same fused kernels the single-chip path uses,
+# parameterized with the shard's global position/rank bases (ops.pallas_pee
+# `shard=` mode). Protocol per pass: one XLA count sweep (exact kernel
+# classification) -> all_gather rank prefix -> Pallas kernel per shard with
+# neighbor halo rows spliced into its padded buffer. The XLA shard_map path
+# above remains the portable fallback; both are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _shard_pad_buffer(blk, top, bot, w: int):
+    """Kernel-layout padded buffer for one shard: the _halo(w)-row padding
+    carries the TRUE neighbor rows in the ``w // 128`` buffer rows adjacent
+    to the block (exactly the rows the in-kernel rhombus prediction reads
+    for boundary pixels); the rest is garbage-tolerated."""
+    from ..ops.pallas_pee import _halo
+
+    lh, _ = blk.shape
+    hl = _halo(w)
+    wr = w // 128
+    blk3 = blk.reshape(lh * w // 128, 128)
+    zpad = jnp.zeros((hl - wr, 128), blk.dtype)
+    return jnp.concatenate([
+        zpad, top.reshape(wr, 128), blk3, bot.reshape(wr, 128), zpad
+    ])[None]
+
+
+def _shard_classify_count(blk, top, bot, r0, h, w, parity, t, max_val):
+    """Eligible-pixel count of one shard (kernel-exact classification)."""
+    x = blk.astype(jnp.int32)
+    pred = _predict_block(blk, top, bot)
+    e = x - pred
+    lh = blk.shape[0]
+    in_set, _ = _global_geometry(lh, h, w, r0, parity)
+    expandable = (e >= -t) & (e < t)
+    exp_over = (pred + 2 * e + 1 > max_val) | (pred + 2 * e < 0)
+    shift_over = jnp.where(e >= t, x + t > max_val, x - t < 0)
+    overflow = in_set & jnp.where(expandable, exp_over, shift_over)
+    return jnp.sum((in_set & expandable & ~overflow).astype(jnp.int32))
+
+
+def pallas_supported(h: int, w: int, n_shards: int) -> bool:
+    """Whether the per-shard Pallas route handles this sharded geometry."""
+    from ..ops.pallas_pee import TILE_PX
+
+    return (
+        w % 128 == 0 and w >= 128
+        and h % n_shards == 0
+        and (h // n_shards) * w % TILE_PX == 0
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "parity", "t", "max_val", "h", "w", "l2", "mesh", "axis", "interpret"))
+def _embed_pass_pallas_jit(
+    img, msg2d, msg_base, want,
+    *, parity: int, t: int, max_val: int, h: int, w: int, l2: int,
+    mesh: Mesh, axis: str, interpret: bool,
+):
+    from ..ops import pallas_pee as pp
+
+    n_shards = mesh.shape[axis]
+    lh = h // n_shards
+
+    def f(blk, msg, base, wnt):
+        k = jax.lax.axis_index(axis)
+        r0 = k * lh
+        top, bot = _halo_rows(blk, axis, n_shards)
+        cnt = _shard_classify_count(blk, top, bot, r0, h, w, parity, t, max_val)
+        prefix, total_cap = _rank_prefix(cnt, axis, n_shards)
+
+        imgs_pad = _shard_pad_buffer(blk, top, bot, w)
+        stego3, over3, _, nproc_sh = pp.embed_pass_batch(
+            None, msg, base.reshape(1), wnt.reshape(1),
+            h, w, parity, t, max_val, l2, interpret=interpret,
+            shard=(imgs_pad, (r0 * w).reshape(1), prefix.reshape(1)),
+        )
+        used = jnp.minimum(wnt, total_cap)
+        n_proc = jax.lax.pmax(nproc_sh[0], axis)
+        n_proc = jnp.where(
+            wnt > total_cap, jnp.int32(h * w),
+            jnp.where(used > 0, n_proc, 0),
+        )
+        stego = stego3[0].reshape(lh, w)
+        over = over3[0].reshape(lh, w).astype(jnp.bool_)
+        return stego, over, used[None], n_proc[None]
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False,    # pallas_call out_shapes carry no vma annotation
+    )(img, msg2d, msg_base, want)
+
+
+@partial(jax.jit, static_argnames=(
+    "parity", "t", "max_val", "h", "w", "mesh", "axis", "interpret"))
+def _extract_pass_pallas_jit(
+    stego, over, n_proc,
+    *, parity: int, t: int, max_val: int, h: int, w: int,
+    mesh: Mesh, axis: str, interpret: bool,
+):
+    from ..ops import pallas_pee as pp
+
+    n_shards = mesh.shape[axis]
+    lh = h // n_shards
+
+    def f(blk, ov, npv):
+        k = jax.lax.axis_index(axis)
+        r0 = k * lh
+        top, bot = _halo_rows(blk, axis, n_shards)
+        stego_pad = _shard_pad_buffer(blk, top, bot, w)
+        over3 = ov.reshape(1, lh * w // 128, 128).astype(jnp.uint8)
+        r3, segs, cnts = pp.extract_pass_batch(
+            None, over3, npv.reshape(1), h, w, parity, t, max_val,
+            interpret=interpret, shard=(stego_pad, (r0 * w).reshape(1)),
+        )
+        return r3[0].reshape(lh, w), segs[0][None], cnts[0][None]
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis, None, None, None), P(axis, None)),
+        check_vma=False,    # pallas_call out_shapes carry no vma annotation
+    )(stego, over, n_proc)
+
+
 def encode_array_tiled_pee(
     image: np.ndarray,
     payload,
@@ -278,10 +408,17 @@ def encode_array_tiled_pee(
     axis: str = "tile",
     *,
     bits_stored: Optional[int] = None,
+    backend: str = "auto",
+    interpret: bool = False,
 ):
     """Tile-sharded PEE encode of one large image — byte-identical container
     to :func:`codec_tcc_tpu.models.pee.encode_pee_array` (same escalation
-    protocol, same ext/overflow-map layout)."""
+    protocol, same ext/overflow-map layout).
+
+    ``backend``: ``auto`` uses the per-shard Pallas kernels on TPU when the
+    sharded geometry supports them, the XLA shard_map path otherwise;
+    ``pallas``/``xla`` force a route (``pallas`` + ``interpret=True`` runs
+    the kernels interpreted — the CPU-mesh test configuration)."""
     import zlib
 
     from ..models.pee import _threshold_schedule
@@ -291,6 +428,7 @@ def encode_array_tiled_pee(
         raise ValueError("encode_array_tiled_pee requires a mesh")
     image = np.asarray(image)
     h, w = image.shape
+    n_shards = mesh.shape[axis]
     dtype_bits = image.dtype.itemsize * 8
     eff_bits = bits_stored if (config.use_bits_stored and bits_stored) else dtype_bits
     max_val = (1 << eff_bits) - 1
@@ -303,11 +441,47 @@ def encode_array_tiled_pee(
     msg_pad = np.zeros(lpad, dtype=np.uint8)
     msg_pad[:total_bits] = msg_bits
 
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pallas_supported(h, w, n_shards)
+            else "xla"
+        )
+    if backend == "pallas":
+        from ..ops import pallas_pee as pp
+
+        if not pallas_supported(h, w, n_shards):
+            raise ValueError(
+                f"per-shard Pallas route unsupported for {h}x{w} over "
+                f"{n_shards} shards"
+            )
+        msg2d, l2 = pp.prep_messages(msg_pad[None], h * w)
+        msg2d_d = jax.device_put(
+            jnp.asarray(msg2d), NamedSharding(mesh, P())
+        )
+
+        def run_pass(img, base, wnt, parity, t):
+            stego, over, used_k, nproc_k = _embed_pass_pallas_jit(
+                img, msg2d_d, jnp.int32(base), jnp.int32(wnt),
+                parity=parity, t=t, max_val=max_val, h=h, w=w, l2=l2,
+                mesh=mesh, axis=axis, interpret=interpret,
+            )
+            return stego, over, used_k[0], nproc_k[0]
+    else:
+        def run_pass(img, base, wnt, parity, t):
+            return embed_pass_tiled(
+                img, msg_pad, base, wnt, parity, t, max_val, mesh, axis
+            )
+
     result = None
     for t in _threshold_schedule(config.pee_threshold):
-        s0, o0, u0, n0 = embed_pass_tiled(
-            image, msg_pad, 0, total_bits, 0, t, max_val, mesh, axis
+        img0 = (
+            jax.device_put(jnp.asarray(image),
+                           NamedSharding(mesh, P(axis, None)))
+            if backend == "pallas" else image
         )
+        s0, o0, u0, n0 = run_pass(img0, 0, total_bits, 0, t)
         used0 = int(u0)
         want1 = total_bits - used0
         if want1 <= 0:
@@ -316,9 +490,7 @@ def encode_array_tiled_pee(
             break
         # s0 is already sharded P(axis, None); device_put inside is a no-op,
         # so the intermediate image never visits the host
-        s1, o1, u1, n1 = embed_pass_tiled(
-            s0, msg_pad, used0, want1, 1, t, max_val, mesh, axis
-        )
+        s1, o1, u1, n1 = run_pass(s0, used0, want1, 1, t)
         if int(u1) < want1:
             continue
         result = (t, s1, np.asarray(o0), used0, int(n0),
@@ -370,15 +542,36 @@ def encode_array_tiled_pee(
     )
 
 
+def _collect_shard_bits(segs, cnts, out_len: int) -> np.ndarray:
+    """Host assembly for the sharded-Pallas extract: per-shard tile runs
+    (local order, exact counts) placed at the shard's global count prefix."""
+    from ..ops.pallas_pee import collect_bits
+
+    cnts = np.asarray(cnts)
+    per_shard = collect_bits(segs, cnts, out_len)       # (K, out_len)
+    totals = cnts.sum(axis=1)
+    out = np.zeros(out_len, dtype=np.uint8)
+    off = 0
+    for k in range(per_shard.shape[0]):
+        take = min(int(totals[k]), out_len - off)
+        if take > 0:
+            out[off : off + take] = per_shard[k, :take]
+        off += int(totals[k])
+    return out
+
+
 def decode_container_tiled_pee(
     data: Union[bytes, container_io.Container],
     mesh: Mesh,
     axis: str = "tile",
     *,
     restore_original: bool = True,
+    backend: str = "auto",
+    interpret: bool = False,
 ):
     """Tile-sharded PEE decode: stego rows stay sharded through both inverse
-    passes; per-shard bit runs assemble at their global rank prefixes."""
+    passes; per-shard bit runs assemble at their global rank prefixes.
+    ``backend``/``interpret`` as in :func:`encode_array_tiled_pee`."""
     from ..models.pee import parse_pee_container_parts
     from ..pipeline import DecodeResult
     from ..io.codecs import get as get_codec
@@ -402,21 +595,54 @@ def decode_container_tiled_pee(
         max_val = (1 << (stego.dtype.itemsize * 8)) - 1
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 
+    n_shards = mesh.shape[axis]
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pallas_supported(h, w, n_shards)
+            else "xla"
+        )
+
     # shard the stego/overflow once; the inter-pass image stays on device
-    # (extract_pass_tiled's device_put is then a no-op)
     sharding = NamedSharding(mesh, P(axis, None))
     img = jax.device_put(jnp.asarray(stego), sharding)
     over_d = jax.device_put(jnp.asarray(overflow), sharding)
     bits1_arr = np.zeros(0, dtype=np.uint8)
-    if passes == 2:
-        img, b1, n1 = extract_pass_tiled(
-            img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis
+    if backend == "pallas":
+        if not pallas_supported(h, w, n_shards):
+            raise ValueError(
+                f"per-shard Pallas route unsupported for {h}x{w} over "
+                f"{n_shards} shards"
+            )
+        over_u8 = jax.device_put(
+            jnp.asarray(overflow).astype(jnp.uint8), sharding
         )
-        bits1_arr = b1[:n1]
-    img, b0, n0 = extract_pass_tiled(
-        img, over_d, nproc0, 0, t, max_val, out_len, mesh, axis
-    )
-    bits0_arr = b0[:n0]
+        if passes == 2:
+            img, segs1, cnts1 = _extract_pass_pallas_jit(
+                img, over_u8, jnp.int32(nproc1),
+                parity=1, t=t, max_val=max_val, h=h, w=w,
+                mesh=mesh, axis=axis, interpret=interpret,
+            )
+            bits1_arr = _collect_shard_bits(segs1, cnts1, out_len)
+            bits1_arr = bits1_arr[: int(np.asarray(cnts1).sum())]
+        img, segs0, cnts0 = _extract_pass_pallas_jit(
+            img, over_u8, jnp.int32(nproc0),
+            parity=0, t=t, max_val=max_val, h=h, w=w,
+            mesh=mesh, axis=axis, interpret=interpret,
+        )
+        bits0_arr = _collect_shard_bits(segs0, cnts0, out_len)
+        bits0_arr = bits0_arr[: int(np.asarray(cnts0).sum())]
+    else:
+        if passes == 2:
+            img, b1, n1 = extract_pass_tiled(
+                img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis
+            )
+            bits1_arr = b1[:n1]
+        img, b0, n0 = extract_pass_tiled(
+            img, over_d, nproc0, 0, t, max_val, out_len, mesh, axis
+        )
+        bits0_arr = b0[:n0]
 
     payload_bits = np.concatenate([bits0_arr, bits1_arr])[: meta.payload_bits]
     original = np.asarray(img) if restore_original else None

@@ -240,3 +240,32 @@ def test_tiled_pee_two_pass_and_saturation(tile_mesh):
         tile_pee.encode_array_tiled_pee(
             img, np.ones(200_000, np.uint8), cfg, tile_mesh
         )
+
+
+def test_tiled_pee_pallas_backend_matches(tile_mesh):
+    """The per-shard Pallas route (interpret mode on the CPU mesh) produces
+    byte-identical containers to both the XLA shard_map route and the
+    single-device encoder, and its decoder round-trips exactly."""
+    from codec_tcc_tpu.models.pee import encode_pee_array
+    from codec_tcc_tpu.parallel import tile_pee
+
+    h, w = 4096, 128           # 8 shards x one 65,536-px kernel tile each
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (420 + 180 * np.sin(yy / 29.0) * np.cos(xx / 17.0)).astype(np.int64)
+    img = (base + rng.integers(-1, 2, size=(h, w))).clip(0, 800).astype(np.uint16)
+    payload = rng.integers(0, 2, size=60_000).astype(np.uint8)
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=False)
+
+    assert tile_pee.pallas_supported(h, w, 8)
+    ref = encode_pee_array(img, payload, cfg)
+    res = tile_pee.encode_array_tiled_pee(
+        img, payload, cfg, tile_mesh, backend="pallas", interpret=True
+    )
+    assert res.container == ref.container
+
+    dec = tile_pee.decode_container_tiled_pee(
+        res.container, tile_mesh, backend="pallas", interpret=True
+    )
+    np.testing.assert_array_equal(dec.payload_bits, payload)
+    np.testing.assert_array_equal(dec.original, img)
