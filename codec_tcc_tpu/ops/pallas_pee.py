@@ -37,11 +37,16 @@ Everything is bit-exact with :mod:`codec_tcc_tpu.ops.pee` (asserted in
 DMA window bounds (keep in sync — an out-of-bounds DMA hard-aborts the TPU
 and interpret mode does not check):
 
-* message: the embed kernel unconditionally copies ``_WBUF_ROWS`` rows from
-  the 2048-aligned base of ``b*l2 + msg_base[b] + tile_base``;
+* message: the embed kernel copies ``_WBUF_ROWS`` rows from the
+  2048-aligned base of ``b*l2 + msg_base[b] + tile_base`` for ACTIVE tiles;
   :func:`prep_messages` sizes each image region as
   ``l2 >= Lpad + n/2 + _WBUF_ROWS*128`` (rounded to 2048), covering the
-  largest window (``msg_base <= Lpad``, ``tile_base <= n/2``);
+  largest window (``msg_base <= Lpad``, ``tile_base <= n/2``). In shard
+  mode (``shard=`` on the pass wrappers) ``tile_base`` carries the GLOBAL
+  rank prefix, so ``n`` in that sizing MUST be the global pixel count —
+  call ``prep_messages(msgs, h*w)`` with the full-image geometry, never
+  the shard-local count (an undersized region is an out-of-bounds DMA that
+  interpret-mode tests cannot catch);
 * image halo: both kernels copy rows ``[t*TROWS, t*TROWS + TROWS +
   2*_halo(w))`` of the **padded** image (``pad_images`` adds ``_halo(w)``
   zero rows on each side, sized to the width's vertical-neighbor offset),
@@ -731,6 +736,19 @@ def embed_pass_batch(
         imgs_pad, pos_base, rank_base = shard
         pos_base = pos_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
         rank_base = rank_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
+        if (imgs_pad.shape[1] - 2 * _halo(w)) % _TROWS:
+            raise ValueError(
+                f"shard buffer rows {imgs_pad.shape[1]} do not tile "
+                f"(need halo {_halo(w)} rows each side + k*{_TROWS})"
+            )
+        # necessary (not sufficient — Lpad is unknown here) guard against
+        # the classic shard-mode mistake of sizing prep_messages with the
+        # LOCAL pixel count; see the module docstring's DMA bound
+        if l2 < h * w // 2 + _WBUF_ROWS * _LANE:
+            raise ValueError(
+                f"l2={l2} too small for global geometry {h}x{w}: size "
+                f"prep_messages with the GLOBAL pixel count"
+            )
     stego3, over3, nproc_t, cnt_t = _embed_call(
         imgs_pad, msg2d, msg_base.astype(jnp.int32), want.astype(jnp.int32),
         pos_base, rank_base,

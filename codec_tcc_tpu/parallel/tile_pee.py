@@ -114,15 +114,9 @@ def _embed_pass_tiled_jit(
         k = jax.lax.axis_index(axis)
         r0 = k * lh
         top, bot = _halo_rows(blk, axis, n_shards)
-        x = blk.astype(jnp.int32)
-        pred = _predict_block(blk, top, bot)
-        e = x - pred
-        in_set, set_rank = _global_geometry(lh, h, w, r0, parity)
-        expandable = (e >= -t) & (e < t)
-        exp_over = (pred + 2 * e + 1 > max_val) | (pred + 2 * e < 0)
-        shift_over = jnp.where(e >= t, x + t > max_val, x - t < 0)
-        overflow = in_set & jnp.where(expandable, exp_over, shift_over)
-        eligible = in_set & expandable & ~overflow
+        x, pred, e, in_set, set_rank, expandable, overflow, eligible = (
+            _shard_classify(blk, top, bot, r0, h, w, parity, t, max_val)
+        )
 
         cum_local = _raster_cumsum(eligible)
         prefix, total_cap = _rank_prefix(
@@ -298,18 +292,28 @@ def _shard_pad_buffer(blk, top, bot, w: int):
     ])[None]
 
 
-def _shard_classify_count(blk, top, bot, r0, h, w, parity, t, max_val):
-    """Eligible-pixel count of one shard (kernel-exact classification)."""
+def _shard_classify(blk, top, bot, r0, h, w, parity, t, max_val):
+    """Shared per-shard classification (MUST stay bit-identical to
+    ``pallas_pee._classify`` — both shard_map routes and the kernels rely on
+    agreeing on eligibility). Returns (x, pred, e, in_set, set_rank,
+    expandable, overflow, eligible)."""
     x = blk.astype(jnp.int32)
     pred = _predict_block(blk, top, bot)
     e = x - pred
     lh = blk.shape[0]
-    in_set, _ = _global_geometry(lh, h, w, r0, parity)
+    in_set, set_rank = _global_geometry(lh, h, w, r0, parity)
     expandable = (e >= -t) & (e < t)
     exp_over = (pred + 2 * e + 1 > max_val) | (pred + 2 * e < 0)
     shift_over = jnp.where(e >= t, x + t > max_val, x - t < 0)
     overflow = in_set & jnp.where(expandable, exp_over, shift_over)
-    return jnp.sum((in_set & expandable & ~overflow).astype(jnp.int32))
+    eligible = in_set & expandable & ~overflow
+    return x, pred, e, in_set, set_rank, expandable, overflow, eligible
+
+
+def _shard_classify_count(blk, top, bot, r0, h, w, parity, t, max_val):
+    """Eligible-pixel count of one shard (kernel-exact classification)."""
+    eligible = _shard_classify(blk, top, bot, r0, h, w, parity, t, max_val)[-1]
+    return jnp.sum(eligible.astype(jnp.int32))
 
 
 def pallas_supported(h: int, w: int, n_shards: int) -> bool:
@@ -441,6 +445,8 @@ def encode_array_tiled_pee(
     msg_pad = np.zeros(lpad, dtype=np.uint8)
     msg_pad[:total_bits] = msg_bits
 
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r} (auto/pallas/xla)")
     if backend == "auto":
         backend = (
             "pallas"
@@ -474,13 +480,12 @@ def encode_array_tiled_pee(
                 img, msg_pad, base, wnt, parity, t, max_val, mesh, axis
             )
 
+    img0 = (
+        jax.device_put(jnp.asarray(image), NamedSharding(mesh, P(axis, None)))
+        if backend == "pallas" else image
+    )
     result = None
     for t in _threshold_schedule(config.pee_threshold):
-        img0 = (
-            jax.device_put(jnp.asarray(image),
-                           NamedSharding(mesh, P(axis, None)))
-            if backend == "pallas" else image
-        )
         s0, o0, u0, n0 = run_pass(img0, 0, total_bits, 0, t)
         used0 = int(u0)
         want1 = total_bits - used0
@@ -596,6 +601,8 @@ def decode_container_tiled_pee(
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 
     n_shards = mesh.shape[axis]
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r} (auto/pallas/xla)")
     if backend == "auto":
         backend = (
             "pallas"
@@ -607,7 +614,6 @@ def decode_container_tiled_pee(
     # shard the stego/overflow once; the inter-pass image stays on device
     sharding = NamedSharding(mesh, P(axis, None))
     img = jax.device_put(jnp.asarray(stego), sharding)
-    over_d = jax.device_put(jnp.asarray(overflow), sharding)
     bits1_arr = np.zeros(0, dtype=np.uint8)
     if backend == "pallas":
         if not pallas_supported(h, w, n_shards):
@@ -634,6 +640,7 @@ def decode_container_tiled_pee(
         bits0_arr = _collect_shard_bits(segs0, cnts0, out_len)
         bits0_arr = bits0_arr[: int(np.asarray(cnts0).sum())]
     else:
+        over_d = jax.device_put(jnp.asarray(overflow), sharding)
         if passes == 2:
             img, b1, n1 = extract_pass_tiled(
                 img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis
