@@ -301,13 +301,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         rep = pipeline.analyze_pair(orig, stego, range_a=max_o, range_b=max_s)
         ssim_range = max(float(max_o), float(max_s))
     else:
+        # multiframe DICOM pairs analyze as FULL volumes here (all frames in
+        # one fused reduction); the --bits-stored-range branch keeps the
+        # reference mse.py's first-frame-only behavior (src/mse.py:18-37)
         orig = _load_any(args.original)
         stego = _load_any(args.stego)
+        if orig.shape != stego.shape:
+            raise ValueError(f"Shape mismatch: {orig.shape} vs {stego.shape}")
         rep = pipeline.analyze_pair(orig, stego)
         ssim_range = max(float(orig.max()), float(stego.max()))
     if args.windowed_ssim:
         from .ops.metrics import ssim_windowed
 
+        if orig.ndim != 2:
+            raise ValueError(
+                "--windowed-ssim is 2-D only; analyze frames individually"
+            )
         rep["ssim_windowed"] = float(ssim_windowed(orig, stego, ssim_range))
         print(f"SSIM (windowed)      : {rep['ssim_windowed']:.6f}")
     print(f"MSE                  : {rep['mse']:.6f}")

@@ -179,3 +179,25 @@ def test_volume_multiframe_dicom_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(restored, vol)
     payload = (tmp_path / "mf_payload.bin").read_bytes()
     assert payload.decode("utf-8").startswith("multiframe")
+
+
+def test_analyze_multiframe_pair(tmp_path, rng, capsys):
+    """`analyze` on a multiframe DICOM pair covers ALL frames in one fused
+    reduction (the reference's mse.py silently compared only the first
+    frame; the parity branch --bits-stored-range still does)."""
+    vol = rng.integers(0, 4096, size=(3, 32, 32)).astype(np.uint16)
+    stego = vol.copy()
+    stego[2] ^= 1                      # change only the LAST frame
+    a, b = tmp_path / "a.dcm", tmp_path / "b.dcm"
+    dicom.save_image(vol, str(a), bits_stored=12)
+    dicom.save_image(stego, str(b), bits_stored=12)
+
+    assert main(["analyze", str(a), str(b)]) == 0
+    out = capsys.readouterr().out
+    changed = int(out.split("pixels changed")[1].split(":")[1].split("(")[0])
+    assert changed == 32 * 32          # last frame's flips are counted
+
+    bad = tmp_path / "c.dcm"
+    dicom.save_image(vol[:2], str(bad), bits_stored=12)
+    assert main(["analyze", str(a), str(bad)]) == 1
+    assert "Shape mismatch" in capsys.readouterr().err
