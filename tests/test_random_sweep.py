@@ -67,3 +67,37 @@ def test_jxl_in_sweep_if_available(rng):
     dec = decode_container(encode_array(img, payload, cfg).container)
     np.testing.assert_array_equal(dec.payload_bits, payload)
     np.testing.assert_array_equal(dec.original, img)
+
+
+BATCH_CASES = [
+    ("multi_plane", np.uint8, 256, (40, 64), 0.4, "deflate"),
+    ("hybrid", np.uint16, 4096, (48, 48), 0.6, "png"),
+    ("hybrid", np.uint16, 837, (64, 32), 0.4, "jls"),
+    ("pee", np.uint16, 700, (64, 64), 0.4, "deflate"),
+]
+
+
+@pytest.mark.parametrize("strategy,dtype,hi,shape,beta,codec", BATCH_CASES)
+def test_random_fused_batch_roundtrip(rng, strategy, dtype, hi, shape, beta, codec):
+    """The fused batch serving path under the same property contract: random
+    mixed-size payloads, exact payload + original back per item, containers
+    readable by the single-image decoder."""
+    from codec_tcc_tpu.parallel.batch import (
+        decode_batch_containers, encode_batch_containers,
+    )
+
+    if not get_codec(codec).available():
+        pytest.skip(f"codec {codec} unavailable")
+    b = 3
+    imgs = np.stack([_smooth(rng, *shape, hi, dtype) for _ in range(b)])
+    payloads = [rng.bytes(int(k)) for k in rng.integers(4, 40, size=b)]
+    cfg = EncodeConfig(strategy=strategy, beta=beta, codec=codec,
+                       compute_metrics=False)
+    res = encode_batch_containers(imgs, payloads, cfg)
+    decs = decode_batch_containers(res.containers)
+    for i, dec in enumerate(decs):
+        assert dec.payload == payloads[i], f"payload {i}"
+        np.testing.assert_array_equal(dec.original, imgs[i])
+    one = decode_container(res.containers[1])
+    assert one.payload == payloads[1]
+    np.testing.assert_array_equal(one.original, imgs[1])
