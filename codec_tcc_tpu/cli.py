@@ -171,9 +171,14 @@ def _load_any(path: str) -> np.ndarray:
     if path.lower().endswith(".dcm"):
         arr, _ = dicom.load_image(path)
         return arr
-    from PIL import Image
+    if path.lower().endswith(".npy"):
+        return np.load(path)
+    from PIL import Image, UnidentifiedImageError
 
-    arr = np.array(Image.open(path))
+    try:
+        arr = np.array(Image.open(path))
+    except UnidentifiedImageError as exc:
+        raise ValueError(f"Invalid file: unrecognized image {path}") from exc
     if arr.dtype == np.int32:
         arr = arr.astype(np.uint16)
     return arr
@@ -522,12 +527,14 @@ def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
 
     images = []
     bits_stored = set()
+    n_dicom = 0
     for path in args.inputs:
         if path.lower().endswith(".dcm"):
             arr, ds = dicom.load_image(path)
             if arr.dtype == np.int16:
                 arr = arr.astype(np.uint16)
             bits_stored.add(ds.bits_stored)
+            n_dicom += 1
         else:
             arr = _load_any(path)
         images.append(arr)
@@ -537,7 +544,20 @@ def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
             f"--fused needs same-geometry inputs; got {sorted(str(s) for s in shapes)} "
             f"(drop --fused for mixed batches)"
         )
-    bs = bits_stored.pop() if len(bits_stored) == 1 else None
+    # the fused plan has ONE BitsStored cap; silently dropping it (mixed
+    # caps) or applying one file's cap to capless inputs would diverge from
+    # the per-item path without warning — refuse instead
+    if len(bits_stored) > 1:
+        raise ValueError(
+            f"--fused needs a uniform DICOM BitsStored; got "
+            f"{sorted(bits_stored)} (drop --fused for mixed batches)"
+        )
+    if bits_stored and n_dicom != len(args.inputs):
+        raise ValueError(
+            "--fused cannot mix DICOM (BitsStored-capped) and non-DICOM "
+            "inputs (drop --fused for mixed batches)"
+        )
+    bs = bits_stored.pop() if bits_stored else None
     res = encode_batch_containers(
         np.stack(images), [payload] * len(images), cfg, bits_stored=bs
     )

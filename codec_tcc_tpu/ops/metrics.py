@@ -210,9 +210,18 @@ def analyze_pair(
     """
     original = np.asarray(original)
     stego = np.asarray(stego)
+    # when both ranges are supplied, the branch is decidable without touching
+    # the pixels — skip the device pass entirely if the host branch fires
+    # (otherwise it would sweep both images twice)
+    ra = None if range_a is None else float(range_a)
+    rb = None if range_b is None else float(range_b)
+    if ra is not None and rb is not None and ra != rb and ra > 0 and rb > 0:
+        return host_pair_report(original, stego, max_value, range_a=ra, range_b=rb)
     stats = pair_stats(original, stego)
-    ra = float(stats["max_a"]) if range_a is None else float(range_a)
-    rb = float(stats["max_b"]) if range_b is None else float(range_b)
+    if ra is None:
+        ra = float(stats["max_a"])
+    if rb is None:
+        rb = float(stats["max_b"])
     if ra != rb and ra > 0 and rb > 0:
         return host_pair_report(original, stego, max_value, range_a=ra, range_b=rb)
     return quality_report(stats, max_value, range_a=ra, range_b=rb)

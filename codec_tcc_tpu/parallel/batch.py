@@ -97,7 +97,9 @@ def plan_batch(
     itemsize = np.dtype(images.dtype).itemsize
     dtype_bits = itemsize * 8
     max_val = 255 if itemsize == 1 else 65535
-    dec_nbits = min(nbits, dtype_bits) if nbits else dtype_bits
+    if nbits is not None and nbits < 1:
+        raise ValueError(f"nbits must be >= 1, got {nbits}")
+    dec_nbits = dtype_bits if nbits is None else min(nbits, dtype_bits)
 
     if histograms is None:
         histograms = np.asarray(batched_histograms(images, max_val + 1))

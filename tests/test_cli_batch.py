@@ -54,3 +54,15 @@ def test_encode_batch_fused_rejects_mixed_geometry(tmp_path, rng, capsys):
     ])
     assert rc == 1  # CLI error contract: message on stderr, nonzero exit
     assert "same-geometry" in capsys.readouterr().err
+
+
+def test_fused_refuses_mixed_bits_stored(tmp_path, rng):
+    from codec_tcc_tpu.io import dicom
+
+    a = rng.integers(0, 4096, size=(32, 32)).astype(np.uint16)
+    p1, p2 = tmp_path / "a.dcm", tmp_path / "b.dcm"
+    dicom.save_image(a, str(p1), bits_stored=12)
+    dicom.save_image(a, str(p2), bits_stored=14)
+    rc = main(["encode-batch", str(p1), str(p2), "--fused",
+               "--output-dir", str(tmp_path / "o"), "--message", "x"])
+    assert rc == 1  # uniform-BitsStored contract (clean error, not a drop)

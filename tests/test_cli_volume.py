@@ -201,3 +201,20 @@ def test_analyze_multiframe_pair(tmp_path, rng, capsys):
     dicom.save_image(vol[:2], str(bad), bits_stored=12)
     assert main(["analyze", str(a), str(bad)]) == 1
     assert "Shape mismatch" in capsys.readouterr().err
+
+
+def test_volume_from_npy_slices(tmp_path, rng):
+    """Multiple 2-D .npy slice files stack into the volume (used to crash
+    with a raw PIL traceback)."""
+    paths = []
+    vol = rng.integers(0, 4096, size=(3, 32, 32)).astype(np.uint16)
+    for i in range(3):
+        p = tmp_path / f"s{i}.npy"
+        np.save(p, vol[i])
+        paths.append(str(p))
+    out = tmp_path / "v.stgv"
+    assert main(["encode-volume", *paths, "--output", str(out),
+                 "--message", "fatias npy"]) == 0
+    prefix = str(tmp_path / "nd")
+    assert main(["decode-volume", str(out), "--output-prefix", prefix]) == 0
+    np.testing.assert_array_equal(np.load(prefix + "_original.npy"), vol)

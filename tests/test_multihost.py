@@ -18,8 +18,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_pipeline_smoke():
+    # bounded by communicate(timeout=240) below, with the sibling worker
+    # cleaned up on any failure (pytest-timeout is not installed here, so a
+    # timeout mark would be a silent no-op)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "multihost_worker.py")
     port = _free_port()
@@ -37,12 +39,17 @@ def test_two_process_pipeline_smoke():
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
-        verdicts = [l for l in out.splitlines() if l.startswith("VERDICT")]
-        assert len(verdicts) == 1, out
-        outs.append(verdicts[0])
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+            verdicts = [l for l in out.splitlines() if l.startswith("VERDICT")]
+            assert len(verdicts) == 1, out
+            outs.append(verdicts[0])
+    finally:
+        for p in procs:           # no orphan worker on timeout/assert
+            if p.poll() is None:
+                p.kill()
 
     # both processes saw the full 4-device world and agree bit-for-bit
     fields = [dict(kv.split("=") for kv in v.split()[1:]) for v in outs]
