@@ -17,9 +17,52 @@ per embed+extract cycle. Median of timed repeats after warmup.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _probe_contention() -> list:
+    """Other live python processes (possible chip contention, CLAUDE.md:
+    'never run two TPU processes concurrently'). Reported into the bench
+    artifact so a deflated number is attributable instead of silent.
+    Excludes this process, its ancestors, and the axon tunnel infra
+    (`.tpu_init.py`, which always runs)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,etime,pcpu,args"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+    except Exception:
+        return ["probe-failed"]
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(10):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split()[3])
+        except Exception:
+            break
+        if pid <= 1:
+            break
+        ancestors.add(pid)
+    rows = []
+    for line in out.splitlines()[1:]:
+        parts = line.split(None, 3)
+        if len(parts) < 4 or "python" not in parts[3]:
+            continue
+        try:
+            p = int(parts[0])
+        except ValueError:
+            continue
+        if p == me or p in ancestors or ".tpu_init.py" in parts[3]:
+            continue
+        rows.append(f"pid={p} etime={parts[1]} cpu={parts[2]} {parts[3][:80]}")
+    return rows
 
 
 def main(backend: str = "auto") -> None:
@@ -113,16 +156,24 @@ def main(backend: str = "auto") -> None:
 
     # warmup / compile; the experimental TPU tunnel sporadically ABORTS
     # Pallas launches — fall back to the XLA kernels so the bench always
-    # reports a number
+    # reports a number. Which tier actually ran is RECORDED in the JSON
+    # (`backend` field + `fallbacks` in extra): the round-2 verdict found the
+    # silent stderr-only fallback made the headline number's provenance
+    # invisible in the driver artifact.
     import sys as _sys
 
+    contention = _probe_contention()
+    fallbacks = []
+    ran_backend = None
     cycle = None
     if use_preplaced:
         try:
             cycle, args = build_preplaced()
             stego, chk = cycle(*args)
             jax.block_until_ready((stego, chk))
+            ran_backend = "preplaced"
         except Exception as exc:
+            fallbacks.append(f"preplaced: {type(exc).__name__}: {exc}"[:200])
             print(f"preplaced path failed ({type(exc).__name__}); "
                   f"falling back", file=_sys.stderr)
             cycle = None
@@ -131,7 +182,9 @@ def main(backend: str = "auto") -> None:
             cycle, args = build_pallas()
             stego, chk = cycle(*args)
             jax.block_until_ready((stego, chk))
+            ran_backend = "pallas"
         except Exception as exc:
+            fallbacks.append(f"pallas: {type(exc).__name__}: {exc}"[:200])
             print(f"pallas path failed ({type(exc).__name__}); "
                   f"falling back to XLA kernels", file=_sys.stderr)
             cycle = None
@@ -139,6 +192,7 @@ def main(backend: str = "auto") -> None:
         cycle, args = build_xla()
         stego, chk = cycle(*args)
         jax.block_until_ready((stego, chk))
+        ran_backend = "xla"
 
     times = []
     reps = 5
@@ -153,29 +207,50 @@ def main(backend: str = "auto") -> None:
     sec = float(np.median(times))
     mpix_per_s = (B * h * w) / sec / 1e6
     baseline = 10.3  # MPix/s, reference CPU embed+merge (BASELINE.md)
-    extra = {}
+    extra = {
+        "rep_times_ms": [round(1e3 * t, 2) for t in times],
+    }
+    if fallbacks:
+        extra["fallbacks"] = fallbacks
+    if contention:
+        extra["contention"] = contention
     try:
         extra["lsb_cycle_2048_mpix_s"] = round(_bench_big(), 1)
     except Exception as exc:
         print(f"2048 bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
+        extra["lsb_cycle_2048_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:
         extra["pee_cycle_mpix_s"] = round(_bench_pee(), 1)
     except Exception as exc:  # PEE bench must never sink the primary metric
         print(f"pee bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
+        extra["pee_cycle_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:
         extra["pee_cycle_2048_mpix_s"] = round(_bench_pee_big(), 1)
     except Exception as exc:
         print(f"pee 2048 bench failed: {type(exc).__name__}: {exc}",
               file=_sys.stderr)
+        extra["pee_cycle_2048_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:
-        extra["e2e_encode_decode_mpix_s"] = round(_bench_e2e(image), 2)
+        extra["pee_cycle_odd_640x480_mpix_s"] = round(_bench_pee_odd(), 1)
+    except Exception as exc:
+        print(f"pee odd bench failed: {type(exc).__name__}: {exc}",
+              file=_sys.stderr)
+        extra["pee_cycle_odd_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
+        e2e_v, e2e_bd = _bench_e2e(image)
+        extra["e2e_encode_decode_mpix_s"] = round(e2e_v, 2)
+        extra["e2e_stage_ms_per_image"] = e2e_bd
     except Exception as exc:
         print(f"e2e bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
+        extra["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
     try:
-        extra["e2e_batch_mpix_s"] = round(_bench_e2e_batch(image), 1)
+        e2eb_v, e2eb_bd = _bench_e2e_batch(image)
+        extra["e2e_batch_mpix_s"] = round(e2eb_v, 1)
+        extra["e2e_batch_stage_ms"] = e2eb_bd
     except Exception as exc:
         print(f"e2e batch bench failed: {type(exc).__name__}: {exc}",
               file=_sys.stderr)
+        extra["e2e_batch_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(
         json.dumps(
             {
@@ -183,6 +258,7 @@ def main(backend: str = "auto") -> None:
                 "value": round(mpix_per_s, 1),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_per_s / baseline, 2),
+                "backend": ran_backend,
                 "extra": extra,
             }
         )
@@ -357,11 +433,73 @@ def _bench_pee_big(B: int = 8) -> float:
     return B * h * w / float(np.median(times)) / 1e6
 
 
-def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4) -> float:
+def _bench_pee_odd(B: int = 64, h: int = 640, w: int = 480) -> float:
+    """PEE cycle on an ODD geometry (w % 128 != 0, n % 65536 != 0) through
+    the pad-and-mask kernel route — the round-2 verdict's ~40x cliff case
+    (such shapes used to fall back to the 43 MPix/s XLA path). Pixels are
+    counted LOGICAL (the padded tail is overhead, not work)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("TPU only")
+    from codec_tcc_tpu.ops import pallas_pee as pp
+
+    assert not pp.supports(h, w)
+    n = h * w
+    t, max_val = 2, 4095
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(B)
+    ])
+    msgs = rng.integers(0, 2, size=(B, 1 << 17)).astype(np.uint8)
+    want = jnp.full((B,), 100_000, jnp.int32)
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    wb = pp.padded_geometry(h, w)[1]
+    imgs3 = jax.device_put(pp.pad_batch(imgs, h, w))
+    msg2d_d = jax.device_put(jnp.asarray(msg2d))
+    zero = jnp.zeros(B, jnp.int32)
+
+    @jax.jit
+    def cycle(im3):
+        s0, o0, u0, n0 = pp.embed_pass_batch(
+            im3, msg2d_d, zero, want, h, w, 0, t, max_val, l2, buf_w=wb)
+        s1, o1, u1, n1 = pp.embed_pass_batch(
+            s0, msg2d_d, u0, want - u0, h, w, 1, t, max_val, l2, buf_w=wb)
+        over = o0 | o1
+        r1, g1, c1 = pp.extract_pass_batch(
+            s1, over, n1, h, w, 1, t, max_val, buf_w=wb)
+        r0, g0, c0 = pp.extract_pass_batch(
+            r1, over, n0, h, w, 0, t, max_val, buf_w=wb)
+        return r0, jnp.sum(c0) + jnp.sum(c1)
+
+    out = cycle(imgs3)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = cycle(imgs3)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 2)
+    return B * n / float(np.median(times)) / 1e6
+
+
+def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4):
     """Full host-boundary-to-host-boundary throughput: decompose -> plan ->
     embed -> XOR maps -> transport codec -> container pack -> parse ->
     decode -> restore, per image, including every host shell stage the
-    kernel-cycle metric hides (VERDICT round-1 weakness #4)."""
+    kernel-cycle metric hides (VERDICT round-1 weakness #4).
+
+    Returns ``(mpix_per_s, breakdown)`` where breakdown holds per-image
+    stage wall times (ms) from the pipeline's own profiler plus the
+    encode/decode split — the round-2 verdict required the gap vs the
+    reference's CPU figure to be attributable from the artifact."""
+    from codec_tcc_tpu import profiling
     from codec_tcc_tpu.config import EncodeConfig
     from codec_tcc_tpu.pipeline import decode_container, encode_array
 
@@ -374,21 +512,38 @@ def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4) -> float:
     dec = decode_container(encode_array(imgs[0], payload, cfg).container)
     assert dec.payload == payload
 
-    times = []
+    prof = profiling.get_profiler()
+    prof.reset()
+    enc_s = dec_s = 0.0
     for _ in range(reps):
-        t0 = time.perf_counter()
         for img in imgs:
+            t0 = time.perf_counter()
             res = encode_array(img, payload, cfg)
+            t1 = time.perf_counter()
             decode_container(res.container)
-        times.append((time.perf_counter() - t0) / batch)
-    return image.size / float(np.median(times)) / 1e6
+            enc_s += t1 - t0
+            dec_s += time.perf_counter() - t1
+    n_items = reps * batch
+    per_image = (enc_s + dec_s) / n_items
+    breakdown = {
+        name: round(1e3 * row["wall_s"] / n_items, 2)
+        for name, row in prof.report().items()
+    }
+    breakdown["encode_total"] = round(1e3 * enc_s / n_items, 2)
+    breakdown["decode_total"] = round(1e3 * dec_s / n_items, 2)
+    breakdown["image_bytes"] = int(image.nbytes)
+    return image.size / per_image / 1e6, breakdown
 
 
-def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3) -> float:
+def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     """Host-boundary batch throughput — the production serving path: one
     fused device dispatch per batch for embed and extract, with the codec /
     XOR-map / container host shell on a thread pool
-    (parallel.batch.encode_batch_containers / decode_batch_containers)."""
+    (parallel.batch.encode_batch_containers / decode_batch_containers).
+
+    Returns ``(mpix_per_s, breakdown)`` with per-batch stage wall times (ms)
+    from the batch pipeline's profiler stages."""
+    from codec_tcc_tpu import profiling
     from codec_tcc_tpu.config import EncodeConfig
     from codec_tcc_tpu.parallel import batch as batch_par
 
@@ -404,13 +559,21 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3) -> float:
     decs = batch_par.decode_batch_containers(res.containers)
     assert all(d.payload == p for d, p in zip(decs, payloads))
 
+    prof = profiling.get_profiler()
+    prof.reset()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         res = batch_par.encode_batch_containers(imgs, payloads, cfg)
         batch_par.decode_batch_containers(res.containers)
         times.append(time.perf_counter() - t0)
-    return B * h * w / float(np.median(times)) / 1e6
+    breakdown = {
+        name: round(1e3 * row["wall_s"] / reps, 2)
+        for name, row in prof.report().items()
+    }
+    breakdown["batch_total"] = round(1e3 * float(np.median(times)), 2)
+    breakdown["batch_bytes_up"] = int(imgs.nbytes)
+    return B * h * w / float(np.median(times)) / 1e6, breakdown
 
 
 def _orchestrate() -> int:
@@ -422,6 +585,7 @@ def _orchestrate() -> int:
     import subprocess
     import sys
 
+    attempts = []
     for backend in ("preplaced", "preplaced", "pallas", "xla"):
         try:
             proc = subprocess.run(
@@ -432,15 +596,29 @@ def _orchestrate() -> int:
             # the dev tunnel occasionally wedges a process at 0% CPU
             # (CLAUDE.md); a timed-out worker must fall through to the next
             # attempt, not sink the whole bench
+            attempts.append(f"{backend}: worker timeout (1200s)")
             sys.stderr.write(f"bench worker ({backend}) timed out; retrying\n")
             continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
+                # surface dead-worker history in the artifact itself, not
+                # just stderr (round-2 verdict: provenance must be in the
+                # parsed JSON)
+                if attempts:
+                    try:
+                        obj = json.loads(line)
+                        obj.setdefault("extra", {})["worker_attempts"] = attempts
+                        line = json.dumps(obj)
+                    except Exception:
+                        pass
                 print(line)
                 return 0
+        err_tail = (
+            proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else "?"
+        )
+        attempts.append(f"{backend}: rc={proc.returncode} {err_tail[:160]}")
         sys.stderr.write(
-            f"bench worker ({backend}) failed rc={proc.returncode}: "
-            f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else '?'}\n"
+            f"bench worker ({backend}) failed rc={proc.returncode}: {err_tail}\n"
         )
     return 1
 

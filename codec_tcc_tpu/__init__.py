@@ -11,6 +11,7 @@ data-parallel batch/volume pipelines over a device mesh.
 
 from .analyze import QualityAnalyzer
 from .config import EncodeConfig
+from .errors import CapacityError
 from .models import get_embedder
 from .pipeline import (
     DecodeResult,
@@ -25,6 +26,7 @@ from .pipeline import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "CapacityError",
     "EncodeConfig",
     "EncodeResult",
     "DecodeResult",

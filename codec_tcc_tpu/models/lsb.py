@@ -94,7 +94,14 @@ class PeeEmbedder(Embedder):
     strategy = "pee"
 
     def capacity_bits(self, image: np.ndarray, *, bits_stored: Optional[int] = None) -> int:
-        from ..ops import pee as pee_ops
+        """Achievable two-pass capacity at the configured threshold.
+
+        Runs the saturated probe protocol (pass-0 embed, then pass-1 capacity
+        measured on the pass-0 RESULT): pass-0 expansions perturb the cross
+        pixels pass-1 predicts from, so summing both passes' capacities on the
+        pristine image — what this method did in round 2 — overestimates and
+        could advertise a capacity the encoder then rejects (verdict #5)."""
+        from ..parallel.batch_pee import probe_capacity_batch
 
         image = np.asarray(image)
         dtype_bits = image.dtype.itemsize * 8
@@ -103,9 +110,7 @@ class PeeEmbedder(Embedder):
         if int(image.max()) > max_val:
             max_val = (1 << dtype_bits) - 1
         t = max(1, self.config.pee_threshold)
-        return int(pee_ops.capacity(image, 0, t, max_val)) + int(
-            pee_ops.capacity(image, 1, t, max_val)
-        )
+        return int(probe_capacity_batch(image[None], t, max_val)[0])
 
 
 _REGISTRY: Dict[str, Type[Embedder]] = {

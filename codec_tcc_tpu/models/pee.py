@@ -22,6 +22,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import EncodeConfig
+from ..errors import CapacityError
 from ..io import container as container_io
 from ..ops import metrics as metric_ops
 from ..ops import pee as pee_ops
@@ -34,15 +35,27 @@ _pack_ext = container_io.pack_pee_ext
 _parse_ext = container_io.parse_pee_ext
 
 
-def _threshold_schedule(t0: int):
-    """Geometric probe schedule (each T is a fresh jit specialization, so a
-    dense scan would compile up to 128 kernels), always ending at _MAX_T so a
-    payload that only fits at the maximum threshold is not skipped."""
-    t = max(1, int(t0))
-    while t < _MAX_T:
-        yield t
-        t *= 2
-    yield _MAX_T
+def select_threshold(cap0, cap1_est, total_bits: int, t_min: int = 1):
+    """Smallest ``T >= t_min`` whose exact pass-0 capacity plus estimated
+    pass-1 capacity holds the payload, read off the capacity histograms
+    (:func:`ops.pee.capacities_by_threshold`) — the histogram-driven
+    threshold selection the north star names (round-2 verdict #3). Returns
+    ``None`` when even ``T = t_max`` falls short of the estimate.
+
+    ``cap0`` is exact (the histogram excludes T-independent expansion
+    overflow), so a payload within ``cap0[T-1]`` embeds in ONE pass with no
+    confirmation shortfall possible. ``cap1_est`` is measured on the
+    pristine image while pass 1 really runs on the pass-0 stego; the tiny
+    interaction error is absorbed by the caller's escalate-on-shortfall
+    loop (rare — one extra embed, not the old up-to-8 probe schedule)."""
+    import numpy as np
+
+    comb = np.asarray(cap0) + np.asarray(cap1_est)
+    t_min = max(1, int(t_min))
+    fits = np.nonzero(comb[t_min - 1 :] >= total_bits)[0]
+    if fits.size == 0:
+        return None
+    return t_min + int(fits[0])
 
 
 def encode_pee_array(
@@ -80,7 +93,7 @@ def encode_pee_array(
 
     from ..ops import pallas_pee as _pp
 
-    if jax.default_backend() == "tpu" and _pp.supports(h, w):
+    if jax.default_backend() == "tpu" and _pp.routeable(h, w):
         from ..parallel.batch_pee import encode_pee_batch
 
         bres = encode_pee_batch(
@@ -103,13 +116,19 @@ def encode_pee_array(
             decomposition=dec, metrics=metrics,
         )
 
-    # Threshold escalation must account for pass interaction: pass 1 runs on
-    # the pass-0-MODIFIED image, whose capacity is smaller than the pristine
-    # image's (pass-0 expansions perturb the cross pixels pass-1 predictions
-    # use). So each candidate T embeds pass 0 and, if bits remain, embeds
-    # pass 1 on the actual intermediate image; a pass-1 shortfall escalates.
+    # Histogram-driven threshold selection (round-2 verdict #3): one device
+    # histogram pass yields the exact pass-0 capacity and the pass-1 estimate
+    # at EVERY threshold, so the typical encode runs ONE embed per pass
+    # instead of probing the geometric T schedule with full embeds. Pass
+    # interaction (pass 1 runs on the pass-0-MODIFIED image, estimate is on
+    # the pristine one) is absorbed by escalating on an actual shortfall.
+    hist0 = pee_ops.capacity_histogram(image, 0, _MAX_T, max_val)
+    hist1 = pee_ops.capacity_histogram(image, 1, _MAX_T, max_val)
+    cap0 = pee_ops.capacities_by_threshold(hist0)
+    cap1 = pee_ops.capacities_by_threshold(hist1)
+    t = select_threshold(cap0, cap1, total_bits, config.pee_threshold)
     result = None
-    for t in _threshold_schedule(config.pee_threshold):
+    while t is not None and t <= _MAX_T:
         stego0, over0, used0_dev, nproc0 = pee_ops.embed_pass(
             image, msg_pad, np.int32(0), np.int32(total_bits), 0, t, max_val
         )
@@ -123,12 +142,13 @@ def encode_pee_array(
             stego0, msg_pad, np.int32(used0), np.int32(want1), 1, t, max_val
         )
         if int(used1_dev) < want1:
-            continue  # this T cannot hold the payload; escalate
+            t += 1  # estimate fell short by the pass interaction; escalate
+            continue
         result = (t, stego, np.asarray(over0), used0, int(nproc0),
                   np.asarray(over1_dev), int(used1_dev), int(nproc1_dev), 2)
         break
     if result is None:
-        raise ValueError(
+        raise CapacityError(
             f"payload of {total_bits} bits exceeds PEE capacity even at "
             f"T={_MAX_T} (pass-1 capacity measured on the pass-0 result)"
         )
@@ -244,7 +264,7 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
 
     from ..ops import pallas_pee as _pp
 
-    if jax.default_backend() == "tpu" and _pp.supports(meta.height, meta.width):
+    if jax.default_backend() == "tpu" and _pp.routeable(meta.height, meta.width):
         from ..parallel.batch_pee import decode_pee_batch
 
         return decode_pee_batch([cont], restore_original=restore_original)[0]

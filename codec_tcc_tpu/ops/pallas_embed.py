@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "embed_batch",
+    "padded_flat",
+    "split_windows",
     "embed_batch_padded",
     "extract_aligned_batch",
     "extract_aligned_batch_padded",
@@ -510,7 +512,9 @@ def preplace_bits(
     return out.reshape(b, np_planes, n_pixels // _LANE, _LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pixels", "np_planes"))
+@functools.partial(
+    jax.jit, static_argnames=("n_pixels", "np_planes", "n_buf")
+)
 def preplace_bits_device(
     msgs: jax.Array,         # (B, Lpad) uint8 padded messages (device)
     starts: jax.Array,       # (B, NP) int32
@@ -518,13 +522,20 @@ def preplace_bits_device(
     offs: jax.Array,
     n_pixels: int,
     np_planes: int,
+    n_buf: int = 0,
 ) -> jax.Array:
     """Device-side :func:`preplace_bits`: builds the ``(B, NP, n/128, 128)``
     raster-positioned bit tensor from the COMPACT message rows, so only
     ``B x Lpad`` bytes ever cross the host link (the host variant ships the
     full ``B x NP x N`` tensor — ~16x more for typical payloads, which
-    dominates end-to-end time on slow host<->device links)."""
+    dominates end-to-end time on slow host<->device links).
+
+    ``n_buf`` (>= n_pixels, a multiple of 2048) zero-pads each plane row to
+    a kernel-tileable flat length while the wrap stays LOGICAL (mod
+    n_pixels) — the odd-geometry route (round-2 verdict #4); the padded
+    tail holds no bits."""
     b, lpad = msgs.shape
+    n_buf = n_buf or n_pixels
     msgs_p = jnp.pad(msgs, ((0, 0), (0, n_pixels)))  # slice bound: off <= Lpad
 
     def one(msg, st, ln, of):
@@ -534,19 +545,57 @@ def preplace_bits_device(
             seg = jax.lax.dynamic_slice(msg, (of[p],), (n_pixels,))
             row = jnp.roll(seg, st[p])              # seg[j] -> raster st+j
             rel = jnp.mod(pos - st[p], n_pixels)
-            return jnp.where(rel < ln[p], row, 0)
+            row = jnp.where(rel < ln[p], row, 0)
+            if n_buf != n_pixels:
+                row = jnp.pad(row, (0, n_buf - n_pixels))
+            return row
 
         return jnp.stack([plane(p) for p in range(np_planes)])
 
     out = jax.vmap(one)(msgs_p, starts, lens, offs)
-    return out.reshape(b, np_planes, n_pixels // _LANE, _LANE)
+    return out.reshape(b, np_planes, n_buf // _LANE, _LANE)
+
+
+def padded_flat(n: int) -> Tuple[int, int]:
+    """Odd-N route: smallest kernel-tileable flat length >= n and its tile.
+    The padded tail holds no embedding windows (split_windows never emits
+    one past n), so masks and bits in [n, n_buf) are identically zero."""
+    n_buf = (n + _ALIGN_E - 1) // _ALIGN_E * _ALIGN_E
+    return n_buf, preferred_tile(n_buf)
+
+
+def split_windows(starts, lens, n: int):
+    """(B, NP) plane windows with LOGICAL wrap (mod n) -> (B, 2*NP)
+    non-wrapping windows for the ``wpp=2`` kernels: window ``2p`` is the
+    head ``[st, min(st+len, n))``, window ``2p+1`` the wrapped tail
+    ``[0, len - head)``. Non-wrapping windows inside a padded buffer are
+    safe without kernel wrap logic: the kernel's ``rel + n_buf`` fixup can
+    never produce a false positive because every window ends by ``n`` and
+    ``n <= n_buf`` (rel + n_buf < len would need rel < len - n_buf <= 0
+    while rel >= -start > -n_buf)."""
+    starts = np.asarray(starts)
+    lens = np.asarray(lens)
+    b, np_planes = starts.shape
+    out_s = np.zeros((b, 2 * np_planes), dtype=np.int32)
+    out_l = np.zeros((b, 2 * np_planes), dtype=np.int32)
+    for i in range(b):
+        for p in range(np_planes):
+            ln = int(lens[i, p])
+            if ln <= 0:
+                continue
+            st = int(starts[i, p]) % n
+            k = min(ln, n - st)
+            out_s[i, 2 * p], out_l[i, 2 * p] = st, k
+            if ln > k:
+                out_l[i, 2 * p + 1] = ln - k
+    return out_s, out_l
 
 
 def _embed_preplaced_kernel(
-    starts_ref, lens_ref,                    # scalar prefetch (B, NP) int32
+    starts_ref, lens_ref,                    # scalar prefetch (B, WPP*NP) i32
     img_ref, bits_ref,                       # (1,TR,128), (1,NP,TR,128)
     out_ref,                                 # (1,TR,128)
-    *, np_planes: int, tsize: int, n: int,
+    *, np_planes: int, tsize: int, n: int, wpp: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -556,31 +605,39 @@ def _embed_preplaced_kernel(
     pos = t * tsize + r_id * _LANE + c_id
     acc = img_ref[0].astype(jnp.int32)
     for p in range(np_planes):
-        rel = pos - starts_ref[b, p]
-        rel = jnp.where(rel < 0, rel + n, rel)
-        active = rel < lens_ref[b, p]
+        # wpp windows per plane (wpp=2 carries split logical-wrap windows
+        # on the odd-N padded route; windows of one plane never overlap)
+        active = None
+        for k in range(wpp):
+            wi = p * wpp + k
+            rel = pos - starts_ref[b, wi]
+            rel = jnp.where(rel < 0, rel + n, rel)
+            a = rel < lens_ref[b, wi]
+            active = a if active is None else (active | a)
         bv = bits_ref[0, p].astype(jnp.int32)
         acc = jnp.where(active, (acc & jnp.int32(~(1 << p))) | (bv << p), acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("np_planes", "tile"))
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile", "wpp"))
 def embed_batch_preplaced(
     images3: jax.Array,      # (B, N/128, 128) uint8/uint16
     bits4: jax.Array,        # (B, NP, N/128, 128) uint8 from preplace_bits
-    starts: jax.Array,
+    starts: jax.Array,       # (B, WPP*NP) int32 (wpp=2: split_windows form)
     lens: jax.Array,
     np_planes: int,
     tile: int,
+    wpp: int = 1,
 ) -> jax.Array:
     b, nr, _ = images3.shape
     n = nr * _LANE
     tr = tile // _LANE
     # the kernel applies a single +n wrap to (pos - start); keep the host
-    # contract (preplace_bits uses % n) and the device mask in agreement
+    # contract (preplace_bits uses % n) and the device mask in agreement.
+    # (wpp=2 windows never wrap — see split_windows — so the fixup is inert)
     starts = jnp.mod(starts, n)
     kernel = functools.partial(
-        _embed_preplaced_kernel, np_planes=np_planes, tsize=tile, n=n
+        _embed_preplaced_kernel, np_planes=np_planes, tsize=tile, n=n, wpp=wpp
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -606,7 +663,7 @@ def _extract_raster_kernel(
     starts_ref, lens_ref,
     stego_ref,                               # (1,TR,128)
     out_ref,                                 # (1,NP,TR,128)
-    *, np_planes: int, tsize: int, n: int,
+    *, np_planes: int, tsize: int, n: int, wpp: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -616,20 +673,25 @@ def _extract_raster_kernel(
     pos = t * tsize + r_id * _LANE + c_id
     x = stego_ref[0].astype(jnp.int32)
     for p in range(np_planes):
-        rel = pos - starts_ref[b, p]
-        rel = jnp.where(rel < 0, rel + n, rel)
-        active = rel < lens_ref[b, p]
+        active = None
+        for k in range(wpp):
+            wi = p * wpp + k
+            rel = pos - starts_ref[b, wi]
+            rel = jnp.where(rel < 0, rel + n, rel)
+            a = rel < lens_ref[b, wi]
+            active = a if active is None else (active | a)
         bits = ((x >> p) & 1).astype(jnp.uint8)
         out_ref[0, p] = jnp.where(active, bits, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("np_planes", "tile"))
+@functools.partial(jax.jit, static_argnames=("np_planes", "tile", "wpp"))
 def extract_raster_batch(
     stego3: jax.Array,       # (B, N/128, 128)
-    starts: jax.Array,
+    starts: jax.Array,       # (B, WPP*NP) int32 (wpp=2: split_windows form)
     lens: jax.Array,
     np_planes: int,
     tile: int,
+    wpp: int = 1,
 ) -> jax.Array:
     """Plane bits in RASTER order masked to their windows —
     ``(B, NP, N) uint8``; pair with :func:`assemble_raster` (two host
@@ -639,7 +701,7 @@ def extract_raster_batch(
     tr = tile // _LANE
     starts = jnp.mod(starts, n)   # see embed_batch_preplaced
     kernel = functools.partial(
-        _extract_raster_kernel, np_planes=np_planes, tsize=tile, n=n
+        _extract_raster_kernel, np_planes=np_planes, tsize=tile, n=n, wpp=wpp
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

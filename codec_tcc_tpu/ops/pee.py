@@ -41,6 +41,8 @@ import jax.numpy as jnp
 __all__ = [
     "rhombus_predict",
     "capacity",
+    "capacity_histogram",
+    "capacities_by_threshold",
     "embed_pass",
     "extract_pass",
     "parity_mask",
@@ -151,6 +153,55 @@ def error_histogram(img: jax.Array, parity: int, t_max: int = 64) -> jax.Array:
     edges = jnp.arange(nbins + 2, dtype=jnp.int32)
     idx = jnp.searchsorted(flat, edges, side="left")
     return jnp.diff(idx)[:nbins].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("parity", "t_max", "max_val"))
+def capacity_histogram(
+    img: jax.Array, parity: int, t_max: int, max_val: int
+) -> jax.Array:
+    """Capacity-exact prediction-error histogram for one pass.
+
+    Counts ``e = x - pred`` over in-set pixels whose EXPANSION stays in range
+    (``exp_over`` depends only on ``pred`` and ``e``, not on T, so it can be
+    excluded up front), binned over ``[-t_max, t_max)`` — bin ``k`` holds
+    ``e = k - t_max``. The central cumulative sums therefore give the EXACT
+    eligible capacity at every threshold simultaneously::
+
+        cap(T) = hist[t_max-T : t_max+T].sum()
+               == capacity(img, parity, T, max_val)   for all T <= t_max
+
+    This is the histogram-driven threshold selection the north star names:
+    one device pass replaces the embed-probe-per-candidate-T loop (round-2
+    verdict #3). Scatter-free (sort + searchsorted, like the value
+    histogram — scatter-adds take minutes to compile on this TPU)."""
+    h, w = img.shape
+    x = img.astype(jnp.int32)
+    pred = rhombus_predict(img)
+    e = x - pred
+    in_set = parity_mask(h, w, parity)
+    exp_over = (pred + 2 * e + 1 > max_val) | (pred + 2 * e < 0)
+    ok = in_set & ~exp_over & (e >= -t_max) & (e < t_max)
+    nbins = 2 * t_max
+    idx = jnp.where(ok, e + t_max, nbins)  # park excluded pixels past the end
+    flat = jnp.sort(idx.reshape(-1))
+    edges = jnp.arange(nbins + 2, dtype=jnp.int32)
+    pos = jnp.searchsorted(flat, edges, side="left")
+    return jnp.diff(pos)[:nbins].astype(jnp.int32)
+
+
+def capacities_by_threshold(hist) -> "np.ndarray":
+    """Host helper: ``(..., 2*t_max)`` capacity histogram(s) ->
+    ``(..., t_max)`` exact capacities, ``caps[..., T-1] = cap(T)``."""
+    import numpy as np
+
+    hist = np.asarray(hist)
+    t_max = hist.shape[-1] // 2
+    c = np.cumsum(hist, axis=-1)
+    ts = np.arange(1, t_max + 1)
+    hi = c[..., t_max + ts - 1]
+    lo_idx = t_max - ts - 1
+    lo = np.where(lo_idx >= 0, c[..., np.maximum(lo_idx, 0)], 0)
+    return hi - lo
 
 
 @partial(jax.jit, static_argnames=("parity", "t", "max_val"))

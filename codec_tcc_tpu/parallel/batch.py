@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EncodeConfig
+from ..errors import CapacityError
 from ..ops import decompose as decompose_ops
 from ..ops import embed as embed_ops
 from ..ops import histogram as hist_ops
@@ -179,7 +180,9 @@ def plan_batch(
 
 
 def _pallas_ok(shape: tuple, mesh: Optional[Mesh]) -> bool:
-    """Pallas fast path: single-chip TPU with a tileable image size.
+    """Pallas fast path: single-chip TPU with a tileable image size — or any
+    size >= one DMA-alignment unit via the padded odd-N route (round-2
+    verdict #4: 500x500-style shapes must not drop to the XLA path).
 
     Takes the batch *shape* (not the array) so callers don't have to
     materialize device data on host just to pick a backend."""
@@ -190,7 +193,18 @@ def _pallas_ok(shape: tuple, mesh: Optional[Mesh]) -> bool:
     if mesh is not None or _jax.default_backend() != "tpu":
         return False
     n = int(np.prod(shape[1:]))
-    return pe.pick_tile(n) > 0 and n % 128 == 0
+    return (pe.pick_tile(n) > 0 and n % 128 == 0) or n >= 65536
+
+
+def _preplaced_layout(n: int):
+    """(n_buf, tile, wpp) for the preplaced kernels: the direct layout when
+    N tiles evenly, the padded split-window layout otherwise."""
+    from ..ops import pallas_embed as pe
+
+    if pe.pick_tile(n) > 0 and n % 128 == 0:
+        return n, pe.preferred_tile(n), 1
+    n_buf, tile = pe.padded_flat(n)
+    return n_buf, tile, 2
 
 
 _PREPLACED_HBM_CAP = 2 << 30    # bits-buffer budget for the preplaced layout
@@ -203,7 +217,14 @@ def _pick_pallas_backend(shape: tuple, nbits: int, mesh: Optional[Mesh]) -> str:
     off-TPU or under a mesh."""
     if not _pallas_ok(shape, mesh):
         return "xla"
-    bits_bytes = int(np.prod(shape[1:])) * int(shape[0]) * nbits
+    from ..ops import pallas_embed as pe
+
+    n = int(np.prod(shape[1:]))
+    bits_bytes = n * int(shape[0]) * nbits
+    if not (pe.pick_tile(n) > 0 and n % 128 == 0):
+        # odd-N geometries only have the preplaced (padded) route; the
+        # windowed kernels need the direct layout
+        return "preplaced" if bits_bytes <= _PREPLACED_HBM_CAP else "xla"
     return "preplaced" if bits_bytes <= _PREPLACED_HBM_CAP else "pallas"
 
 
@@ -225,7 +246,7 @@ def encode_batch(
 
         b, h, w = np.shape(images)
         n = h * w
-        tile = pe.preferred_tile(n)
+        n_buf, tile, wpp = _preplaced_layout(n)
         # relayout on DEVICE from the compact messages: the raster-positioned
         # bit tensor is NP x N bytes per image and must never cross the host
         # link (it dominated e2e time on slow links). plan.msgs carries +N
@@ -240,14 +261,24 @@ def encode_batch(
         bits4 = pe.preplace_bits_device(
             jnp.asarray(plan.msgs[:, : min(p2, plan.msgs.shape[1])]),
             jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
-            jnp.asarray(plan.offsets), n, plan.nbits,
+            jnp.asarray(plan.offsets), n, plan.nbits, n_buf,
         )
+        if wpp == 1:
+            st2, ln2 = plan.starts, plan.lengths
+            imgs3 = jnp.asarray(images).reshape(b, n // 128, 128)
+        else:
+            # odd-N route: zero-pad the flat images and split each logical
+            # (wrapping) window into two non-wrapping ones
+            st2, ln2 = pe.split_windows(plan.starts, plan.lengths, n)
+            flat = jnp.asarray(images).reshape(b, n)
+            flat = jnp.pad(flat, ((0, 0), (0, n_buf - n)))
+            imgs3 = flat.reshape(b, n_buf // 128, 128)
         stego = pe.embed_batch_preplaced(
-            jnp.asarray(images).reshape(b, n // 128, 128),
-            bits4,
-            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
-            plan.nbits, tile,
+            imgs3, bits4, jnp.asarray(st2), jnp.asarray(ln2),
+            plan.nbits, tile, wpp,
         )
+        if wpp != 1:
+            stego = stego.reshape(b, n_buf)[:, :n]
         return stego.reshape(b, h, w)
     if backend == "pallas":
         from ..ops import pallas_embed as pe
@@ -327,14 +358,22 @@ def extract_batch(
 
         b = np.shape(stego)[0]
         n = int(np.prod(np.shape(stego)[1:]))
-        tile = pe.preferred_tile(n)
+        n_buf, tile, wpp = _preplaced_layout(n)
+        if wpp == 1:
+            st2, ln2 = plan.starts, plan.lengths
+            stego3 = jnp.asarray(stego).reshape(b, n // 128, 128)
+        else:
+            st2, ln2 = pe.split_windows(plan.starts, plan.lengths, n)
+            flat = jnp.asarray(stego).reshape(b, n)
+            flat = jnp.pad(flat, ((0, 0), (0, n_buf - n)))
+            stego3 = flat.reshape(b, n_buf // 128, 128)
         rows = pe.extract_raster_batch(
-            jnp.asarray(stego).reshape(b, n // 128, 128),
-            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
-            plan.nbits, tile,
+            stego3, jnp.asarray(st2), jnp.asarray(ln2),
+            plan.nbits, tile, wpp,
         )
+        rows = rows.reshape(b, plan.nbits, n_buf)[:, :, :n]
         return np.asarray(embed_ops.assemble_raster_device(
-            rows.reshape(b, plan.nbits, n),
+            rows,
             jnp.asarray(plan.starts), jnp.asarray(plan.offsets),
             jnp.asarray(plan.lengths), pad_len,
         ))[:, :out_len]
@@ -402,8 +441,23 @@ def encode_batch_containers(
         r = encode_pee_batch(
             images, payloads, config, mesh, bits_stored=bits_stored
         )
+        metrics = None
+        if config.compute_metrics:
+            # same per-image quality reports as the raster branch below
+            # (advisor finding, round 2: the PEE delegation silently dropped
+            # compute_metrics)
+            from ..ops import metrics as metric_ops
+
+            stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
+                jnp.asarray(images), jnp.asarray(r.stego)
+            )
+            stats_np = {k: np.asarray(v) for k, v in stats.items()}
+            metrics = [
+                metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
+                for i in range(len(r.containers))
+            ]
         return BatchEncodeResult(
-            stego=r.stego, containers=r.containers, plan=None, metrics=None,
+            stego=r.stego, containers=r.containers, plan=None, metrics=metrics,
         )
 
     images = np.asarray(images)
@@ -415,23 +469,30 @@ def encode_batch_containers(
         nbits = bits_stored if (config.use_bits_stored and bits_stored) else dtype_bits
     nbits = min(nbits, dtype_bits)
 
+    from ..profiling import stage
+
     # one host->device image transfer feeds histograms, block scans and the
     # embed kernels (three separate uploads otherwise — the link is the
     # bottleneck of the serving path, not the kernels)
-    imgs_dev = jnp.asarray(images)
-    plan = plan_batch(imgs_dev, payloads, config, nbits=nbits)
+    with stage("batch_upload"):
+        imgs_dev = jnp.asarray(images)
+        jax.block_until_ready(imgs_dev)
+    with stage("batch_plan"):
+        plan = plan_batch(imgs_dev, payloads, config, nbits=nbits)
 
     if not config.allow_capacity_overflow:
         for i in range(b):
             have = int(plan.lengths[i, : plan.s[i]].sum())
             if have < int(plan.payload_bits[i]):
-                raise ValueError(
+                raise CapacityError(
                     f"payload {i} of {int(plan.payload_bits[i])} bits exceeds "
                     f"the usable capacity of {have} bits at s={int(plan.s[i])}; "
                     f"shrink it, raise beta, or set allow_capacity_overflow=True"
                 )
 
-    stego_dev = encode_batch(imgs_dev, plan, mesh)
+    with stage("batch_embed"):
+        stego_dev = encode_batch(imgs_dev, plan, mesh)
+        jax.block_until_ready(stego_dev)
 
     metrics = None
     if config.compute_metrics:
@@ -445,7 +506,8 @@ def encode_batch_containers(
             metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
             for i in range(b)
         ]
-    stego = np.asarray(stego_dev)
+    with stage("batch_download"):
+        stego = np.asarray(stego_dev)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -480,8 +542,9 @@ def encode_batch_containers(
         )
         return container_io.pack(meta, bitmaps_blob, codec.encode(stego[i]))
 
-    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-        containers = list(pool.map(pack_one, range(b)))
+    with stage("batch_pack"):
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            containers = list(pool.map(pack_one, range(b)))
     return BatchEncodeResult(
         stego=stego, containers=containers, plan=plan, metrics=metrics
     )
@@ -541,12 +604,15 @@ def decode_batch_containers(
 
     from ..io.codecs import get as get_codec
 
+    from ..profiling import stage
+
     codec = get_codec(meta0.codec)
-    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-        stegos = list(pool.map(
-            lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
-        ))
-    stego = np.stack(stegos)
+    with stage("batch_codec_decode"):
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            stegos = list(pool.map(
+                lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
+            ))
+        stego = np.stack(stegos)
     if stego.shape != (b, h, w):
         raise ValueError(f"decoded stego shape {stego.shape} != {(b, h, w)}")
 
@@ -565,7 +631,8 @@ def decode_batch_containers(
         payload_bits=np.array([c.meta.payload_bits for c in conts]),
         nbits=kernel_bits, lpad=out_len,
     )
-    bits = extract_batch(stego, plan, mesh, out_len=out_len)
+    with stage("batch_extract"):
+        bits = extract_batch(stego, plan, mesh, out_len=out_len)
 
     results = []
     for i, c in enumerate(conts):
@@ -573,7 +640,8 @@ def decode_batch_containers(
         if restore_original and c.meta.has_bitmaps:
             maps = c.bitmaps()
             if maps is not None:
-                original = _host_restore(stego[i], maps, int(c.meta.s))
+                with stage("batch_restore"):
+                    original = _host_restore(stego[i], maps, int(c.meta.s))
         results.append(DecodeResult(
             payload_bits=np.asarray(
                 bits[i, : int(c.meta.payload_bits)], dtype=np.uint8

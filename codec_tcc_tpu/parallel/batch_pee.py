@@ -1,13 +1,20 @@
-"""Batched (data-parallel) PEE embedding.
+"""Batched (data-parallel) PEE embedding with per-image thresholds.
 
-The single-image PEE path (:mod:`codec_tcc_tpu.models.pee`) escalates its
-threshold per image; here a batch shares one threshold T (escalated until
-every image's payload fits, pass-1 capacity measured on the pass-0 results)
-so both passes run as single vmapped kernels over the whole batch — the PEE
-analog of the LSB batch pipeline, shardable over the mesh ``dp`` axis.
+Threshold selection is histogram-driven (round-2 verdict #3): one fused
+device pass computes every image's capacity histogram for both passes
+(:func:`codec_tcc_tpu.ops.pee.capacity_histogram` — exact for pass 0,
+pristine-image estimate for pass 1), each image gets the smallest T whose
+combined capacity holds ITS payload, and images sharing a T run both passes
+as single fused kernels over the subgroup. One hard image no longer inflates
+the whole batch's distortion (round 2 escalated one SHARED T until every
+image fit), and the typical batch runs one embed per pass instead of the old
+geometric probe schedule. A pass-1 shortfall (the pass-interaction error of
+the estimate) escalates only the affected images.
 
-Each image still gets its own self-contained STGC-v2 container (strategy 4),
-so decoding uses the standard :func:`codec_tcc_tpu.decode_container` per item.
+Each image still gets its own self-contained STGC-v2 container (strategy 4,
+per-image T in the PEE ext), so decoding uses the standard
+:func:`codec_tcc_tpu.decode_container` per item; homogeneous groups decode
+fused (:func:`decode_pee_batch` groups mixed-T batches by T).
 """
 
 from __future__ import annotations
@@ -21,8 +28,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EncodeConfig
+from ..errors import CapacityError
 from ..io import container as container_io
-from ..models.pee import _threshold_schedule
+from ..models.pee import _MAX_T, select_threshold
 from ..ops import pee as pee_ops
 from ..utils import bits as bit_utils
 from ..utils.logging import get_logger
@@ -39,8 +47,13 @@ __all__ = [
 class BatchPeeResult:
     stego: np.ndarray               # (B, H, W)
     containers: List[bytes]         # one STGC-v2 per image
-    threshold: int                  # shared T
+    thresholds: np.ndarray          # (B,) per-image T
     used_bits: np.ndarray           # (B,) embedded bits
+
+    @property
+    def threshold(self) -> int:
+        """Largest per-image threshold (round-2 back-compat accessor)."""
+        return int(self.thresholds.max())
 
 
 def _as_bits(p) -> np.ndarray:
@@ -55,8 +68,8 @@ def probe_capacity_batch(
     images: np.ndarray, t: int, max_val: int
 ) -> np.ndarray:
     """Saturated two-pass PEE capacity per image at shared threshold ``t``
-    (``(B,)`` int64 bits). Runs the want=INF cycle the volume encoder uses to
-    split a payload across slices before committing to a threshold; the
+    (``(B,)`` int64 bits). Runs the want=INF cycle (pass-1 capacity measured
+    on the actual pass-0 stego, so pass interaction is accounted for); the
     saturated case is exactly the capacity convention of ``ops/pee.py``
     (``used = cap`` when ``want > cap``)."""
     b, h, w = images.shape
@@ -71,16 +84,21 @@ def probe_capacity_batch(
 
     from ..ops import pallas_pee as pp
 
-    if jax.default_backend() == "tpu" and pp.supports(h, w):
+    if jax.default_backend() == "tpu" and pp.routeable(h, w):
         msg2d, l2 = pp.prep_messages(np.zeros((b, lpad), np.uint8), n)
         msg2d_d = jnp.asarray(msg2d)
-        imgs3 = imgs_d.reshape(b, n // 128, 128)
+        if pp.supports(h, w):
+            imgs3 = imgs_d.reshape(b, n // 128, 128)
+            buf_w = None
+        else:
+            imgs3 = pp.pad_batch(images, h, w)
+            buf_w = pp.padded_geometry(h, w)[1]
         zero = jnp.zeros(b, jnp.int32)
         s0, _, u0, _ = pp.embed_pass_batch(
-            imgs3, msg2d_d, zero, big, h, w, 0, t, max_val, l2
+            imgs3, msg2d_d, zero, big, h, w, 0, t, max_val, l2, buf_w=buf_w
         )
         _, _, u1, _ = pp.embed_pass_batch(
-            s0, msg2d_d, u0, big - u0, h, w, 1, t, max_val, l2
+            s0, msg2d_d, u0, big - u0, h, w, 1, t, max_val, l2, buf_w=buf_w
         )
     else:
         zeros_msg = jnp.zeros(lpad, jnp.uint8)
@@ -97,6 +115,96 @@ def probe_capacity_batch(
     return np.asarray(u0).astype(np.int64) + np.asarray(u1).astype(np.int64)
 
 
+def _run_passes(
+    images: np.ndarray,      # (G, H, W) the subgroup sharing threshold t
+    msgs: np.ndarray,        # (G, Lpad) padded message bits
+    want: np.ndarray,        # (G,) int64 payload bits
+    t: int,
+    max_val: int,
+    use_pallas: bool,
+    mesh: Optional[Mesh],
+):
+    """Both PEE passes over one same-threshold subgroup. Returns numpy
+    ``(stego, overflow u8, used0, nproc0, used1, nproc1)``.
+
+    The Pallas and XLA backends follow the identical protocol — UNCLAMPED
+    wants into the pass kernels (which clamp to capacity themselves,
+    saturation convention of ops/pee.py) — so accepted results are
+    byte-identical between backends (asserted in tests/test_pallas_pee.py).
+    """
+    g, h, w = images.shape
+    want_d = jnp.asarray(want.astype(np.int32))
+
+    if use_pallas:
+        from ..ops import pallas_pee as pp
+
+        n = h * w
+        msg2d, l2 = pp.prep_messages(msgs, n)
+        msg2d_d = jax.device_put(jnp.asarray(msg2d))
+        if pp.supports(h, w):
+            imgs3 = jnp.asarray(images).reshape(g, n // 128, 128)
+            buf_w = None
+            back = lambda a3: np.asarray(a3).reshape(g, h, w)
+        else:
+            # pad-and-mask route (round-2 verdict #4): the kernels run on a
+            # zero-padded buffer while masks/ranks use the logical dims —
+            # bit-exact with the oracle, no XLA-path cliff for odd shapes
+            imgs3 = pp.pad_batch(images, h, w)
+            buf_w = pp.padded_geometry(h, w)[1]
+            back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))
+        zero = jnp.zeros(g, jnp.int32)
+        s0, o0, u0, n0 = pp.embed_pass_batch(
+            imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2,
+            buf_w=buf_w,
+        )
+        used0 = np.asarray(u0).astype(np.int64)
+        want1 = want - used0
+        if (want1 <= 0).all():
+            return (
+                back(s0), back(o0),
+                used0, np.asarray(jnp.maximum(n0, 0)).astype(np.int64),
+                np.zeros(g, np.int64), np.zeros(g, np.int64),
+            )
+        s1, o1, u1, n1 = pp.embed_pass_batch(
+            s0, msg2d_d, u0, want_d - u0, h, w, 1, t, max_val, l2,
+            buf_w=buf_w,
+        )
+        return (
+            back(s1), back(jnp.asarray(o0) | jnp.asarray(o1)),
+            used0, np.asarray(n0).astype(np.int64),
+            np.asarray(u1).astype(np.int64), np.asarray(n1).astype(np.int64),
+        )
+
+    imgs_d = jnp.asarray(images)
+    msgs_d = jnp.asarray(msgs)
+    if mesh is not None and g % mesh.devices.size == 0:
+        imgs_d = jax.device_put(imgs_d, NamedSharding(mesh, P("dp", None, None)))
+        msgs_d = jax.device_put(msgs_d, NamedSharding(mesh, P("dp", None)))
+    s0, o0, u0, n0 = jax.vmap(
+        lambda im, ms, w0: pee_ops.embed_pass(
+            im, ms, jnp.int32(0), w0, 0, t, max_val
+        )
+    )(imgs_d, msgs_d, want_d)
+    used0 = np.asarray(u0).astype(np.int64)
+    want1 = want - used0
+    if (want1 <= 0).all():
+        return (
+            np.asarray(s0), np.asarray(o0).astype(np.uint8),
+            used0, np.asarray(n0).astype(np.int64),
+            np.zeros(g, np.int64), np.zeros(g, np.int64),
+        )
+    s1, o1, u1, n1 = jax.vmap(
+        lambda im, ms, b0, w1: pee_ops.embed_pass(im, ms, b0, w1, 1, t, max_val)
+    )(s0, msgs_d, jnp.asarray(used0.astype(np.int32)),
+      jnp.asarray(np.maximum(want1, 0).astype(np.int32)))
+    return (
+        np.asarray(s1),
+        (np.asarray(o0) | np.asarray(o1)).astype(np.uint8),
+        used0, np.asarray(n0).astype(np.int64),
+        np.asarray(u1).astype(np.int64), np.asarray(n1).astype(np.int64),
+    )
+
+
 def encode_pee_batch(
     images: np.ndarray,
     payloads: Sequence[Union[bytes, str, np.ndarray]],
@@ -104,6 +212,7 @@ def encode_pee_batch(
     mesh: Optional[Mesh] = None,
     *,
     bits_stored: Optional[int] = None,
+    backend: str = "auto",
 ) -> BatchPeeResult:
     b, h, w = images.shape
     dtype_bits = np.dtype(images.dtype).itemsize * 8
@@ -119,65 +228,71 @@ def encode_pee_batch(
     for i, bits in enumerate(bit_arrays):
         msgs[i, : bits.size] = bits
 
-    imgs_d = jnp.asarray(images)
-    msgs_d = jnp.asarray(msgs)
+    from ..ops import pallas_pee as pp
+
+    if backend == "auto":
+        # Pallas fast path (single-chip): the fused kernels run the pass
+        # cycle at ~30x the XLA formulation's throughput (the XLA message
+        # gather is the bottleneck — see ops/pallas_pee.py). Bit-exact with
+        # the XLA path; unsupported geometries route via pad-and-mask.
+        use_pallas = (
+            mesh is None and jax.default_backend() == "tpu"
+            and pp.routeable(h, w)
+        )
+    else:
+        use_pallas = backend == "pallas"
+
+    # per-image T from ONE fused histogram pass (round-2 verdict #3)
+    imgs_dev = jnp.asarray(images)
     if mesh is not None:
-        imgs_d = jax.device_put(imgs_d, NamedSharding(mesh, P("dp", None, None)))
-        msgs_d = jax.device_put(msgs_d, NamedSharding(mesh, P("dp", None)))
-
-    want_d = jnp.asarray(want.astype(np.int32))
-    zeros = jnp.zeros(b, jnp.int32)
-
-    # Pallas fast path (single-chip): the fused kernels run the pass cycle at
-    # ~30x the XLA formulation's throughput (the XLA message gather is the
-    # bottleneck — see ops/pallas_pee.py). Bit-exact with the XLA path.
-    from ..ops import pallas_pee as pp
-
-    if mesh is None and jax.default_backend() == "tpu" and pp.supports(h, w):
-        return _encode_pee_batch_pallas(
-            images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
+        imgs_dev = jax.device_put(
+            imgs_dev, NamedSharding(mesh, P("dp", None, None))
         )
+    hist0 = jax.vmap(
+        lambda im: pee_ops.capacity_histogram(im, 0, _MAX_T, max_val)
+    )(imgs_dev)
+    hist1 = jax.vmap(
+        lambda im: pee_ops.capacity_histogram(im, 1, _MAX_T, max_val)
+    )(imgs_dev)
+    cap0 = pee_ops.capacities_by_threshold(np.asarray(hist0))
+    cap1 = pee_ops.capacities_by_threshold(np.asarray(hist1))
+    t_img = np.zeros(b, dtype=np.int32)
+    for i in range(b):
+        t = select_threshold(cap0[i], cap1[i], int(want[i]), config.pee_threshold)
+        # an estimate shortfall even at T=128 still gets one exact attempt —
+        # the embed itself is the authority, the histogram only schedules
+        t_img[i] = _MAX_T if t is None else t
 
-    # Identical probe protocol to the Pallas loop below: UNCLAMPED wants into
-    # embed_pass (which clamps to capacity itself — saturation convention,
-    # ops/pee.py) and used-based acceptance, so the two backends produce
-    # byte-identical containers and no separate capacity passes run.
-    chosen = None
-    for t in _threshold_schedule(config.pee_threshold):
-        stego0, over0, used0, nproc0 = jax.vmap(
-            lambda im, ms, w0: pee_ops.embed_pass(
-                im, ms, jnp.int32(0), w0, 0, t, max_val
+    stego = np.empty_like(images)
+    overflow = np.zeros((b, h, w), dtype=np.uint8)
+    used0 = np.zeros(b, np.int64)
+    used1 = np.zeros(b, np.int64)
+    nproc0 = np.zeros(b, np.int64)
+    nproc1 = np.zeros(b, np.int64)
+    pending = list(range(b))
+    while pending:
+        next_pending: List[int] = []
+        for t in sorted({int(t_img[i]) for i in pending}):
+            idxs = [i for i in pending if int(t_img[i]) == t]
+            g_stego, g_over, g_u0, g_n0, g_u1, g_n1 = _run_passes(
+                images[idxs], msgs[idxs], want[idxs], t, max_val,
+                use_pallas, mesh,
             )
-        )(imgs_d, msgs_d, want_d)
-        used0 = np.asarray(used0).astype(np.int64)
-        want1 = want - used0
-        if (want1 <= 0).all():
-            stego = stego0
-            over1 = jnp.zeros_like(over0)
-            used1 = np.zeros(b, dtype=np.int64)
-            nproc1 = zeros
-            chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
-                      used1, np.asarray(nproc1))
-            break
-        stego, over1, used1, nproc1 = jax.vmap(
-            lambda im, ms, b0, w1: pee_ops.embed_pass(
-                im, ms, b0, w1, 1, t, max_val
-            )
-        )(stego0, msgs_d, jnp.asarray(used0.astype(np.int32)),
-          jnp.asarray(want1.astype(np.int32)))
-        used1 = np.asarray(used1).astype(np.int64)
-        if (used1 >= want1).all():
-            chosen = (t, stego, over0, over1, used0, np.asarray(nproc0),
-                      used1, np.asarray(nproc1))
-            break
-    if chosen is None:
-        raise ValueError(
-            f"some payloads exceed the batch PEE capacity even at T=128"
-        )
-
-    t, stego_d, over0_d, over1_d, used0, nproc0, used1, nproc1 = chosen
-    stego = np.asarray(stego_d)
-    overflow = np.asarray(over0_d) | np.asarray(over1_d)
+            for k, i in enumerate(idxs):
+                if g_u0[k] + g_u1[k] >= want[i]:
+                    stego[i] = g_stego[k]
+                    overflow[i] = g_over[k]
+                    used0[i], used1[i] = g_u0[k], g_u1[k]
+                    nproc0[i], nproc1[i] = g_n0[k], g_n1[k]
+                else:
+                    if t >= _MAX_T:
+                        raise CapacityError(
+                            f"payload {i} of {int(want[i])} bits exceeds the "
+                            f"PEE capacity even at T={_MAX_T}"
+                        )
+                    t_img[i] = t + 1
+                    next_pending.append(i)
+        pending = next_pending
 
     from ..io.codecs import get as get_codec
     import zlib
@@ -188,7 +303,7 @@ def encode_pee_batch(
     def pack_one(i: int) -> bytes:
         passes = 2 if used1[i] > 0 else 1
         ext = container_io.pack_pee_ext(
-            t, passes, int(nproc0[i]), int(nproc1[i]),
+            int(t_img[i]), passes, int(nproc0[i]), int(nproc1[i]),
             int(used0[i]), int(used1[i]),
         )
         meta = container_io.ContainerMeta(
@@ -205,89 +320,14 @@ def encode_pee_batch(
     with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
         containers = list(pool.map(pack_one, range(b)))
 
-    logger.info("pee batch: B=%d T=%d total_bits=%d", b, t, int(want.sum()))
-    return BatchPeeResult(
-        stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
+    logger.info(
+        "pee batch: B=%d T=%s total_bits=%d backend=%s",
+        b, sorted(set(t_img.tolist())), int(want.sum()),
+        "pallas" if use_pallas else "xla",
     )
-
-
-def _encode_pee_batch_pallas(
-    images, imgs_d, msgs, want, config, eff_bits, max_val, bit_arrays
-):
-    """Pallas-kernel variant of the threshold-escalation probe loop.
-
-    Acceptance criterion is identical to the XLA loop (a pass-1 attempt whose
-    embedded count falls short of the remainder escalates T), so accepted
-    results are bit-identical."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import pallas_pee as pp
-
-    b, h, w = images.shape
-    n = h * w
-    msg2d, l2 = pp.prep_messages(msgs, n)
-    msg2d_d = jax.device_put(jnp.asarray(msg2d))
-    imgs3 = jnp.asarray(imgs_d).reshape(b, n // 128, 128)
-    want_d = jnp.asarray(want.astype(np.int32))
-    zero = jnp.zeros(b, jnp.int32)
-
-    chosen = None
-    for t in _threshold_schedule(config.pee_threshold):
-        s0, o0, u0, n0 = pp.embed_pass_batch(
-            imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2
-        )
-        used0 = np.asarray(u0).astype(np.int64)
-        want1 = want - used0
-        if (want1 <= 0).all():
-            chosen = (t, s0, o0, jnp.zeros_like(o0), used0,
-                      np.asarray(jnp.maximum(n0, 0)),
-                      np.zeros(b, np.int64), np.zeros(b, np.int32))
-            break
-        s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, msg2d_d, u0, want_d - u0, h, w, 1, t, max_val, l2
-        )
-        used1 = np.asarray(u1).astype(np.int64)
-        if (used1 >= want1).all():
-            chosen = (t, s1, o0, o1, used0, np.asarray(n0),
-                      used1, np.asarray(n1))
-            break
-    if chosen is None:
-        raise ValueError("some payloads exceed the batch PEE capacity even at T=128")
-
-    t, stego_d, over0_d, over1_d, used0, nproc0, used1, nproc1 = chosen
-    stego = np.asarray(stego_d).reshape(b, h, w)
-    overflow = (np.asarray(over0_d) | np.asarray(over1_d)).reshape(b, h, w)
-
-    from ..io.codecs import get as get_codec
-    import zlib
-    from concurrent.futures import ThreadPoolExecutor
-
-    codec = get_codec(config.codec)
-
-    def pack_one(i: int) -> bytes:
-        passes = 2 if used1[i] > 0 else 1
-        ext = container_io.pack_pee_ext(
-            t, passes, int(nproc0[i]), int(nproc1[i]),
-            int(used0[i]), int(used1[i]),
-        )
-        meta = container_io.ContainerMeta(
-            version=2, codec=config.codec, strategy="pee", s=0,
-            nbits=eff_bits, bits_stored=eff_bits, dtype=images.dtype,
-            width=w, height=h, start_offset=0, seed=config.seed,
-            payload_bits=int(want[i]), align_across_planes=False,
-            has_bitmaps=True, sizes=(), indices=(), eff_lengths=(),
-            plane_starts=(), ext=ext,
-        )
-        map_blob = zlib.compress(np.packbits(overflow[i]).tobytes())
-        return container_io.pack(meta, map_blob, codec.encode(stego[i]))
-
-    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-        containers = list(pool.map(pack_one, range(b)))
-
-    logger.info("pee batch (pallas): B=%d T=%d total_bits=%d", b, t, int(want.sum()))
     return BatchPeeResult(
-        stego=stego, containers=containers, threshold=t, used_bits=used0 + used1
+        stego=stego, containers=containers, thresholds=t_img,
+        used_bits=used0 + used1,
     )
 
 
@@ -295,15 +335,14 @@ def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = Tr
     """Batched decode of PEE containers — the symmetric counterpart of
     :func:`encode_pee_batch`.
 
-    When every container shares geometry/threshold/dtype (what the batch
-    encoder produces) and the backend is TPU, both inverse passes run as the
-    fused Pallas kernels over the whole batch; otherwise each item decodes
-    through the standard single-image path. Returns a list of
-    ``pipeline.DecodeResult``."""
+    Containers are grouped by (geometry, threshold, dtype, codec); each
+    group that the Pallas kernels support decodes as fused kernels over the
+    whole group on TPU (mixed-T batches from the per-image threshold
+    selection fuse per T), anything else decodes through the standard
+    single-image path. Returns ``pipeline.DecodeResult`` in input order."""
     import jax
 
-    from ..pipeline import DecodeResult, decode_container
-    from ..io.codecs import get as get_codec
+    from ..pipeline import decode_container
     from ..ops import pallas_pee as pp
 
     from ..models.pee import parse_pee_container_parts
@@ -312,10 +351,10 @@ def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = Tr
         c if isinstance(c, container_io.Container) else container_io.parse(c)
         for c in containers
     ]
-    keys = set()
     parsed_ext = []
     overflow_maps = []
-    for c in conts:
+    groups: dict = {}
+    for j, c in enumerate(conts):
         if c.meta.strategy != "pee":
             raise ValueError(f"not a PEE container (strategy={c.meta.strategy})")
         # shared hardened parsing: 'Invalid file: ...' ValueErrors on
@@ -323,18 +362,38 @@ def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = Tr
         ext, over = parse_pee_container_parts(c)
         parsed_ext.append(ext)
         overflow_maps.append(over)
-        keys.add((c.meta.width, c.meta.height, c.meta.bits_stored,
-                  str(np.dtype(c.meta.dtype)), c.meta.codec, ext[0]))
-    w, h = conts[0].meta.width, conts[0].meta.height
-    if (
-        len(keys) != 1
-        or jax.default_backend() != "tpu"
-        or not pp.supports(h, w)
-    ):
-        return [decode_container(c, restore_original=restore_original)
-                for c in conts]
+        key = (c.meta.width, c.meta.height, c.meta.bits_stored,
+               str(np.dtype(c.meta.dtype)), c.meta.codec, ext[0])
+        groups.setdefault(key, []).append(j)
+
+    results: List = [None] * len(conts)
+    for key, idxs in groups.items():
+        w, h = key[0], key[1]
+        if jax.default_backend() == "tpu" and pp.routeable(h, w):
+            group_res = _decode_group_fused(
+                [conts[j] for j in idxs],
+                [parsed_ext[j] for j in idxs],
+                [overflow_maps[j] for j in idxs],
+                restore_original,
+            )
+            for j, r in zip(idxs, group_res):
+                results[j] = r
+        else:
+            for j in idxs:
+                results[j] = decode_container(
+                    conts[j], restore_original=restore_original
+                )
+    return results
+
+
+def _decode_group_fused(conts, parsed_ext, overflow_maps, restore_original):
+    """Fused Pallas decode of one homogeneous (shared-key) container group."""
+    from ..pipeline import DecodeResult
+    from ..io.codecs import get as get_codec
+    from ..ops import pallas_pee as pp
 
     b = len(conts)
+    w, h = conts[0].meta.width, conts[0].meta.height
     n = h * w
     t = parsed_ext[0][0]
     bits_stored = conts[0].meta.bits_stored
@@ -356,15 +415,24 @@ def decode_pee_batch(containers: Sequence[bytes], *, restore_original: bool = Tr
     nproc0 = jnp.asarray([e[2] for e in parsed_ext], dtype=jnp.int32)
     nproc1 = jnp.asarray([e[3] for e in parsed_ext], dtype=jnp.int32)
 
-    stego3 = jnp.asarray(stego).reshape(b, n // 128, 128)
-    over3 = jnp.asarray(over).reshape(b, n // 128, 128)
+    if pp.supports(h, w):
+        stego3 = jnp.asarray(stego).reshape(b, n // 128, 128)
+        over3 = jnp.asarray(over).reshape(b, n // 128, 128)
+        buf_w = None
+        back = lambda a3: np.asarray(a3).reshape(b, h, w)
+    else:
+        # pad-and-mask route for odd geometries (round-2 verdict #4)
+        stego3 = pp.pad_batch(stego, h, w)
+        over3 = pp.pad_batch(over, h, w)
+        buf_w = pp.padded_geometry(h, w)[1]
+        back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))
     r1, segs1, cnts1 = pp.extract_pass_batch(
-        stego3, over3, nproc1, h, w, 1, t, max_val
+        stego3, over3, nproc1, h, w, 1, t, max_val, buf_w=buf_w
     )
     r0, segs0, cnts0 = pp.extract_pass_batch(
-        r1, over3, nproc0, h, w, 0, t, max_val
+        r1, over3, nproc0, h, w, 0, t, max_val, buf_w=buf_w
     )
-    restored = np.asarray(r0).reshape(b, h, w)
+    restored = back(r0)
     out_len0 = max(int(max(e[4] for e in parsed_ext)), 1)
     out_len1 = max(int(max(e[5] for e in parsed_ext)), 1)
     bits0 = pp.collect_bits(segs0, cnts0, out_len0)

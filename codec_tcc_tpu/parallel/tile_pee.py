@@ -425,7 +425,8 @@ def encode_array_tiled_pee(
     the kernels interpreted — the CPU-mesh test configuration)."""
     import zlib
 
-    from ..models.pee import _threshold_schedule
+    from ..models.pee import _MAX_T, select_threshold
+    from ..ops import pee as pee_ops
     from ..pipeline import EncodeResult, _as_payload_bits
 
     if mesh is None:
@@ -484,8 +485,19 @@ def encode_array_tiled_pee(
         jax.device_put(jnp.asarray(image), NamedSharding(mesh, P(axis, None)))
         if backend == "pallas" else image
     )
+    # histogram-driven threshold selection — identical rule to
+    # models.pee.encode_pee_array, so the container stays byte-identical to
+    # the single-device encoder's (round-2 verdict #3). The histogram is a
+    # planning-only pass over the unsharded image.
+    cap0 = pee_ops.capacities_by_threshold(
+        pee_ops.capacity_histogram(image, 0, _MAX_T, max_val)
+    )
+    cap1 = pee_ops.capacities_by_threshold(
+        pee_ops.capacity_histogram(image, 1, _MAX_T, max_val)
+    )
+    t = select_threshold(cap0, cap1, total_bits, config.pee_threshold)
     result = None
-    for t in _threshold_schedule(config.pee_threshold):
+    while t is not None and t <= _MAX_T:
         s0, o0, u0, n0 = run_pass(img0, 0, total_bits, 0, t)
         used0 = int(u0)
         want1 = total_bits - used0
@@ -497,13 +509,17 @@ def encode_array_tiled_pee(
         # so the intermediate image never visits the host
         s1, o1, u1, n1 = run_pass(s0, used0, want1, 1, t)
         if int(u1) < want1:
+            t += 1  # pass-interaction shortfall of the estimate; escalate
             continue
         result = (t, s1, np.asarray(o0), used0, int(n0),
                   np.asarray(o1), int(u1), int(n1), 2)
         break
     if result is None:
-        raise ValueError(
-            f"payload of {total_bits} bits exceeds PEE capacity even at T=128"
+        from ..errors import CapacityError
+
+        raise CapacityError(
+            f"payload of {total_bits} bits exceeds PEE capacity even at "
+            f"T={_MAX_T}"
         )
     t, stego_d, over0, used0, nproc0, over1, used1, nproc1, passes = result
     stego_np = np.asarray(stego_d)

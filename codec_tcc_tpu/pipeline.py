@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from .config import EncodeConfig
+from .errors import CapacityError
 from .io import container as container_io
 from .io import dicom
 from .io.codecs import get as get_codec
@@ -185,7 +186,7 @@ def encode_array(
     plan = segment_ops.distribute_segments(s, total_bits, config.seed)
     dropped = total_bits - sum(min(e, n) for e in plan.eff_lengths)
     if dropped > 0 and not config.allow_capacity_overflow:
-        raise ValueError(
+        raise CapacityError(
             f"payload of {total_bits} bits exceeds the usable capacity of "
             f"{segment_ops.usable_capacity_bits(s, n, config.seed)} bits at "
             f"s={s} ({dropped} bits would be silently dropped by the "

@@ -40,6 +40,10 @@ class Profiler:
         self.wall[name] += dt
         self.calls[name] += 1
 
+    def reset(self) -> None:
+        self.wall.clear()
+        self.calls.clear()
+
     def report(self) -> Dict[str, Dict[str, float]]:
         return {
             name: {

@@ -235,3 +235,70 @@ def test_preplaced_wraparound_plane(rng):
         jnp.asarray(starts), jnp.asarray(lens), nbits, pe.pick_tile(n))
     got = pe.assemble_raster(rows[0], starts[0], lens[0], offs[0], 300)
     np.testing.assert_array_equal(got, payload)
+
+
+def test_preplaced_odd_geometry_matches_xla(rng):
+    """Odd flat sizes (n % 2048 != 0, n % 128 != 0) run the preplaced
+    kernels on a zero-padded flat buffer with split (non-wrapping) windows
+    — bit-exact with the XLA path, including a wrapping hybrid plane
+    (round-2 verdict #4)."""
+    nbits, b, h, w = 4, 2, 50, 100        # n = 5000: no tile divides it
+    n = h * w
+    assert pe.pick_tile(n) == 0
+    n_buf, tile = pe.padded_flat(n)
+    assert n_buf % 2048 == 0 and tile > 0
+
+    imgs = rng.integers(0, 4096, (b, h, w)).astype(np.uint16)
+    starts = np.array([[n - 70, 300, 0, 0], [10, 0, 0, 0]], np.int32)
+    lens = np.array([[200, 50, 0, 0], [80, 0, 0, 0]], np.int32)  # img0 wraps
+    offs = np.array([[0, 200, 0, 0], [0, 0, 0, 0]], np.int32)
+    msgs = np.zeros((b, 1 << 13), np.uint8)   # >= max(off) + n for the oracle
+    msgs[0, :250] = rng.integers(0, 2, 250)
+    msgs[1, :80] = rng.integers(0, 2, 80)
+    svals = np.array([2, 1], np.int32)
+
+    st_ref, al_ref = _xla_reference(imgs, msgs, starts, lens, offs, svals, nbits)
+
+    bits4 = np.asarray(pe.preplace_bits_device(
+        jnp.asarray(msgs), jnp.asarray(starts), jnp.asarray(lens),
+        jnp.asarray(offs), n, nbits, n_buf,
+    ))
+    st2, ln2 = pe.split_windows(starts, lens, n)
+    flat = jnp.pad(jnp.asarray(imgs).reshape(b, n), ((0, 0), (0, n_buf - n)))
+    st = np.asarray(pe.embed_batch_preplaced(
+        flat.reshape(b, n_buf // 128, 128), jnp.asarray(bits4),
+        jnp.asarray(st2), jnp.asarray(ln2), nbits, tile, 2,
+    )).reshape(b, n_buf)[:, :n].reshape(b, h, w)
+    np.testing.assert_array_equal(st, st_ref)
+
+    sflat = jnp.pad(jnp.asarray(st).reshape(b, n), ((0, 0), (0, n_buf - n)))
+    rows = pe.extract_raster_batch(
+        sflat.reshape(b, n_buf // 128, 128),
+        jnp.asarray(st2), jnp.asarray(ln2), nbits, tile, 2,
+    ).reshape(b, nbits, n_buf)[:, :, :n]
+    out_len = 1 << 13
+    got = pe.assemble_raster(np.asarray(rows), starts, lens, offs, out_len)
+    want = embed_ops.assemble_message(al_ref, offs, lens, out_len)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_containers_odd_geometry_roundtrip(rng):
+    """encode_batch/extract_batch with the forced preplaced backend on an
+    odd geometry (exercises the padded routing in parallel/batch.py)."""
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    b, h, w = 2, 50, 100
+    imgs = rng.integers(0, 4096, size=(b, h, w)).astype(np.uint16)
+    payloads = [rng.integers(0, 2, size=k).astype(np.uint8) for k in (900, 333)]
+    cfg = EncodeConfig(strategy="hybrid", codec="deflate", compute_metrics=False)
+    plan = batch_par.plan_batch(imgs, payloads, cfg)
+
+    stego_pal = np.asarray(batch_par.encode_batch(imgs, plan, backend="preplaced"))
+    stego_xla = np.asarray(batch_par.encode_batch(imgs, plan, backend="xla"))
+    np.testing.assert_array_equal(stego_pal, stego_xla)
+
+    bits_pal = batch_par.extract_batch(stego_pal, plan, backend="preplaced")
+    for i in range(b):
+        nb = int(plan.payload_bits[i])
+        np.testing.assert_array_equal(bits_pal[i, :nb], np.asarray(payloads[i]))

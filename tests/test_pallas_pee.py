@@ -193,19 +193,12 @@ def test_batch_pee_backends_byte_identical(rng):
         rng.integers(0, 2, size=200).astype(np.uint8),
     ]
 
-    xla = bp.encode_pee_batch(imgs, payloads, cfg)
+    xla = bp.encode_pee_batch(imgs, payloads, cfg, backend="xla",
+                              bits_stored=8)
+    pal = bp.encode_pee_batch(imgs, payloads, cfg, backend="pallas",
+                              bits_stored=8)
 
-    bit_arrays = [np.asarray(p) for p in payloads]
-    want = np.array([x.size for x in bit_arrays], dtype=np.int64)
-    lpad = 1 << max(3, (int(want.max()) - 1).bit_length())
-    msgs = np.zeros((b, lpad), dtype=np.uint8)
-    for i, bits in enumerate(bit_arrays):
-        msgs[i, : bits.size] = bits
-    pal = bp._encode_pee_batch_pallas(
-        imgs, jnp.asarray(imgs), msgs, want, cfg, 8, max_val, bit_arrays
-    )
-
-    assert xla.threshold == pal.threshold
+    np.testing.assert_array_equal(xla.thresholds, pal.thresholds)
     np.testing.assert_array_equal(xla.stego, pal.stego)
     assert xla.containers == pal.containers
 
@@ -214,7 +207,7 @@ def test_batch_pee_backends_byte_identical(rng):
 
     for i, cont in enumerate(xla.containers):
         dec = decode_container(cont)
-        np.testing.assert_array_equal(dec.payload_bits, bit_arrays[i])
+        np.testing.assert_array_equal(dec.payload_bits, np.asarray(payloads[i]))
         np.testing.assert_array_equal(dec.original, imgs[i])
 
 
@@ -284,3 +277,97 @@ def test_pallas_pee_extract_matches_xla(rng):
     assert int(np.asarray(cnts).sum()) == int(nb_ref)
     bits = pp.collect_bits(segs, cnts, 8192)
     np.testing.assert_array_equal(bits[0], np.asarray(bits_ref))
+
+
+@pytest.mark.parametrize("h,w", [(200, 200), (96, 500)])
+def test_pallas_pee_padded_geometry_matches_xla(rng, h, w):
+    """Odd geometries (w % 128 != 0, n % 65536 != 0) run the kernels on a
+    zero-padded buffer with logical-dimension masks — bit-exact with the
+    XLA oracle (round-2 verdict #4: no more 43 MPix/s cliff for real-world
+    shapes like 640x480 / 500x500)."""
+    assert not pp.supports(h, w)
+    b, t, max_val = 2, 2, 4095
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 17.0) * np.cos(xx / 23.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(b)
+    ])
+    lpad = 8192
+    msgs = rng.integers(0, 2, size=(b, lpad)).astype(np.uint8)
+    want = np.array([4000, 900], dtype=np.int32)
+
+    ref = _xla_two_pass(imgs, msgs, want, t, max_val)
+
+    hb, wb = pp.padded_geometry(h, w)
+    assert wb % 128 == 0 and (hb * wb) % pp.TILE_PX == 0
+
+    msg2d, l2 = pp.prep_messages(msgs, n)
+    imgs3 = pp.pad_batch(imgs, h, w)
+    s0, ov0, u0, np0 = pp.embed_pass_batch(
+        imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
+        h, w, 0, t, max_val, l2, buf_w=wb,
+    )
+    s1, ov1, u1, np1 = pp.embed_pass_batch(
+        s0, jnp.asarray(msg2d), u0, jnp.asarray(want) - u0,
+        h, w, 1, t, max_val, l2, buf_w=wb,
+    )
+    stego = np.asarray(pp.unpad_batch(s1, h, w))
+    o0 = np.asarray(pp.unpad_batch(ov0, h, w))
+    o1 = np.asarray(pp.unpad_batch(ov1, h, w))
+
+    for i in range(b):
+        st_ref, o0_ref, o1_ref, u0_ref, n0_ref, u1_ref, n1_ref = ref[i]
+        np.testing.assert_array_equal(stego[i], st_ref)
+        np.testing.assert_array_equal(o0[i].astype(bool), o0_ref)
+        np.testing.assert_array_equal(o1[i].astype(bool), o1_ref)
+        assert int(u0[i]) == u0_ref and int(np0[i]) == n0_ref
+        assert int(u1[i]) == u1_ref and int(np1[i]) == n1_ref
+
+    # inverse passes over the padded buffers recover payload and original
+    over_pad = pp.pad_batch((o0 | o1), h, w)
+    r1, segs1, cnts1 = pp.extract_pass_batch(
+        s1, over_pad, np1, h, w, 1, t, max_val, buf_w=wb
+    )
+    r0, segs0, cnts0 = pp.extract_pass_batch(
+        r1, over_pad, np0, h, w, 0, t, max_val, buf_w=wb
+    )
+    restored = np.asarray(pp.unpad_batch(r0, h, w))
+    bits0 = pp.collect_bits(segs0, cnts0, lpad)
+    bits1 = pp.collect_bits(segs1, cnts1, lpad)
+    for i in range(b):
+        np.testing.assert_array_equal(restored[i], imgs[i])
+        got = np.concatenate(
+            [bits0[i, : int(u0[i])], bits1[i, : int(u1[i])]]
+        )
+        np.testing.assert_array_equal(got, msgs[i, : int(want[i])])
+
+
+def test_pee_batch_odd_geometry_end_to_end(rng):
+    """encode_pee_batch/decode_pee_batch with forced pallas backend on an
+    odd geometry (covers the pad-and-mask routing in parallel/batch_pee)."""
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.parallel import batch_pee as bp
+
+    h, w = 96, 500
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (300 + 200 * np.sin(yy / 11.0) * np.cos(xx / 19.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(2)
+    ])
+    payloads = [rng.integers(0, 2, size=k).astype(np.uint8) for k in (3000, 700)]
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=False)
+
+    pal = bp.encode_pee_batch(imgs, payloads, cfg, backend="pallas")
+    xla = bp.encode_pee_batch(imgs, payloads, cfg, backend="xla")
+    np.testing.assert_array_equal(pal.stego, xla.stego)
+    assert pal.containers == xla.containers
+
+    from codec_tcc_tpu import decode_container
+
+    for i, cont in enumerate(pal.containers):
+        dec = decode_container(cont)
+        np.testing.assert_array_equal(dec.payload_bits, payloads[i])
+        np.testing.assert_array_equal(dec.original, imgs[i])

@@ -65,14 +65,25 @@ def test_pee_pass1_capacity_measured_on_modified_image(rng):
         np.testing.assert_array_equal(dec.original, img)
 
 
-def test_pee_threshold_schedule_reaches_max():
-    """Finding 6: the geometric T schedule must include T=128."""
-    from codec_tcc_tpu.models.pee import _threshold_schedule
+def test_pee_threshold_selection_covers_max():
+    """Finding 6 (round-3 form): threshold selection must be able to reach
+    T=128 — a payload that only fits at the maximum threshold is not
+    skipped, and an over-capacity payload yields None (callers then run one
+    exact attempt at T=128 before raising CapacityError)."""
+    import numpy as np
 
-    for t0 in (1, 2, 3, 5, 100, 128):
-        sched = list(_threshold_schedule(t0))
-        assert sched[-1] == 128, (t0, sched)
-        assert sched == sorted(set(sched))
+    from codec_tcc_tpu.models.pee import _MAX_T, select_threshold
+
+    cap0 = np.arange(1, _MAX_T + 1) * 10
+    cap1 = np.arange(1, _MAX_T + 1) * 10
+    # fits exactly at the maximum threshold only
+    assert select_threshold(cap0, cap1, int(cap0[-1] + cap1[-1]), 1) == _MAX_T
+    # beyond any capacity -> None
+    assert select_threshold(cap0, cap1, int(cap0[-1] + cap1[-1]) + 1, 1) is None
+    # smallest fitting T, honoring the configured floor
+    assert select_threshold(cap0, cap1, 20, 1) == 1
+    assert select_threshold(cap0, cap1, 20, 5) == 5
+    assert select_threshold(cap0, cap1, 130, 1) == 7
 
 
 def test_v1_hybrid_container_roundtrips(torax_image):

@@ -1,0 +1,137 @@
+"""Regression tests for the round-2 verdict contracts and advisor findings.
+
+1. ``encode_volume`` rejects strategies it does not implement (verdict
+   weakness #6) and implements 'hybrid' with per-slice variance offsets;
+2. STGV v2 header records the volume strategy (verdict next-round #5);
+3. ``CapacityError`` distinguishes capacity exhaustion from other
+   ``ValueError``s; the volume PEE escalation loop no longer swallows
+   unrelated validation failures (advisor round-2 #2);
+4. ``PeeEmbedder.capacity_bits`` is achievable — it accounts for the
+   pass-0/pass-1 interaction via the probe protocol (verdict weakness #5);
+5. PEE batch delegation honors ``compute_metrics`` (advisor round-2 #1).
+"""
+
+import numpy as np
+import pytest
+
+from codec_tcc_tpu import CapacityError
+from codec_tcc_tpu.config import EncodeConfig
+from codec_tcc_tpu.models import get_embedder
+from codec_tcc_tpu.parallel import batch as batch_par
+from codec_tcc_tpu.parallel import volume as volume_par
+
+
+def _smooth_volume(rng, d=2, h=32, w=32, lo=100, hi=800):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 7.0) * np.cos(xx / 9.0)).astype(np.int64)
+    vol = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(lo, hi)
+        for _ in range(d)
+    ])
+    return vol.astype(np.uint16)
+
+
+def test_encode_volume_rejects_unimplemented_strategy(rng):
+    vol = rng.integers(0, 4096, size=(2, 32, 32)).astype(np.uint16)
+    with pytest.raises(ValueError, match="block_adaptive"):
+        volume_par.encode_volume(
+            vol, b"x", EncodeConfig(strategy="block_adaptive")
+        )
+
+
+def test_encode_volume_hybrid_roundtrip(rng):
+    """Hybrid volumes use real per-slice variance offsets and round-trip."""
+    vol = rng.integers(0, 4096, size=(3, 32, 32)).astype(np.uint16)
+    payload = rng.integers(0, 2, size=600).astype(np.uint8)
+    cfg = EncodeConfig(strategy="hybrid", codec="deflate",
+                       compute_metrics=False)
+    res = volume_par.encode_volume(vol, payload, cfg)
+    blob = volume_par.pack_volume(vol, res, cfg)
+    bits, stego, original = volume_par.unpack_volume(blob)
+    assert (bits == payload).all()
+    assert (stego == res.stego).all()
+    assert (original == vol).all()
+    # the per-slice containers record the hybrid strategy and its offsets
+    from codec_tcc_tpu.io import container as container_io
+
+    off = 4 + 21 + 8 * 3  # magic + v2 header(IIQIB = 21 B) + 3 slice sizes
+    c0 = container_io.parse(blob[off:])
+    assert c0.meta.strategy == "hybrid"
+    assert res.plan.base_offsets is not None
+
+
+def test_stgv_v2_header_strategy_and_v1_compat(rng):
+    import struct
+
+    vol = rng.integers(0, 4096, size=(2, 32, 32)).astype(np.uint16)
+    payload = rng.integers(0, 2, size=100).astype(np.uint8)
+    cfg = EncodeConfig(strategy="multi_plane", codec="deflate",
+                       compute_metrics=False)
+    res = volume_par.encode_volume(vol, payload, cfg)
+    blob = volume_par.pack_volume(vol, res, cfg)
+    version, d, total_bits, s = struct.unpack_from(">IIQI", blob, 4)
+    assert version == 2 and d == 2 and total_bits == 100
+    (strat_id,) = struct.unpack_from(">B", blob, 4 + struct.calcsize(">IIQI"))
+    from codec_tcc_tpu.io.container import STRATEGY_NAMES
+
+    assert STRATEGY_NAMES[strat_id] == "multi_plane"
+
+    # a v1-layout header (round-2 files) still parses
+    hdr = volume_par.VOLUME_MAGIC + struct.pack(">IIQI", 1, d, total_bits, s)
+    sizes_off = len(hdr)
+    body = blob[4 + struct.calcsize(">IIQIB"):]
+    v1_blob = hdr + body
+    bits_v1, _, _ = volume_par.unpack_volume(v1_blob)
+    assert (bits_v1 == payload).all()
+    assert sizes_off > 0
+
+    # unknown strategy id in a v2 header is rejected loudly
+    bad = volume_par.VOLUME_MAGIC + struct.pack(
+        ">IIQIB", 2, d, total_bits, s, 250
+    ) + body
+    with pytest.raises(ValueError, match="strategy id"):
+        volume_par.unpack_volume(bad)
+
+
+def test_capacity_error_type_and_propagation(rng):
+    """Capacity exhaustion raises CapacityError (a ValueError subclass);
+    non-capacity errors propagate out of the volume PEE loop immediately."""
+    vol = _smooth_volume(rng)
+    huge = np.ones(2 * 32 * 32 * 2, dtype=np.uint8)  # > 2 passes' capacity
+    with pytest.raises(CapacityError):
+        volume_par.encode_volume(
+            vol, huge, EncodeConfig(strategy="pee", compute_metrics=False)
+        )
+    # a bad codec is a plain ValueError and must NOT be retried/swallowed
+    with pytest.raises(ValueError, match="not supported") as ei:
+        volume_par.encode_volume(
+            vol, np.ones(50, np.uint8),
+            EncodeConfig(strategy="pee", codec="nope", compute_metrics=False),
+        )
+    assert not isinstance(ei.value, CapacityError)
+
+
+def test_pee_capacity_bits_achievable(rng):
+    """The advertised capacity accounts for pass interaction: encoding a
+    payload of exactly capacity_bits succeeds (round-2 verdict weakness #5
+    showed the old pristine-image sum overestimates)."""
+    img = _smooth_volume(rng, d=1)[0]
+    emb = get_embedder("pee", pee_threshold=2, compute_metrics=False,
+                       codec="deflate")
+    cap = emb.capacity_bits(img)
+    assert cap > 0
+    payload = rng.integers(0, 2, size=cap).astype(np.uint8)
+    res = emb.encode(img, payload)
+    dec = emb.decode(res.container)
+    assert (dec.payload_bits[:cap] == payload).all()
+    assert (dec.original == img).all()
+
+
+def test_pee_batch_metrics_delegation(rng):
+    imgs = np.stack([_smooth_volume(rng, d=1)[0] for _ in range(2)])
+    payloads = [rng.integers(0, 2, size=64).astype(np.uint8) for _ in range(2)]
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=True)
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    assert res.metrics is not None and len(res.metrics) == 2
+    for m in res.metrics:
+        assert "psnr" in m and "mse" in m
