@@ -265,9 +265,13 @@ def main(backend: str = "auto") -> None:
     )
 
 
-def _bench_big(B: int = 8) -> float:
+def _bench_big(B: int = 32) -> float:
     """Large-image scaling check: the preplaced LSB cycle on 2048x2048
-    uint16 images (16x the headline's pixel count per image)."""
+    uint16 images (16x the headline's pixel count per image). B=32: the
+    round-3 dispatch-size experiment showed throughput is governed by total
+    pixels per dispatch (B=8 measured 2.3 GPix/s, B=32 4.15 — the round-2
+    "2048 trails the headline" gap was batch amortization, not the
+    kernels)."""
     import jax
     import jax.numpy as jnp
 
@@ -277,10 +281,19 @@ def _bench_big(B: int = 8) -> float:
 
     if jax.default_backend() != "tpu":
         raise RuntimeError("TPU only")
+    from codec_tcc_tpu.io import dicom
+
     h = w = 2048
     n = h * w
     rng = np.random.default_rng(3)
-    imgs = rng.integers(0, 4096, size=(B, h, w)).astype(np.uint16)
+    # pe.dcm content tiled 4x4: same pixel statistics as the headline, so
+    # the decomposition picks the same plane count (random 12-bit noise gave
+    # s=5 -> an 8-plane kernel unroll, which made the round-2 "2048 trails
+    # the headline" comparison apples-to-oranges)
+    base, _ = dicom.load_image("/root/reference/images/pe.dcm")
+    big = np.tile(base, (4, 4))
+    imgs = np.broadcast_to(big, (B, h, w)).copy()
+    imgs ^= rng.integers(0, 2, size=imgs.shape).astype(np.uint16)
     payloads = [rng.integers(0, 2, size=1_000_000).astype(np.uint8)
                 for _ in range(B)]
     plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))

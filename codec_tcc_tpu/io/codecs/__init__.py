@@ -115,7 +115,10 @@ class DeflateCodec(Codec):
     def encode(self, image: np.ndarray) -> bytes:
         code = _DTYPE_CODES[np.dtype(image.dtype)]
         header = _DEFLATE_MAGIC + struct.pack(">BII", code, *image.shape)
-        return header + zlib.compress(np.ascontiguousarray(image).tobytes(), 6)
+        # level 1: 4x faster than level 6 for ~3% larger output on stego
+        # pixel data (measured on pe.dcm); the single-core host shell is the
+        # serving path's bottleneck, and the level is not part of the format
+        return header + zlib.compress(np.ascontiguousarray(image).tobytes(), 1)
 
     def decode(self, data: bytes) -> np.ndarray:
         if data[:4] != _DEFLATE_MAGIC:

@@ -127,8 +127,11 @@ def encode_pee_array(
     cap0 = pee_ops.capacities_by_threshold(hist0)
     cap1 = pee_ops.capacities_by_threshold(hist1)
     t = select_threshold(cap0, cap1, total_bits, config.pee_threshold)
+    if t is None:
+        t = _MAX_T  # one exact attempt: the embed is the authority, the
+        #             histogram estimate only schedules (matches batch path)
     result = None
-    while t is not None and t <= _MAX_T:
+    while t <= _MAX_T:
         stego0, over0, used0_dev, nproc0 = pee_ops.embed_pass(
             image, msg_pad, np.int32(0), np.int32(total_bits), 0, t, max_val
         )

@@ -72,9 +72,13 @@ def pick_tile(n: int) -> int:
 
 
 def preferred_tile(n: int) -> int:
-    """The tuned tile for these kernels: 131072 elements when it divides N
-    (the measured sweet spot on v5e), else the largest pick_tile divisor.
-    The single place the constant lives — all backends call this."""
+    """The tuned tile for these kernels: 131072 elements when it divides N,
+    else the largest pick_tile divisor. The single place the constant lives
+    — all backends call this. Round-3 sweeps (tools/sweep_tiles.py + the
+    pe-content 2048 experiment) measured the 65536..262144 tiles within
+    ±3% of each other at every size/plane-count combination, with 131072
+    best under the headline's 4-plane plans; throughput is governed by
+    total dispatch size (batch x pixels), not the tile."""
     return 131072 if n % 131072 == 0 else pick_tile(n)
 
 

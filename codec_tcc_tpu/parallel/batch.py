@@ -478,7 +478,19 @@ def encode_batch_containers(
         imgs_dev = jnp.asarray(images)
         jax.block_until_ready(imgs_dev)
     with stage("batch_plan"):
-        plan = plan_batch(imgs_dev, payloads, config, nbits=nbits)
+        # host bincount histograms: the images are host-resident anyway, and
+        # the device histogram path shipped B x 65536 x 4 bytes back over
+        # the link (~8 MB for a 32-image uint16 batch — 1.1 s of the round-3
+        # bench's batch_plan stage). The hybrid block scan still runs on
+        # imgs_dev, which is already uploaded.
+        max_val = 255 if images.dtype.itemsize == 1 else 65535
+        hists = np.stack([
+            np.bincount(im.reshape(-1), minlength=max_val + 1)
+            for im in images
+        ])
+        plan = plan_batch(
+            imgs_dev, payloads, config, histograms=hists, nbits=nbits
+        )
 
     if not config.allow_capacity_overflow:
         for i in range(b):

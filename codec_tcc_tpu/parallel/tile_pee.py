@@ -496,8 +496,10 @@ def encode_array_tiled_pee(
         pee_ops.capacity_histogram(image, 1, _MAX_T, max_val)
     )
     t = select_threshold(cap0, cap1, total_bits, config.pee_threshold)
+    if t is None:
+        t = _MAX_T  # one exact attempt (the histogram only schedules)
     result = None
-    while t is not None and t <= _MAX_T:
+    while t <= _MAX_T:
         s0, o0, u0, n0 = run_pass(img0, 0, total_bits, 0, t)
         used0 = int(u0)
         want1 = total_bits - used0
