@@ -113,6 +113,16 @@ def _fused_block_embed_step(
     return stego, stats
 
 
+def _single_pallas_ok(n: int) -> bool:
+    """Whether the single-image raster embed should route through the
+    preplaced Pallas kernels (TPU, geometry direct or padded)."""
+    from .ops import pallas_embed as pe
+
+    return jax.default_backend() == "tpu" and (
+        (pe.pick_tile(n) > 0 and n % 128 == 0) or n >= 65536
+    )
+
+
 def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarray:
     """(s, H, W) uint8 XOR location maps computed on host (the reference's
     ``orig ^ stego`` bitmaps, src/codec.py:309-311)."""
@@ -236,6 +246,28 @@ def encode_array(
                 image_dev, msg_pad, bases, pp.lengths, pp.offsets,
                 np.int32(s), kernel_bits, config.block_size,
                 config.compute_metrics,
+            )
+        elif _single_pallas_ok(n):
+            # TPU raster route through the preplaced Pallas kernels: ships
+            # only the payload-covering message prefix instead of the XLA
+            # formulation's off+N-sized buffer (~0.5 MB/image on the dev
+            # link), and runs the faster kernel. Bit-exact with the XLA
+            # path (tests/test_pallas.py).
+            from .parallel import batch as batch_par
+
+            plan1 = batch_par.BatchPlan(
+                s=np.array([s], np.int32),
+                starts=pp.starts[None], lengths=pp.lengths[None],
+                offsets=pp.offsets[None], msgs=msg_pad[None],
+                payload_bits=np.array([total_bits], np.int64),
+                nbits=kernel_bits, lpad=msg_pad.size,
+            )
+            stego_dev = batch_par.encode_batch(
+                image_dev[None], plan1, backend="preplaced"
+            )[0]
+            stats = (
+                metric_ops.pair_stats(image_dev, stego_dev)
+                if config.compute_metrics else None
             )
         else:
             stego_dev, stats = _fused_embed_step(

@@ -371,3 +371,56 @@ def test_pee_batch_odd_geometry_end_to_end(rng):
         dec = decode_container(cont)
         np.testing.assert_array_equal(dec.payload_bits, payloads[i])
         np.testing.assert_array_equal(dec.original, imgs[i])
+
+
+def test_batch_pee_mixed_thresholds_grouped(rng):
+    """Per-image threshold selection (round-2 verdict #3): a batch holding
+    one hard image (needs a larger T) and one easy image must NOT couple
+    their thresholds — the easy image keeps its small T and distortion —
+    and the mixed-T batch must round-trip through both the grouped fused
+    decode path (forced pallas) and the per-item fallback."""
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.parallel import batch_pee as bp
+
+    h, w = 512, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = ((400 + 60 * np.sin(yy / 11.0) * np.cos(xx / 7.0)).astype(np.int64)
+              + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+    rough = ((400 + 60 * np.sin(yy / 11.0) * np.cos(xx / 7.0)).astype(np.int64)
+             + rng.integers(-6, 7, size=(h, w))).clip(0, 836).astype(np.uint16)
+    imgs = np.stack([smooth, rough])
+    cap_rough_t1 = int(pee_ops.capacity(rough, 0, 1, 4095)) + int(
+        pee_ops.capacity(rough, 1, 1, 4095))
+    payloads = [
+        rng.integers(0, 2, size=500).astype(np.uint8),          # easy
+        rng.integers(0, 2, size=cap_rough_t1 + 1000).astype(np.uint8),  # hard
+    ]
+    cfg = EncodeConfig(strategy="pee", pee_threshold=1, compute_metrics=False)
+    res = bp.encode_pee_batch(imgs, payloads, cfg, backend="pallas",
+                              bits_stored=12)
+    assert res.thresholds[0] < res.thresholds[1], res.thresholds
+    assert res.thresholds[0] == 1
+
+    # distortion decoupling: the easy image embeds at T=1 regardless of the
+    # hard one (round 2 would have escalated BOTH to the larger T)
+    solo = bp.encode_pee_batch(imgs[:1], payloads[:1], cfg, backend="pallas",
+                               bits_stored=12)
+    np.testing.assert_array_equal(res.stego[0], solo.stego[0])
+
+    # per-item fallback decode (the CPU route of decode_pee_batch)
+    outs = bp.decode_pee_batch(res.containers)
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out.payload_bits, np.asarray(payloads[i]))
+        np.testing.assert_array_equal(out.original, imgs[i])
+
+    # the fused group decoder itself (what decode_pee_batch runs per T group
+    # on TPU), under interpret mode
+    from codec_tcc_tpu.io import container as container_io
+    from codec_tcc_tpu.models.pee import parse_pee_container_parts
+
+    for i in range(2):
+        cont = container_io.parse(res.containers[i])
+        ext, over = parse_pee_container_parts(cont)
+        (out,) = bp._decode_group_fused([cont], [ext], [over], True)
+        np.testing.assert_array_equal(out.payload_bits, np.asarray(payloads[i]))
+        np.testing.assert_array_equal(out.original, imgs[i])
