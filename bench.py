@@ -44,7 +44,10 @@ def _probe_contention() -> list:
     for _ in range(10):
         try:
             with open(f"/proc/{pid}/stat") as f:
-                pid = int(f.read().split()[3])
+                # the comm field (2nd) may itself contain spaces or ')';
+                # everything after the LAST ')' is the fixed-format tail,
+                # whose 2nd token is the ppid
+                pid = int(f.read().rsplit(")", 1)[1].split()[1])
         except Exception:
             break
         if pid <= 1:

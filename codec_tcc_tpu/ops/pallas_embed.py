@@ -560,6 +560,20 @@ def preplace_bits_device(
     return out.reshape(b, np_planes, n_buf // _LANE, _LANE)
 
 
+def direct_ok(n: int) -> bool:
+    """Whether the preplaced kernels take flat size ``n`` directly (no
+    padding): some power-of-two tile divides it and rows pack evenly."""
+    return pick_tile(n) > 0 and n % 128 == 0
+
+
+def preplaced_ok(n: int) -> bool:
+    """Single source of the preplaced-route eligibility rule (used by the
+    batch planner, the single-image pipeline, and the bench): direct
+    layout, or big enough (>= 65536 px) that the padded odd-N route
+    amortizes."""
+    return direct_ok(n) or n >= 65536
+
+
 def padded_flat(n: int) -> Tuple[int, int]:
     """Odd-N route: smallest kernel-tileable flat length >= n and its tile.
     The padded tail holds no embedding windows (split_windows never emits

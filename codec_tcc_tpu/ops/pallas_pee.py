@@ -112,9 +112,17 @@ def supports(h: int, w: int) -> bool:
 def routeable(h: int, w: int) -> bool:
     """Whether these kernels are the right route for an (h, w) image: either
     directly supported, or large enough (>= one full tile of real pixels)
-    that the pad-and-mask buffer amortizes. Below that the XLA path's
-    dispatch-bound latency is comparable anyway."""
-    return supports(h, w) or h * w >= TILE_PX
+    that the pad-and-mask buffer amortizes — AND the pad overhead is
+    bounded (an extreme-aspect image like 65536x4 would inflate the padded
+    buffer ~32x; the XLA path serves those better than a kernel doing 32x
+    the work). Below the size floor the XLA path's dispatch-bound latency
+    is comparable anyway."""
+    if supports(h, w):
+        return True
+    if h * w < TILE_PX:
+        return False
+    hb, wb = padded_geometry(h, w)
+    return hb * wb <= 2 * h * w
 
 
 def padded_geometry(h: int, w: int) -> Tuple[int, int]:

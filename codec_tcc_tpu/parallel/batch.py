@@ -133,18 +133,7 @@ def plan_batch(
     nbits = _plane_bucket(int(s_arr.max(initial=1)), dtype_bits)
 
     if config.strategy == "hybrid":
-        from ..ops import blocks as block_ops
-
-        sb = config.search_block_size
-        counts = np.asarray(
-            jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, sb))(
-                jnp.asarray(images)
-            )
-        )
-        base_offsets = [
-            block_ops.best_offset_from_counts(counts[i], h, w, sb)
-            for i in range(b)
-        ]
+        base_offsets = hybrid_base_offsets(images, h, w, config.search_block_size)
         align = config.align_across_planes
     elif config.strategy == "multi_plane":
         base_offsets = [0] * b
@@ -192,8 +181,7 @@ def _pallas_ok(shape: tuple, mesh: Optional[Mesh]) -> bool:
 
     if mesh is not None or _jax.default_backend() != "tpu":
         return False
-    n = int(np.prod(shape[1:]))
-    return (pe.pick_tile(n) > 0 and n % 128 == 0) or n >= 65536
+    return pe.preplaced_ok(int(np.prod(shape[1:])))
 
 
 def _preplaced_layout(n: int):
@@ -201,7 +189,7 @@ def _preplaced_layout(n: int):
     N tiles evenly, the padded split-window layout otherwise."""
     from ..ops import pallas_embed as pe
 
-    if pe.pick_tile(n) > 0 and n % 128 == 0:
+    if pe.direct_ok(n):
         return n, pe.preferred_tile(n), 1
     n_buf, tile = pe.padded_flat(n)
     return n_buf, tile, 2
@@ -221,7 +209,7 @@ def _pick_pallas_backend(shape: tuple, nbits: int, mesh: Optional[Mesh]) -> str:
 
     n = int(np.prod(shape[1:]))
     bits_bytes = n * int(shape[0]) * nbits
-    if not (pe.pick_tile(n) > 0 and n % 128 == 0):
+    if not pe.direct_ok(n):
         # odd-N geometries only have the preplaced (padded) route; the
         # windowed kernels need the direct layout
         return "preplaced" if bits_bytes <= _PREPLACED_HBM_CAP else "xla"
@@ -411,6 +399,37 @@ def extract_batch(
 # ---------------------------------------------------------------------------
 
 
+def _batch_quality_reports(images, stego) -> list:
+    """Per-image quality reports from one fused vmapped stats pass."""
+    from ..ops import metrics as metric_ops
+
+    stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
+        jnp.asarray(images), jnp.asarray(stego)
+    )
+    stats_np = {k: np.asarray(v) for k, v in stats.items()}
+    return [
+        metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
+        for i in range(len(stats_np["sum_sqdiff"]))
+    ]
+
+
+def hybrid_base_offsets(images, h: int, w: int, search_block: int) -> list:
+    """Per-image variance-chosen hybrid start offsets from one vmapped
+    tile-popcount pass — shared by the batch planner and the volume encoder
+    (they must never drift: both write the offset into container metadata)."""
+    from ..ops import blocks as block_ops
+
+    counts = np.asarray(
+        jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, search_block))(
+            jnp.asarray(images)
+        )
+    )
+    return [
+        block_ops.best_offset_from_counts(counts[i], h, w, search_block)
+        for i in range(counts.shape[0])
+    ]
+
+
 @dataclass
 class BatchEncodeResult:
     stego: np.ndarray                       # (B, H, W)
@@ -446,16 +465,7 @@ def encode_batch_containers(
             # same per-image quality reports as the raster branch below
             # (advisor finding, round 2: the PEE delegation silently dropped
             # compute_metrics)
-            from ..ops import metrics as metric_ops
-
-            stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
-                jnp.asarray(images), jnp.asarray(r.stego)
-            )
-            stats_np = {k: np.asarray(v) for k, v in stats.items()}
-            metrics = [
-                metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
-                for i in range(len(r.containers))
-            ]
+            metrics = _batch_quality_reports(images, r.stego)
         return BatchEncodeResult(
             stego=r.stego, containers=r.containers, plan=None, metrics=metrics,
         )
@@ -508,16 +518,7 @@ def encode_batch_containers(
 
     metrics = None
     if config.compute_metrics:
-        from ..ops import metrics as metric_ops
-
-        stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
-            imgs_dev, stego_dev
-        )
-        stats_np = {k: np.asarray(v) for k, v in stats.items()}
-        metrics = [
-            metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
-            for i in range(b)
-        ]
+        metrics = _batch_quality_reports(imgs_dev, stego_dev)
     with stage("batch_download"):
         stego = np.asarray(stego_dev)
 

@@ -116,7 +116,7 @@ def probe_capacity_batch(
 
 
 def _run_passes(
-    images: np.ndarray,      # (G, H, W) the subgroup sharing threshold t
+    images,                  # (G, H, W) device (or numpy) subgroup at threshold t
     msgs: np.ndarray,        # (G, Lpad) padded message bits
     want: np.ndarray,        # (G,) int64 payload bits
     t: int,
@@ -131,8 +131,26 @@ def _run_passes(
     wants into the pass kernels (which clamp to capacity themselves,
     saturation convention of ops/pee.py) — so accepted results are
     byte-identical between backends (asserted in tests/test_pallas_pee.py).
+
+    The group is padded to the next power-of-two size with want=0 copies of
+    the first image (sliced off the outputs): kernel jits specialize on the
+    static (group size, T) pair, so heterogeneous batches would otherwise
+    compile a fresh kernel per distinct subgroup size — on the dev tunnel a
+    remote compile costs far more than embedding a few inert pad images.
     """
-    g, h, w = images.shape
+    g = int(np.shape(images)[0])
+    h, w = int(np.shape(images)[1]), int(np.shape(images)[2])
+    g_pad = 1 << max(0, (g - 1).bit_length())
+    imgs_d = jnp.asarray(images)
+    if g_pad != g:
+        reps = g_pad - g
+        imgs_d = jnp.concatenate(
+            [imgs_d, jnp.repeat(imgs_d[:1], reps, axis=0)], axis=0
+        )
+        msgs = np.concatenate(
+            [msgs, np.zeros((reps, msgs.shape[1]), np.uint8)], axis=0
+        )
+        want = np.concatenate([want, np.zeros(reps, want.dtype)])
     want_d = jnp.asarray(want.astype(np.int32))
 
     if use_pallas:
@@ -142,17 +160,17 @@ def _run_passes(
         msg2d, l2 = pp.prep_messages(msgs, n)
         msg2d_d = jax.device_put(jnp.asarray(msg2d))
         if pp.supports(h, w):
-            imgs3 = jnp.asarray(images).reshape(g, n // 128, 128)
+            imgs3 = imgs_d.reshape(g_pad, n // 128, 128)
             buf_w = None
-            back = lambda a3: np.asarray(a3).reshape(g, h, w)
+            back = lambda a3: np.asarray(a3)[:g].reshape(g, h, w)
         else:
             # pad-and-mask route (round-2 verdict #4): the kernels run on a
             # zero-padded buffer while masks/ranks use the logical dims —
             # bit-exact with the oracle, no XLA-path cliff for odd shapes
-            imgs3 = pp.pad_batch(images, h, w)
+            imgs3 = pp.pad_batch(imgs_d, h, w)
             buf_w = pp.padded_geometry(h, w)[1]
-            back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))
-        zero = jnp.zeros(g, jnp.int32)
+            back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))[:g]
+        zero = jnp.zeros(g_pad, jnp.int32)
         s0, o0, u0, n0 = pp.embed_pass_batch(
             imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2,
             buf_w=buf_w,
@@ -162,7 +180,7 @@ def _run_passes(
         if (want1 <= 0).all():
             return (
                 back(s0), back(o0),
-                used0, np.asarray(jnp.maximum(n0, 0)).astype(np.int64),
+                used0[:g], np.asarray(jnp.maximum(n0, 0)).astype(np.int64)[:g],
                 np.zeros(g, np.int64), np.zeros(g, np.int64),
             )
         s1, o1, u1, n1 = pp.embed_pass_batch(
@@ -171,13 +189,13 @@ def _run_passes(
         )
         return (
             back(s1), back(jnp.asarray(o0) | jnp.asarray(o1)),
-            used0, np.asarray(n0).astype(np.int64),
-            np.asarray(u1).astype(np.int64), np.asarray(n1).astype(np.int64),
+            used0[:g], np.asarray(n0).astype(np.int64)[:g],
+            np.asarray(u1).astype(np.int64)[:g],
+            np.asarray(n1).astype(np.int64)[:g],
         )
 
-    imgs_d = jnp.asarray(images)
     msgs_d = jnp.asarray(msgs)
-    if mesh is not None and g % mesh.devices.size == 0:
+    if mesh is not None and g_pad % mesh.devices.size == 0:
         imgs_d = jax.device_put(imgs_d, NamedSharding(mesh, P("dp", None, None)))
         msgs_d = jax.device_put(msgs_d, NamedSharding(mesh, P("dp", None)))
     s0, o0, u0, n0 = jax.vmap(
@@ -189,8 +207,8 @@ def _run_passes(
     want1 = want - used0
     if (want1 <= 0).all():
         return (
-            np.asarray(s0), np.asarray(o0).astype(np.uint8),
-            used0, np.asarray(n0).astype(np.int64),
+            np.asarray(s0)[:g], np.asarray(o0).astype(np.uint8)[:g],
+            used0[:g], np.asarray(n0).astype(np.int64)[:g],
             np.zeros(g, np.int64), np.zeros(g, np.int64),
         )
     s1, o1, u1, n1 = jax.vmap(
@@ -198,10 +216,11 @@ def _run_passes(
     )(s0, msgs_d, jnp.asarray(used0.astype(np.int32)),
       jnp.asarray(np.maximum(want1, 0).astype(np.int32)))
     return (
-        np.asarray(s1),
-        (np.asarray(o0) | np.asarray(o1)).astype(np.uint8),
-        used0, np.asarray(n0).astype(np.int64),
-        np.asarray(u1).astype(np.int64), np.asarray(n1).astype(np.int64),
+        np.asarray(s1)[:g],
+        (np.asarray(o0) | np.asarray(o1)).astype(np.uint8)[:g],
+        used0[:g], np.asarray(n0).astype(np.int64)[:g],
+        np.asarray(u1).astype(np.int64)[:g],
+        np.asarray(n1).astype(np.int64)[:g],
     )
 
 
@@ -274,8 +293,16 @@ def encode_pee_batch(
         next_pending: List[int] = []
         for t in sorted({int(t_img[i]) for i in pending}):
             idxs = [i for i in pending if int(t_img[i]) == t]
+            # reuse the device-resident batch from the histogram pass: a
+            # full-batch group passes it straight through; subgroups slice
+            # ON DEVICE (a host re-upload of the subset costs ~10 MB/s on
+            # the dev link; an HBM gather is free by comparison)
+            if len(idxs) == b:
+                sub_imgs = imgs_dev
+            else:
+                sub_imgs = jnp.take(imgs_dev, jnp.asarray(idxs), axis=0)
             g_stego, g_over, g_u0, g_n0, g_u1, g_n1 = _run_passes(
-                images[idxs], msgs[idxs], want[idxs], t, max_val,
+                sub_imgs, msgs[idxs], want[idxs], t, max_val,
                 use_pallas, mesh,
             )
             for k, i in enumerate(idxs):

@@ -143,20 +143,11 @@ def encode_volume(
 
     if config.strategy == "hybrid":
         # per-slice variance-chosen start offsets (SURVEY hybrid semantics,
-        # defect B4 fixed), from one vmapped tile-popcount pass — mirrors
-        # plan_batch's hybrid branch at the shared global s
-        from ..ops import blocks as block_ops
-
-        sb = config.search_block_size
-        counts = np.asarray(
-            jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, sb))(
-                jnp.asarray(volume)
-            )
+        # defect B4 fixed) — the SAME helper plan_batch uses, so volumes and
+        # batches can never drift on the offset rule
+        base_offsets = batch_par.hybrid_base_offsets(
+            volume, h, w, config.search_block_size
         )
-        base_offsets = [
-            block_ops.best_offset_from_counts(counts[i], h, w, sb)
-            for i in range(d)
-        ]
         align = config.align_across_planes
     else:
         base_offsets = [0] * d
@@ -240,6 +231,29 @@ def _encode_volume_pee(
     # batch encoder's per-slice escalation absorbs anything that still
     # slips through; a second attempt with a harsher discount covers the
     # pathological case.
+    def _try_split(caps_t: np.ndarray):
+        """Contiguous split by per-slice capacities; None if they fall short
+        of the payload, else (result, slice_bits) or None on CapacityError."""
+        if int(caps_t.sum()) < total:
+            return None
+        sb = np.zeros(d, dtype=np.int64)
+        remaining = total
+        for i in range(d):
+            sb[i] = min(remaining, int(caps_t[i]))
+            remaining -= sb[i]
+        chunks = []
+        off = 0
+        for i in range(d):
+            chunks.append(bits[off : off + int(sb[i])])
+            off += int(sb[i])
+        try:
+            return encode_pee_batch(volume, chunks, config, mesh), sb
+        except CapacityError:
+            # only genuine capacity exhaustion re-splits; unrelated
+            # ValueErrors (bad codec, malformed config) propagate
+            # immediately (advisor finding, round 2)
+            return None
+
     r = None
     slice_bits = np.zeros(d, dtype=np.int64)
     for discount in (64, 1024):
@@ -251,24 +265,26 @@ def _encode_volume_pee(
                 break
         if t_split is None:
             continue
-        slice_bits = np.zeros(d, dtype=np.int64)
-        remaining = total
-        for i in range(d):
-            slice_bits[i] = min(remaining, int(caps_d[i, t_split - 1]))
-            remaining -= slice_bits[i]
-        chunks = []
-        off = 0
-        for i in range(d):
-            chunks.append(bits[off : off + int(slice_bits[i])])
-            off += int(slice_bits[i])
-        try:
-            r = encode_pee_batch(volume, chunks, config, mesh)
+        got = _try_split(caps_d[:, t_split - 1])
+        if got is not None:
+            r, slice_bits = got
             break
-        except CapacityError:
-            # only genuine capacity exhaustion re-splits with more slack;
-            # unrelated ValueErrors (bad codec, malformed config) propagate
-            # immediately (advisor finding, round 2)
-            continue
+    if r is None:
+        # near-capacity payloads inside the estimate-error band: fall back
+        # to the EXACT saturated probe (pass-1 capacity measured on the
+        # actual pass-0 stego) before giving up — the histogram split is the
+        # fast path, not the capacity authority
+        from .batch_pee import probe_capacity_batch
+
+        for t in range(max(1, config.pee_threshold), _MAX_T + 1):
+            est = int(caps[:, t - 1].sum())
+            if est + 1024 * d < total:
+                continue  # not worth probing: far below the payload
+            exact = probe_capacity_batch(volume, t, max_val)
+            got = _try_split(np.asarray(exact))
+            if got is not None:
+                r, slice_bits = got
+                break
     if r is None:
         raise CapacityError(
             f"payload of {total} bits exceeds the volume PEE capacity of "

@@ -115,12 +115,13 @@ def _fused_block_embed_step(
 
 def _single_pallas_ok(n: int) -> bool:
     """Whether the single-image raster embed should route through the
-    preplaced Pallas kernels (TPU, geometry direct or padded)."""
+    preplaced Pallas kernels (TPU, geometry direct or padded). The
+    eligibility rule itself lives next to the kernels
+    (``pallas_embed.preplaced_ok``) so this route and the batch planner
+    cannot drift."""
     from .ops import pallas_embed as pe
 
-    return jax.default_backend() == "tpu" and (
-        (pe.pick_tile(n) > 0 and n % 128 == 0) or n >= 65536
-    )
+    return jax.default_backend() == "tpu" and pe.preplaced_ok(n)
 
 
 def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarray:

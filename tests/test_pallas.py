@@ -302,3 +302,29 @@ def test_batch_containers_odd_geometry_roundtrip(rng):
     for i in range(b):
         nb = int(plan.payload_bits[i])
         np.testing.assert_array_equal(bits_pal[i, :nb], np.asarray(payloads[i]))
+
+
+def test_encode_array_preplaced_branch_bit_exact(rng, monkeypatch):
+    """The single-image TPU preplaced route in pipeline.encode_array (gated
+    on jax.default_backend() == 'tpu' in production) must produce the exact
+    container the XLA route produces — forced on CPU under interpret mode so
+    the CPU suite covers the plan1 construction (review finding: the branch
+    had zero CPU coverage and a shape bug would only surface on-chip)."""
+    from codec_tcc_tpu import pipeline
+    from codec_tcc_tpu.config import EncodeConfig
+
+    for h, w in ((64, 128), (50, 100)):      # direct and padded layouts
+        img = rng.integers(0, 4096, size=(h, w)).astype(np.uint16)
+        payload = rng.bytes(200)
+        cfg = EncodeConfig(strategy="hybrid", codec="deflate",
+                          compute_metrics=True)
+        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda n: False)
+        ref = pipeline.encode_array(img, payload, cfg)
+        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda n: True)
+        pal = pipeline.encode_array(img, payload, cfg)
+        assert pal.container == ref.container
+        np.testing.assert_array_equal(pal.stego, ref.stego)
+        assert pal.metrics is not None and "psnr" in pal.metrics
+        dec = pipeline.decode_container(pal.container)
+        assert dec.payload == payload
+        np.testing.assert_array_equal(dec.original, img)

@@ -109,3 +109,25 @@ def test_error_histogram_matches_capacity(torax_image):
         # overflow exclusions (saturated regions of torax.dcm) stay a small
         # fraction of the expandable population
         assert central - cap < 0.05 * central
+
+
+def test_capacity_histogram_exact_at_every_threshold(rng):
+    """capacities_by_threshold(capacity_histogram(img)) == capacity(img, T)
+    for ALL T — the exactness claim the histogram-driven threshold
+    selection rests on (review finding: an off-by-one here would silently
+    inflate every image's T or add escalation embeds without failing any
+    round-trip test)."""
+    cases = [
+        (rng.integers(0, 900, size=(64, 64)).astype(np.uint16), 4095),
+        (rng.integers(0, 256, size=(50, 100)).astype(np.uint8), 255),
+    ]
+    # saturated regions exercise the expansion-overflow exclusion
+    cases[0][0][:8] = 4090
+    cases[1][0][-5:] = 254
+    for img, max_val in cases:
+        for parity in (0, 1):
+            hist = pee_ops.capacity_histogram(img, parity, 128, max_val)
+            caps = pee_ops.capacities_by_threshold(np.asarray(hist))
+            for t in range(1, 129):
+                exact = int(pee_ops.capacity(img, parity, t, max_val))
+                assert caps[t - 1] == exact, (parity, t, caps[t - 1], exact)
