@@ -76,7 +76,12 @@ def main(backend: str = "auto") -> None:
     from codec_tcc_tpu.io import dicom
     from codec_tcc_tpu.parallel import batch as batch_par
 
-    B = 128
+    # B=256: the round-3 dispatch sweep (tools/sweep_dispatch.py) measured a
+    # fixed ~6-8 ms per-dispatch cost on the dev tunnel that dominates small
+    # batches — 512^2 LSB cycles measured 3.2 GPix/s at B=128, 5.5 at B=256,
+    # 8.1 at B=512.  B=256 balances amortization against host prep time
+    # (plan_batch + preplace_bits run on this box's single CPU core).
+    B = 256
     image, _ = dicom.load_image("/root/reference/images/pe.dcm")
     h, w = image.shape
     rng = np.random.default_rng(0)
@@ -257,7 +262,7 @@ def main(backend: str = "auto") -> None:
     print(
         json.dumps(
             {
-                "metric": "embed+extract throughput (512x512 uint16, batch 128)",
+                "metric": "embed+extract throughput (512x512 uint16, batch 256)",
                 "value": round(mpix_per_s, 1),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_per_s / baseline, 2),
@@ -326,10 +331,12 @@ def _bench_big(B: int = 32) -> float:
     return B * h * w / float(np.median(times)) / 1e6
 
 
-def _bench_pee(B: int = 128) -> float:
+def _bench_pee(B: int = 256) -> float:
     """Device PEE cycle (2-pass embed + 2-pass extract) MPix/s — the north
     star's named workload ('PEE ... fuse into Pallas kernels'). Uses the
-    Pallas kernels on TPU, falling back to the XLA ops elsewhere."""
+    Pallas kernels on TPU, falling back to the XLA ops elsewhere. B=256
+    amortizes the dev tunnel's per-dispatch latency (B=128 measured 1.79
+    GPix/s, B=256 2.2 — tools/sweep_dispatch.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -398,9 +405,12 @@ def _bench_pee(B: int = 128) -> float:
     return B * h * w / float(np.median(times)) / 1e6
 
 
-def _bench_pee_big(B: int = 8) -> float:
+def _bench_pee_big(B: int = 32) -> float:
     """PEE cycle on 2048x2048 uint16 images (width-sized halo: the vertical
-    neighbor is 16 pixel-major rows here, vs 4 at 512 wide)."""
+    neighbor is 16 pixel-major rows here, vs 4 at 512 wide). B=32: the
+    dispatch sweep measured 1.5-1.6 GPix/s at B=8, 2.4 at B=16, 3.2 at
+    B=32 — per-dispatch tunnel latency, not the kernels, bounds small
+    batches."""
     import jax
     import jax.numpy as jnp
 
@@ -449,11 +459,13 @@ def _bench_pee_big(B: int = 8) -> float:
     return B * h * w / float(np.median(times)) / 1e6
 
 
-def _bench_pee_odd(B: int = 64, h: int = 640, w: int = 480) -> float:
+def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
     """PEE cycle on an ODD geometry (w % 128 != 0, n % 65536 != 0) through
     the pad-and-mask kernel route — the round-2 verdict's ~40x cliff case
     (such shapes used to fall back to the 43 MPix/s XLA path). Pixels are
-    counted LOGICAL (the padded tail is overhead, not work)."""
+    counted LOGICAL (the padded tail is overhead, not work). B=256
+    amortizes per-dispatch tunnel latency (B=64 measured 0.95-1.09 GPix/s,
+    B=128 1.6, B=256 2.2)."""
     import jax
     import jax.numpy as jnp
 
