@@ -164,6 +164,19 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="per-item <name>_message.txt / _original.dcm")
     bdec.add_argument("--no-restore", action="store_true",
                       help="skip original-image restoration")
+
+    srv = sub.add_parser(
+        "serve",
+        help="warm serving daemon: JSON-lines over a Unix socket (pays "
+             "backend init + jit compiles once, then serves requests from "
+             "the warm cache; one daemon per chip)",
+    )
+    srv.add_argument("--socket", required=True, help="Unix socket path")
+    srv.add_argument("--warmup", default=None, metavar="HxW",
+                     help="encode+decode a synthetic HxW image at startup "
+                          "(e.g. 512x512) so the first request is warm")
+    srv.add_argument("--idle-timeout", type=float, default=None,
+                     help="exit after this many seconds with no connection")
     return p
 
 
@@ -518,17 +531,15 @@ def cmd_encode_batch(args: argparse.Namespace) -> int:
     return 0 if not failed else 1
 
 
-def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
-    """Throughput mode for encode-batch: one fused device dispatch for the
-    whole same-geometry batch (parallel.batch.encode_batch_containers)."""
-    import os as _os
-
-    from .parallel.batch import encode_batch_containers
-
+def load_fused_batch(paths: List[str]):
+    """Load + validate a same-geometry batch for the fused device paths;
+    returns ``(images (B,H,W) stack, bits_stored or None)``. Shared by the
+    CLI ``encode-batch --fused`` path and the serving daemon (serve.py) so
+    the two entries can never drift on the validation rules."""
     images = []
     bits_stored = set()
     n_dicom = 0
-    for path in args.inputs:
+    for path in paths:
         if path.lower().endswith(".dcm"):
             arr, ds = dicom.load_image(path)
             if arr.dtype == np.int16:
@@ -552,14 +563,24 @@ def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
             f"--fused needs a uniform DICOM BitsStored; got "
             f"{sorted(bits_stored)} (drop --fused for mixed batches)"
         )
-    if bits_stored and n_dicom != len(args.inputs):
+    if bits_stored and n_dicom != len(paths):
         raise ValueError(
             "--fused cannot mix DICOM (BitsStored-capped) and non-DICOM "
             "inputs (drop --fused for mixed batches)"
         )
-    bs = bits_stored.pop() if bits_stored else None
+    return np.stack(images), (bits_stored.pop() if bits_stored else None)
+
+
+def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
+    """Throughput mode for encode-batch: one fused device dispatch for the
+    whole same-geometry batch (parallel.batch.encode_batch_containers)."""
+    import os as _os
+
+    from .parallel.batch import encode_batch_containers
+
+    images, bs = load_fused_batch(args.inputs)
     res = encode_batch_containers(
-        np.stack(images), [payload] * len(images), cfg, bits_stored=bs
+        images, [payload] * len(images), cfg, bits_stored=bs
     )
     _os.makedirs(args.output_dir, exist_ok=True)
     print(f"{'INPUT':<32} {'s':<3} {'BYTES':<9}")
@@ -602,6 +623,13 @@ def cmd_decode_batch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from .serve import serve
+
+    return serve(args.socket, warmup=args.warmup,
+                 idle_timeout=args.idle_timeout)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.verbose:
@@ -616,6 +644,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "decode-volume": cmd_decode_volume,
         "encode-batch": cmd_encode_batch,
         "decode-batch": cmd_decode_batch,
+        "serve": cmd_serve,
     }[args.command]
     try:
         return handler(args)
