@@ -98,20 +98,47 @@ def main(backend: str = "auto") -> None:
     nbits = plan.nbits
     n = h * w
     tile = pe.preferred_tile(n)
+    use_packed = (
+        backend in ("auto", "packed")
+        and jax.default_backend() == "tpu" and n % 128 == 0
+    )
+    # each failed tier falls back one step in-process:
+    # packed -> preplaced -> windowed -> XLA (~717)
     use_preplaced = (
-        backend in ("auto", "preplaced")
+        backend in ("auto", "packed", "preplaced")
         and jax.default_backend() == "tpu" and tile > 0
     )
-    # a failed preplaced attempt falls back to the windowed kernels first
-    # (~2500 MPix/s), never straight to XLA (~717)
     use_pallas = (
-        backend in ("auto", "preplaced", "pallas")
+        backend in ("auto", "packed", "preplaced", "pallas")
         and jax.default_backend() == "tpu" and tile > 0
     )
 
     starts_d = jax.device_put(jnp.asarray(plan.starts))
     lengths_d = jax.device_put(jnp.asarray(plan.lengths))
     offsets_d = jax.device_put(jnp.asarray(plan.offsets))
+
+    def build_packed():
+        # fastest tier (round 3): all NP plane windows folded into per-pixel
+        # clear/value words on host, so embed is (img & ~clear) | value and
+        # extract is a masked narrowing copy — XLA fuses both to single
+        # HBM-bound sweeps (~94 GPix/s marginal rate on v5e: hardware
+        # speed-of-light; no Mosaic kernel needed once the structure is
+        # preplaced)
+        clear3, value3 = pe.preplace_packed(
+            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        )
+        imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
+        cl_d = jax.device_put(jnp.asarray(clear3))
+        vl_d = jax.device_put(jnp.asarray(value3))
+
+        @jax.jit
+        def cycle(im, cl, vl, st, ln, of):
+            stego = pe.embed_batch_packed(im, cl, vl)
+            packed = pe.extract_packed_batch(stego, nbits)
+            return stego, jnp.sum(packed, dtype=jnp.int32)
+
+        args = (imgs_d, cl_d, vl_d, starts_d, lengths_d, offsets_d)
+        return cycle, args
 
     def build_preplaced():
         # fastest path: plane bits at raster positions (host prep), kernels
@@ -174,7 +201,18 @@ def main(backend: str = "auto") -> None:
     fallbacks = []
     ran_backend = None
     cycle = None
-    if use_preplaced:
+    if use_packed:
+        try:
+            cycle, args = build_packed()
+            stego, chk = cycle(*args)
+            jax.block_until_ready((stego, chk))
+            ran_backend = "packed"
+        except Exception as exc:
+            fallbacks.append(f"packed: {type(exc).__name__}: {exc}"[:200])
+            print(f"packed path failed ({type(exc).__name__}); "
+                  f"falling back", file=_sys.stderr)
+            cycle = None
+    if cycle is None and use_preplaced:
         try:
             cycle, args = build_preplaced()
             stego, chk = cycle(*args)
@@ -273,62 +311,83 @@ def main(backend: str = "auto") -> None:
     )
 
 
-def _bench_big(B: int = 32) -> float:
-    """Large-image scaling check: the preplaced LSB cycle on 2048x2048
-    uint16 images (16x the headline's pixel count per image). B=32: the
-    round-3 dispatch-size experiment showed throughput is governed by total
-    pixels per dispatch (B=8 measured 2.3 GPix/s, B=32 4.15 — the round-2
-    "2048 trails the headline" gap was batch amortization, not the
-    kernels)."""
+def _bench_lsb(B: int = 256, tier: str = "packed", h: int = 512,
+               w: int = 512, payload_bits: int = 100_000) -> float:
+    """Parameterized LSB embed+extract cycle (the sweep tool's workhorse;
+    main() keeps its own inline copy of the packed tier for the headline).
+    ``tier``: 'packed' (clear/value words, fused XLA — HBM speed-of-light)
+    or 'preplaced' (per-plane bit tensor, Mosaic kernels)."""
     import jax
     import jax.numpy as jnp
 
     from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.io import dicom
     from codec_tcc_tpu.ops import pallas_embed as pe
     from codec_tcc_tpu.parallel import batch as batch_par
 
     if jax.default_backend() != "tpu":
         raise RuntimeError("TPU only")
-    from codec_tcc_tpu.io import dicom
-
-    h = w = 2048
     n = h * w
     rng = np.random.default_rng(3)
-    # pe.dcm content tiled 4x4: same pixel statistics as the headline, so
-    # the decomposition picks the same plane count (random 12-bit noise gave
-    # s=5 -> an 8-plane kernel unroll, which made the round-2 "2048 trails
-    # the headline" comparison apples-to-oranges)
+    # pe.dcm content (tiled if needed): same pixel statistics as the
+    # headline so the decomposition picks the same plane count (random
+    # 12-bit noise gives s=5 -> an 8-plane unroll, apples-to-oranges)
     base, _ = dicom.load_image("/root/reference/images/pe.dcm")
-    big = np.tile(base, (4, 4))
+    reps = (h + base.shape[0] - 1) // base.shape[0]
+    big = np.tile(base, (reps, reps))[:h, :w]
     imgs = np.broadcast_to(big, (B, h, w)).copy()
     imgs ^= rng.integers(0, 2, size=imgs.shape).astype(np.uint16)
-    payloads = [rng.integers(0, 2, size=1_000_000).astype(np.uint8)
+    payloads = [rng.integers(0, 2, size=payload_bits).astype(np.uint8)
                 for _ in range(B)]
     plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
-    tile = pe.preferred_tile(n)
-    bits4 = pe.preplace_bits(plan.msgs, plan.starts, plan.lengths,
-                             plan.offsets, n)
     imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-    bits_d = jax.device_put(jnp.asarray(bits4))
-    st_d = jax.device_put(jnp.asarray(plan.starts))
-    ln_d = jax.device_put(jnp.asarray(plan.lengths))
 
-    @jax.jit
-    def cycle(im, bt, st, ln):
-        stego = pe.embed_batch_preplaced(im, bt, st, ln, plan.nbits, tile)
-        rows = pe.extract_raster_batch(stego, st, ln, plan.nbits, tile)
-        return stego, jnp.sum(rows, dtype=jnp.int32)
+    if tier == "packed":
+        clear3, value3 = pe.preplace_packed(
+            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        )
+        cl_d = jax.device_put(jnp.asarray(clear3))
+        vl_d = jax.device_put(jnp.asarray(value3))
 
-    out = cycle(imgs_d, bits_d, st_d, ln_d)
+        @jax.jit
+        def cycle():
+            stego = pe.embed_batch_packed(imgs_d, cl_d, vl_d)
+            packed = pe.extract_packed_batch(stego, plan.nbits)
+            return stego, jnp.sum(packed, dtype=jnp.int32)
+    elif tier == "preplaced":
+        tile = pe.preferred_tile(n)
+        bits4 = pe.preplace_bits(plan.msgs, plan.starts, plan.lengths,
+                                 plan.offsets, n)
+        bits_d = jax.device_put(jnp.asarray(bits4))
+        st_d = jax.device_put(jnp.asarray(plan.starts))
+        ln_d = jax.device_put(jnp.asarray(plan.lengths))
+
+        @jax.jit
+        def cycle():
+            stego = pe.embed_batch_preplaced(
+                imgs_d, bits_d, st_d, ln_d, plan.nbits, tile)
+            rows = pe.extract_raster_batch(stego, st_d, ln_d, plan.nbits, tile)
+            return stego, jnp.sum(rows, dtype=jnp.int32)
+    else:
+        raise ValueError(f"unknown tier {tier!r}")
+
+    out = cycle()
     jax.block_until_ready(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
-            out = cycle(imgs_d, bits_d, st_d, ln_d)
+            out = cycle()
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / 2)
-    return B * h * w / float(np.median(times)) / 1e6
+    return B * n / float(np.median(times)) / 1e6
+
+
+def _bench_big(B: int = 32) -> float:
+    """Large-image scaling check: the packed LSB cycle on 2048x2048 uint16
+    images (16x the headline's pixel count per image; 1 Mbit payloads).
+    B=32 = 134 MPix per dispatch, matching the headline's amortization."""
+    return _bench_lsb(B, "packed", 2048, 2048, payload_bits=1_000_000)
 
 
 def _bench_pee(B: int = 256) -> float:
@@ -614,7 +673,7 @@ def _orchestrate() -> int:
     import sys
 
     attempts = []
-    for backend in ("preplaced", "preplaced", "pallas", "xla"):
+    for backend in ("packed", "packed", "preplaced", "xla"):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker", backend],

@@ -52,6 +52,12 @@ __all__ = [
     "preferred_tile",
     "preplace_bits",
     "preplace_bits_device",
+    "preplace_packed",
+    "preplace_packed_device",
+    "embed_batch_packed",
+    "extract_packed_batch",
+    "unpack_rows_device",
+    "assemble_raster_packed",
     "embed_batch_preplaced",
     "extract_raster_batch",
     "assemble_raster",
@@ -558,6 +564,159 @@ def preplace_bits_device(
 
     out = jax.vmap(one)(msgs_p, starts, lens, offs)
     return out.reshape(b, np_planes, n_buf // _LANE, _LANE)
+
+
+def preplace_packed(
+    msgs: np.ndarray,        # (B, Lpad) uint8 padded messages
+    starts: np.ndarray,      # (B, NP) int32
+    lens: np.ndarray,
+    offs: np.ndarray,
+    n_pixels: int,
+    dtype=np.uint16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host prep for the PACKED preplaced tier: fold all NP plane windows
+    into two per-pixel words — ``clear[pos] = OR of (1<<p)`` over planes
+    whose window covers ``pos``, ``value[pos] = OR of (bit<<p)`` — so the
+    device embed collapses to ``(img & ~clear) | value``: two vector ops
+    per pixel instead of ~8 x NP window-mask ops. Same bytes of HBM as the
+    per-plane bit tensor at NP=16, LESS below it; the per-plane loop that
+    the preplaced kernels still ran per tile moves entirely into this prep.
+    Returns ``(clear, value)`` as ``(B, n/128, 128)`` arrays of ``dtype``.
+    """
+    b, np_planes = starts.shape
+    clear = np.zeros((b, n_pixels), dtype=dtype)
+    value = np.zeros((b, n_pixels), dtype=dtype)
+    for i in range(b):
+        for p in range(np_planes):
+            ln = int(lens[i, p])
+            if ln <= 0:
+                continue
+            st = int(starts[i, p]) % n_pixels
+            off = int(offs[i, p])
+            seg = msgs[i, off : off + ln].astype(dtype)
+            k = min(ln, n_pixels - st)
+            clear[i, st : st + k] |= dtype(1 << p)
+            value[i, st : st + k] |= seg[:k] << p
+            if ln > k:
+                clear[i, : ln - k] |= dtype(1 << p)
+                value[i, : ln - k] |= seg[k:] << p
+    shape3 = (b, n_pixels // _LANE, _LANE)
+    return clear.reshape(shape3), value.reshape(shape3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pixels", "np_planes", "n_buf", "dtype")
+)
+def preplace_packed_device(
+    msgs: jax.Array,         # (B, Lpad) uint8 padded messages (device)
+    starts: jax.Array,       # (B, NP) int32
+    lens: jax.Array,
+    offs: jax.Array,
+    n_pixels: int,
+    np_planes: int,
+    n_buf: int = 0,
+    dtype=jnp.uint16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-side :func:`preplace_packed`: builds the ``(B, n/128, 128)``
+    clear/value word pair from the COMPACT message rows so only ``B x Lpad``
+    bytes cross the host link (serving-path requirement — the host variant
+    ships 2 words/pixel). Same window math as :func:`preplace_bits_device`,
+    folded across planes: ``clear |= covered << p``, ``value |= bit << p``.
+
+    ``n_buf`` (>= n_pixels, a multiple of 128) zero-pads to a reshapeable
+    flat length; the padded tail gets ``clear = value = 0``, so the fused
+    embed leaves padded pixels untouched — the odd-N route needs no
+    split-window bookkeeping here because the wrap stays logical (mod
+    n_pixels) inside this prep."""
+    b, lpad = msgs.shape
+    n_buf = n_buf or n_pixels
+    msgs_p = jnp.pad(msgs, ((0, 0), (0, n_pixels)))  # slice bound: off <= Lpad
+
+    def one(msg, st, ln, of):
+        pos = jnp.arange(n_pixels, dtype=jnp.int32)
+        clear = jnp.zeros(n_pixels, dtype=dtype)
+        value = jnp.zeros(n_pixels, dtype=dtype)
+        for p in range(np_planes):
+            seg = jax.lax.dynamic_slice(msg, (of[p],), (n_pixels,))
+            row = jnp.roll(seg, st[p])              # seg[j] -> raster st+j
+            rel = jnp.mod(pos - st[p], n_pixels)
+            covered = rel < ln[p]
+            clear = clear | (covered.astype(dtype) << p)
+            value = value | (jnp.where(covered, row, 0).astype(dtype) << p)
+        if n_buf != n_pixels:
+            clear = jnp.pad(clear, (0, n_buf - n_pixels))
+            value = jnp.pad(value, (0, n_buf - n_pixels))
+        return clear, value
+
+    clear, value = jax.vmap(one)(msgs_p, starts, lens, offs)
+    shape3 = (b, n_buf // _LANE, _LANE)
+    return clear.reshape(shape3), value.reshape(shape3)
+
+
+@jax.jit
+def embed_batch_packed(
+    images3: jax.Array,      # (B, N/128, 128) uint8/uint16
+    clear3: jax.Array,       # (B, N/128, 128) same dtype (preplace_packed)
+    value3: jax.Array,
+) -> jax.Array:
+    """Packed-preplaced embed: one fused elementwise pass. With the window
+    structure folded into ``clear``/``value`` by :func:`preplace_packed`,
+    there is nothing left for a hand-written kernel to do — XLA fuses this
+    to a single HBM-bound sweep (no Mosaic needed), which is exactly the
+    speed-of-light shape for the op."""
+    return (images3 & ~clear3) | value3
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes",))
+def extract_packed_batch(stego3: jax.Array, np_planes: int) -> jax.Array:
+    """Packed extraction: the embedded planes ARE the low ``np_planes`` bits
+    of each stego word, so the device side is one masked narrowing copy —
+    ``(B, N/128, 128) uint8`` with plane p at bit p. Window selection
+    happens in :func:`assemble_raster_packed` (host) or its device twin,
+    which only ever read window ranges, so no in-kernel masking is needed.
+    Writes 1 byte/pixel instead of the per-plane tier's NP bytes."""
+    mask = jnp.array((1 << np_planes) - 1, dtype=stego3.dtype)
+    return (stego3 & mask).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("np_planes",))
+def unpack_rows_device(packed: jax.Array, np_planes: int) -> jax.Array:
+    """(B, N) packed low-bit bytes (:func:`extract_packed_batch` output,
+    flattened) -> (B, NP, N) raster-order plane rows — the input shape of
+    :func:`codec_tcc_tpu.ops.embed.assemble_raster_device`, so the packed
+    serving path reuses the existing device assembly and only the payload
+    crosses the host link."""
+    sh = jnp.arange(np_planes, dtype=packed.dtype).reshape(1, np_planes, 1)
+    return ((packed[:, None, :] >> sh) & 1).astype(jnp.uint8)
+
+
+def assemble_raster_packed(packed, starts, lens, offs, out_len: int) -> np.ndarray:
+    """Host back half for :func:`extract_packed_batch`: per plane, shift the
+    packed byte window down and mask — touches only window bytes.
+    ``packed`` is (N,)/(nr,128) or (B, ...) with per-image parameters."""
+    packed = np.asarray(packed)
+    if packed.ndim == 3 or (packed.ndim == 2 and packed.shape[-1] == _LANE):
+        packed = packed.reshape(*packed.shape[:-2], -1)
+    if packed.ndim == 2:
+        return np.stack([
+            assemble_raster_packed(packed[i], starts[i], lens[i], offs[i],
+                                   out_len)
+            for i in range(packed.shape[0])
+        ])
+    n = packed.shape[0]
+    out = np.zeros(out_len, dtype=np.uint8)
+    for p in range(len(starts)):
+        ln = int(lens[p])
+        off = int(offs[p])
+        if ln <= 0 or off >= out_len:
+            continue
+        ln = min(ln, out_len - off)
+        st = int(starts[p]) % n
+        k = min(ln, n - st)
+        out[off : off + k] = (packed[st : st + k] >> p) & 1
+        if ln > k:
+            out[off + k : off + ln] = (packed[: ln - k] >> p) & 1
+    return out
 
 
 def direct_ok(n: int) -> bool:

@@ -208,6 +208,65 @@ def test_preplaced_cycle_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_cycle_matches_xla(rng):
+    """The PACKED preplaced tier (clear/value words, pure fused XLA — no
+    Mosaic) is bit-exact with the XLA path: stego identical, and the packed
+    low-bits extraction + shift-on-assembly reproduces the message."""
+    nbits = 4
+    imgs, msgs, starts, lens, offs, svals = _random_case(rng, nbits=nbits)
+    b, h, w = imgs.shape
+    n = h * w
+    st_ref, al_ref = _xla_reference(imgs, msgs, starts, lens, offs, svals, nbits)
+
+    clear3, value3 = pe.preplace_packed(msgs, starts, lens, offs, n)
+    st = np.asarray(
+        pe.embed_batch_packed(
+            jnp.asarray(imgs).reshape(b, n // 128, 128),
+            jnp.asarray(clear3), jnp.asarray(value3),
+        )
+    ).reshape(b, h, w)
+    np.testing.assert_array_equal(st, st_ref)
+
+    packed = pe.extract_packed_batch(
+        jnp.asarray(st).reshape(b, n // 128, 128), nbits
+    )
+    out_len = msgs.shape[1]
+    got = pe.assemble_raster_packed(packed, starts, lens, offs, out_len)
+    from codec_tcc_tpu.ops import embed as _embed
+    want = _embed.assemble_message(al_ref, offs, lens, out_len)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_wraparound_plane(rng):
+    """Wrap-past-raster-end windows split into two ranges on both the
+    packed preplace and packed assembly sides."""
+    nbits, b, h, w = 4, 1, 32, 128
+    n = h * w
+    imgs = rng.integers(0, 4096, (b, h, w)).astype(np.uint16)
+    starts = np.array([[n - 100, 50, 0, 0]], np.int32)
+    lens = np.array([[300, 200, 0, 0]], np.int32)   # plane 0 wraps by 200
+    offs = np.array([[0, 300, 0, 0]], np.int32)
+    payload = rng.integers(0, 2, 500).astype(np.uint8)
+    # embed's contract: Lpad >= max(msg_off) + H*W (dynamic_slice clamps
+    # otherwise), so the buffer must exceed 300 + 4096
+    msgs = np.zeros((b, 1 << 13), np.uint8)
+    msgs[0, :500] = payload
+
+    clear3, value3 = pe.preplace_packed(msgs, starts, lens, offs, n)
+    st = np.asarray(pe.embed_batch_packed(
+        jnp.asarray(imgs).reshape(b, n // 128, 128),
+        jnp.asarray(clear3), jnp.asarray(value3),
+    )).reshape(b, h, w)
+    ref = np.asarray(embed_ops.embed(
+        imgs[0], msgs[0], starts[0], lens[0], offs[0], np.int32(2), nbits))
+    np.testing.assert_array_equal(st[0], ref)
+
+    packed = pe.extract_packed_batch(
+        jnp.asarray(st).reshape(b, n // 128, 128), nbits)
+    got = pe.assemble_raster_packed(packed[0], starts[0], lens[0], offs[0], 500)
+    np.testing.assert_array_equal(got, payload)
+
+
 def test_preplaced_wraparound_plane(rng):
     """A window that wraps past the raster end splits into two host memcpys
     on both the preplace and assemble sides."""

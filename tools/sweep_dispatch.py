@@ -33,7 +33,11 @@ import bench  # noqa: E402
 
 def run() -> None:
     cases = [
-        ("lsb_2048", bench._bench_big, (8, 16, 32)),
+        ("lsb_512_packed",
+         lambda b: bench._bench_lsb(b, "packed"), (128, 256, 512)),
+        ("lsb_512_preplaced",
+         lambda b: bench._bench_lsb(b, "preplaced"), (128, 256, 512)),
+        ("lsb_2048_packed", bench._bench_big, (8, 16, 32)),
         ("pee_512", bench._bench_pee, (64, 128, 256)),
         ("pee_2048", bench._bench_pee_big, (8, 16, 32)),
         ("pee_odd_640x480", bench._bench_pee_odd, (64, 128, 256)),
