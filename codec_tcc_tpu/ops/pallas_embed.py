@@ -671,12 +671,15 @@ def embed_batch_packed(
 def extract_packed_batch(stego3: jax.Array, np_planes: int) -> jax.Array:
     """Packed extraction: the embedded planes ARE the low ``np_planes`` bits
     of each stego word, so the device side is one masked narrowing copy —
-    ``(B, N/128, 128) uint8`` with plane p at bit p. Window selection
-    happens in :func:`assemble_raster_packed` (host) or its device twin,
+    ``(B, N/128, 128)`` with plane p at bit p, narrowed to uint8 when
+    ``np_planes <= 8`` (uint16 keeps planes 8+ for deep cut points — a
+    blind uint8 narrowing silently dropped them). Window selection happens
+    in :func:`assemble_raster_packed` (host) or :func:`unpack_rows_device`,
     which only ever read window ranges, so no in-kernel masking is needed.
-    Writes 1 byte/pixel instead of the per-plane tier's NP bytes."""
+    Writes 1-2 bytes/pixel instead of the per-plane tier's NP bytes."""
     mask = jnp.array((1 << np_planes) - 1, dtype=stego3.dtype)
-    return (stego3 & mask).astype(jnp.uint8)
+    out_dtype = jnp.uint8 if np_planes <= 8 else jnp.uint16
+    return (stego3 & mask).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("np_planes",))

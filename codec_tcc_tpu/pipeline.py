@@ -115,13 +115,11 @@ def _fused_block_embed_step(
 
 def _single_pallas_ok(n: int) -> bool:
     """Whether the single-image raster embed should route through the
-    preplaced Pallas kernels (TPU, geometry direct or padded). The
-    eligibility rule itself lives next to the kernels
-    (``pallas_embed.preplaced_ok``) so this route and the batch planner
-    cannot drift."""
-    from .ops import pallas_embed as pe
-
-    return jax.default_backend() == "tpu" and pe.preplaced_ok(n)
+    batch fast tiers (``parallel.batch._pick_pallas_backend``: packed ->
+    preplaced -> windowed). The packed tier (round 3) takes ANY geometry
+    via pad-to-128, so on TPU the answer is simply yes; off-TPU the fused
+    XLA step keeps its one-dispatch stats advantage."""
+    return jax.default_backend() == "tpu"
 
 
 def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarray:
@@ -249,11 +247,12 @@ def encode_array(
                 config.compute_metrics,
             )
         elif _single_pallas_ok(n):
-            # TPU raster route through the preplaced Pallas kernels: ships
-            # only the payload-covering message prefix instead of the XLA
-            # formulation's off+N-sized buffer (~0.5 MB/image on the dev
-            # link), and runs the faster kernel. Bit-exact with the XLA
-            # path (tests/test_pallas.py).
+            # TPU raster route through the batch fast tiers (packed ->
+            # preplaced): ships only the payload-covering message prefix
+            # instead of the XLA formulation's off+N-sized buffer
+            # (~0.5 MB/image on the dev link), and runs the fastest
+            # eligible kernel. Bit-exact with the XLA path
+            # (tests/test_pallas.py).
             from .parallel import batch as batch_par
 
             plan1 = batch_par.BatchPlan(
@@ -264,7 +263,7 @@ def encode_array(
                 nbits=kernel_bits, lpad=msg_pad.size,
             )
             stego_dev = batch_par.encode_batch(
-                image_dev[None], plan1, backend="preplaced"
+                image_dev[None], plan1, backend="auto"
             )[0]
             stats = (
                 metric_ops.pair_stats(image_dev, stego_dev)

@@ -237,6 +237,69 @@ def test_packed_cycle_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_deep_planes_extract(rng):
+    """Cut points past 8 planes: the packed extraction must keep bits 8+
+    (a blind uint8 narrowing dropped them — caught by the sharded volume
+    roundtrip, s=10)."""
+    nbits, b, h, w = 16, 1, 32, 128
+    n = h * w
+    imgs = rng.integers(0, 65536, (b, h, w)).astype(np.uint16)
+    starts = np.zeros((b, nbits), np.int32)
+    lens = np.zeros((b, nbits), np.int32)
+    offs = np.zeros((b, nbits), np.int32)
+    starts[0, 8], lens[0, 8], offs[0, 8] = 100, 300, 0
+    starts[0, 9], lens[0, 9], offs[0, 9] = 2000, 200, 300
+    payload = rng.integers(0, 2, 500).astype(np.uint8)
+    msgs = np.zeros((b, 1 << 13), np.uint8)
+    msgs[0, :500] = payload
+
+    clear3, value3 = pe.preplace_packed(msgs, starts, lens, offs, n)
+    st3 = pe.embed_batch_packed(
+        jnp.asarray(imgs).reshape(b, n // 128, 128),
+        jnp.asarray(clear3), jnp.asarray(value3),
+    )
+    packed = pe.extract_packed_batch(st3, nbits)
+    assert np.asarray(packed).dtype == np.uint16
+    got = pe.assemble_raster_packed(packed[0], starts[0], lens[0], offs[0], 500)
+    np.testing.assert_array_equal(got, payload)
+    rows = pe.unpack_rows_device(
+        jnp.asarray(packed).reshape(b, n), nbits)
+    got_d = np.asarray(embed_ops.assemble_raster_device(
+        rows, jnp.asarray(starts), jnp.asarray(offs), jnp.asarray(lens), 512,
+    ))[0, :500]
+    np.testing.assert_array_equal(got_d, payload)
+
+
+def test_preplace_packed_device_matches_host(rng):
+    """The device-side packed preplacement (the serving path's — only the
+    compact messages cross the host link) equals the host variant exactly,
+    and the unpacked rows match per-plane extraction semantics."""
+    nbits = 4
+    imgs, msgs, starts, lens, offs, svals = _random_case(rng, nbits=nbits)
+    b, h, w = imgs.shape
+    n = h * w
+    cl_h, vl_h = pe.preplace_packed(msgs, starts, lens, offs, n)
+    cl_d, vl_d = pe.preplace_packed_device(
+        jnp.asarray(msgs), jnp.asarray(starts), jnp.asarray(lens),
+        jnp.asarray(offs), n, nbits,
+    )
+    np.testing.assert_array_equal(np.asarray(cl_d), cl_h)
+    np.testing.assert_array_equal(np.asarray(vl_d), vl_h)
+
+    # padded (odd-N style) variant: tail must be identically zero so the
+    # fused embed leaves padded pixels untouched
+    n_buf = n + 128
+    cl_p, vl_p = pe.preplace_packed_device(
+        jnp.asarray(msgs), jnp.asarray(starts), jnp.asarray(lens),
+        jnp.asarray(offs), n, nbits, n_buf,
+    )
+    cl_p = np.asarray(cl_p).reshape(b, n_buf)
+    vl_p = np.asarray(vl_p).reshape(b, n_buf)
+    np.testing.assert_array_equal(cl_p[:, :n], cl_h.reshape(b, n))
+    np.testing.assert_array_equal(vl_p[:, :n], vl_h.reshape(b, n))
+    assert not cl_p[:, n:].any() and not vl_p[:, n:].any()
+
+
 def test_packed_wraparound_plane(rng):
     """Wrap-past-raster-end windows split into two ranges on both the
     packed preplace and packed assembly sides."""

@@ -68,6 +68,50 @@ def test_batch_encode_extract_sharded(mesh8, rng):
         np.testing.assert_array_equal(bits[i, :nb], payloads[i])
 
 
+@pytest.mark.parametrize("h,w", [(64, 64), (100, 100)])
+def test_batch_packed_backend_matches_xla(rng, h, w):
+    """The 'packed' serving backend (round 3: plane windows folded into
+    clear/value words on device, one fused embed sweep) is bit-exact with
+    the XLA path on even and odd (pad-to-128) geometries, and its extract
+    round-trips every payload."""
+    b = 4
+    imgs = rng.integers(0, 837, size=(b, h, w)).astype(np.uint16)
+    payloads = [
+        rng.integers(0, 2, size=int(k)).astype(np.uint8)
+        for k in rng.integers(10, 900, size=b)
+    ]
+    plan = batch_par.plan_batch(
+        imgs, payloads, EncodeConfig(beta=0.4, strategy="hybrid")
+    )
+    ref = np.asarray(batch_par.encode_batch(imgs, plan, backend="xla"))
+    got = np.asarray(batch_par.encode_batch(imgs, plan, backend="packed"))
+    np.testing.assert_array_equal(got, ref)
+    bits = batch_par.extract_batch(got, plan, backend="packed")
+    for i in range(b):
+        nb = int(plan.payload_bits[i])
+        np.testing.assert_array_equal(bits[i, :nb], payloads[i])
+
+
+def test_batch_packed_sharded_matches_unsharded(mesh8, rng):
+    """The packed tier under a dp mesh (elementwise XLA, sharded with zero
+    collectives) equals the unsharded packed result, and sharded extract
+    round-trips."""
+    b = 8
+    imgs = _make_batch(rng, b=b)
+    payloads = [
+        rng.integers(0, 2, size=int(k)).astype(np.uint8)
+        for k in rng.integers(10, 700, size=b)
+    ]
+    plan = batch_par.plan_batch(imgs, payloads)
+    ref = np.asarray(batch_par.encode_batch(imgs, plan, None, backend="packed"))
+    got = np.asarray(batch_par.encode_batch(imgs, plan, mesh8, backend="packed"))
+    np.testing.assert_array_equal(got, ref)
+    bits = batch_par.extract_batch(got, plan, mesh8, backend="packed")
+    for i in range(b):
+        nb = int(plan.payload_bits[i])
+        np.testing.assert_array_equal(bits[i, :nb], payloads[i])
+
+
 def test_batch_unsharded_equals_sharded(mesh8, rng):
     imgs = _make_batch(rng, b=8, dtype=np.uint8, hi=256)
     payloads = [rng.integers(0, 2, size=300).astype(np.uint8)] * 8
