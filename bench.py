@@ -68,13 +68,72 @@ def _probe_contention() -> list:
     return rows
 
 
+def _ship_bits(msgs: np.ndarray):
+    """Upload message BITS 8x packed and unpack on device: the dev tunnel's
+    relay degrades to single-digit MB/s at times, and a 0/1 uint8 tensor is
+    87% dead weight on the wire. Returns a device (B, L) uint8 array equal
+    to ``msgs``."""
+    import jax
+    import jax.numpy as jnp
+
+    b, l = msgs.shape
+    lp = (l + 7) // 8 * 8
+    padded = msgs if lp == l else np.pad(msgs, ((0, 0), (0, lp - l)))
+    pk = jax.device_put(jnp.asarray(np.packbits(padded, axis=1)))
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = ((pk[:, :, None] >> shifts) & 1).astype(jnp.uint8).reshape(b, lp)
+    return bits[:, :l]
+
+
+def _tile_plan(plan1, payloads, B: int):
+    """Replicate a single-image BatchPlan across ``B`` images that share its
+    pixel statistics, with per-image payload contents. plan rows are pure
+    window geometry and msgs rows are raw payload bits (plan_batch), so the
+    tiled plan is exactly what plan_batch(B images) would produce — without
+    plan_batch's B-image histogram pass (a ~67 MB device round-trip for
+    uint16 batches that a degraded tunnel turns into minutes)."""
+    from codec_tcc_tpu.parallel.batch import BatchPlan
+
+    pb = int(plan1.payload_bits[0])
+    msgs = np.zeros((B, plan1.lpad), np.uint8)
+    for i, p in enumerate(payloads):
+        msgs[i, : p.size] = p
+    return BatchPlan(
+        s=np.repeat(plan1.s, B),
+        starts=np.tile(plan1.starts, (B, 1)),
+        lengths=np.tile(plan1.lengths, (B, 1)),
+        offsets=np.tile(plan1.offsets, (B, 1)),
+        msgs=msgs,
+        payload_bits=np.full(B, pb, np.int64),
+        nbits=plan1.nbits, lpad=plan1.lpad,
+    )
+
+
 def main(backend: str = "auto") -> None:
+    t_start = time.perf_counter()
+    import sys as _sys
+
+    hl_stage = {}
+    _hl_t = [t_start]
+
+    def _hl(name: str) -> None:
+        """Headline-phase sub-stage wall clock (stderr + artifact): remote
+        compiles over the dev tunnel can each eat minutes, and the round-3
+        649 s headline phase was otherwise unattributable."""
+        now = time.perf_counter()
+        hl_stage[name] = round(now - _hl_t[0], 1)
+        _hl_t[0] = now
+        print(f"[bench] headline/{name}: {hl_stage[name]}s",
+              file=_sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
     from codec_tcc_tpu.config import EncodeConfig
     from codec_tcc_tpu.io import dicom
     from codec_tcc_tpu.parallel import batch as batch_par
+
+    _hl("imports")
 
     # B=256: the round-3 dispatch sweep (tools/sweep_dispatch.py) measured a
     # fixed ~6-8 ms per-dispatch cost on the dev tunnel that dominates small
@@ -85,18 +144,32 @@ def main(backend: str = "auto") -> None:
     image, _ = dicom.load_image("/root/reference/images/pe.dcm")
     h, w = image.shape
     rng = np.random.default_rng(0)
-    imgs = np.broadcast_to(image, (B, h, w)).copy()
-    # vary the LSBs so no degenerate constant-batch optimization applies
-    imgs ^= rng.integers(0, 2, size=imgs.shape).astype(np.uint16)
+    # Plan on ONE LSB-noised image and tile: every batch image shares its
+    # pixel statistics, so the tiled plan equals plan_batch(B images) while
+    # moving ~500 KB over the link instead of the B-image histogram pass.
+    img0 = image ^ rng.integers(0, 2, size=image.shape).astype(np.uint16)
     payloads = [rng.integers(0, 2, size=100_000).astype(np.uint8) for _ in range(B)]
-
-    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
+    plan1 = batch_par.plan_batch(img0[None], payloads[:1], EncodeConfig(beta=0.4))
+    plan = _tile_plan(plan1, payloads, B)
+    _hl("plan")
 
     from codec_tcc_tpu.ops import embed as embed_ops
     from codec_tcc_tpu.ops import pallas_embed as pe
 
     nbits = plan.nbits
     n = h * w
+    # batch images are BUILT ON DEVICE (base upload + per-image device-RNG
+    # LSB noise so no degenerate constant-batch optimization applies): the
+    # host-built batch was 134 MB of device_put, minutes on a degraded link
+    base_d = jax.device_put(jnp.asarray(image))
+    noise = jax.jit(
+        lambda k: jax.random.bits(k, (B, h, w), dtype=jnp.uint16) & 1
+    )(jax.random.PRNGKey(0))
+    imgs_dev3 = jax.jit(
+        lambda bs, nz: (bs[None] ^ nz).reshape(B, n // 128, 128)
+    )(base_d, noise)
+    jax.block_until_ready(imgs_dev3)
+    _hl("batch_build")
     tile = pe.preferred_tile(n)
     use_packed = (
         backend in ("auto", "packed")
@@ -119,17 +192,15 @@ def main(backend: str = "auto") -> None:
 
     def build_packed():
         # fastest tier (round 3): all NP plane windows folded into per-pixel
-        # clear/value words on host, so embed is (img & ~clear) | value and
-        # extract is a masked narrowing copy — XLA fuses both to single
-        # HBM-bound sweeps (~94 GPix/s marginal rate on v5e: hardware
-        # speed-of-light; no Mosaic kernel needed once the structure is
-        # preplaced)
-        clear3, value3 = pe.preplace_packed(
-            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        # clear/value words ON DEVICE (only the 8x-packed payload bits cross
+        # the link), so embed is (img & ~clear) | value and extract is a
+        # masked narrowing copy — XLA fuses both to single HBM-bound sweeps
+        # (~94 GPix/s marginal rate on v5e: hardware speed-of-light; no
+        # Mosaic kernel needed once the structure is preplaced)
+        msgs_dev = _ship_bits(batch_par._msg_prefix(plan))
+        cl_d, vl_d = pe.preplace_packed_device(
+            msgs_dev, starts_d, lengths_d, offsets_d, n, nbits
         )
-        imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-        cl_d = jax.device_put(jnp.asarray(clear3))
-        vl_d = jax.device_put(jnp.asarray(value3))
 
         @jax.jit
         def cycle(im, cl, vl, st, ln, of):
@@ -137,31 +208,31 @@ def main(backend: str = "auto") -> None:
             packed = pe.extract_packed_batch(stego, nbits)
             return stego, jnp.sum(packed, dtype=jnp.int32)
 
-        args = (imgs_d, cl_d, vl_d, starts_d, lengths_d, offsets_d)
+        args = (imgs_dev3, cl_d, vl_d, starts_d, lengths_d, offsets_d)
         return cycle, args
 
     def build_preplaced():
-        # fastest path: plane bits at raster positions (host prep), kernels
-        # are pure streaming arithmetic — no DMA windows, no rotations
-        bits4 = pe.preplace_bits(
-            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        # plane bits at raster positions (device relayout from the packed
+        # payload upload), kernels are pure streaming arithmetic — no DMA
+        # windows, no rotations
+        msgs_dev = _ship_bits(batch_par._msg_prefix(plan))
+        bits_d = pe.preplace_bits_device(
+            msgs_dev, starts_d, lengths_d, offsets_d, n, nbits, n
         )
-        imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-        bits_d = jax.device_put(jnp.asarray(bits4))
 
         def cycle(im, bt, st, ln, of):
             stego = pe.embed_batch_preplaced(im, bt, st, ln, nbits, tile)
             rows = pe.extract_raster_batch(stego, st, ln, nbits, tile)
             return stego, jnp.sum(rows, dtype=jnp.int32)
 
-        args = (imgs_d, bits_d, starts_d, lengths_d, offsets_d)
+        args = (imgs_dev3, bits_d, starts_d, lengths_d, offsets_d)
         return cycle, args
 
     def build_pallas():
-        # fused Pallas kernels over the relayout-free padded flat layout
+        # fused Pallas kernels over the relayout-free padded flat layout;
+        # the strided message buffer is mostly zeros, so ship it 8x packed
         msg2d, l2 = pe.shift_messages_2d(plan.msgs, n)
-        imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-        msgs_d = jax.device_put(jnp.asarray(msg2d))
+        msgs_d = _ship_bits(msg2d.reshape(1, -1)).reshape(msg2d.shape)
 
         def cycle(im, ms, st, ln, of):
             padded = pe.embed_batch_padded(im, ms, st, ln, of, nbits, tile, l2)
@@ -169,11 +240,11 @@ def main(backend: str = "auto") -> None:
             # fold bits so extraction cannot be dead-code eliminated
             return padded, jnp.sum(aligned, dtype=jnp.int32)
 
-        args = (imgs_d, msgs_d, starts_d, lengths_d, offsets_d)
+        args = (imgs_dev3, msgs_d, starts_d, lengths_d, offsets_d)
         return cycle, args
     def build_xla():
-        imgs_d = jax.device_put(jnp.asarray(imgs))
-        msgs_d = jax.device_put(jnp.asarray(plan.msgs))
+        imgs_d = imgs_dev3.reshape(B, h, w)
+        msgs_d = _ship_bits(plan.msgs)
         s_d = jax.device_put(jnp.asarray(plan.s))
 
         @jax.jit
@@ -195,8 +266,6 @@ def main(backend: str = "auto") -> None:
     # (`backend` field + `fallbacks` in extra): the round-2 verdict found the
     # silent stderr-only fallback made the headline number's provenance
     # invisible in the driver artifact.
-    import sys as _sys
-
     contention = _probe_contention()
     fallbacks = []
     ran_backend = None
@@ -239,6 +308,7 @@ def main(backend: str = "auto") -> None:
         stego, chk = cycle(*args)
         jax.block_until_ready((stego, chk))
         ran_backend = "xla"
+    _hl("tier_warmup")
 
     times = []
     reps = 5
@@ -260,43 +330,51 @@ def main(backend: str = "auto") -> None:
         extra["fallbacks"] = fallbacks
     if contention:
         extra["contention"] = contention
-    try:
-        extra["lsb_cycle_2048_mpix_s"] = round(_bench_big(), 1)
-    except Exception as exc:
-        print(f"2048 bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
-        extra["lsb_cycle_2048_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    try:
-        extra["pee_cycle_mpix_s"] = round(_bench_pee(), 1)
-    except Exception as exc:  # PEE bench must never sink the primary metric
-        print(f"pee bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
-        extra["pee_cycle_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    try:
-        extra["pee_cycle_2048_mpix_s"] = round(_bench_pee_big(), 1)
-    except Exception as exc:
-        print(f"pee 2048 bench failed: {type(exc).__name__}: {exc}",
-              file=_sys.stderr)
-        extra["pee_cycle_2048_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    try:
-        extra["pee_cycle_odd_640x480_mpix_s"] = round(_bench_pee_odd(), 1)
-    except Exception as exc:
-        print(f"pee odd bench failed: {type(exc).__name__}: {exc}",
-              file=_sys.stderr)
-        extra["pee_cycle_odd_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    try:
-        e2e_v, e2e_bd = _bench_e2e(image)
-        extra["e2e_encode_decode_mpix_s"] = round(e2e_v, 2)
-        extra["e2e_stage_ms_per_image"] = e2e_bd
-    except Exception as exc:
-        print(f"e2e bench failed: {type(exc).__name__}: {exc}", file=_sys.stderr)
-        extra["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    try:
-        e2eb_v, e2eb_bd = _bench_e2e_batch(image)
-        extra["e2e_batch_mpix_s"] = round(e2eb_v, 1)
-        extra["e2e_batch_stage_ms"] = e2eb_bd
-    except Exception as exc:
-        print(f"e2e batch bench failed: {type(exc).__name__}: {exc}",
-              file=_sys.stderr)
-        extra["e2e_batch_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Per-stage wall clocks (compile + measure) land in the artifact AND on
+    # stderr as each stage finishes: a worker that blows the orchestrator's
+    # timeout leaves a trail naming the stage that ate the budget (remote
+    # compiles over the dev tunnel are the usual suspect).
+    _hl("measure")
+    stage_wall = {"headline": round(time.perf_counter() - t_start, 1)}
+    extra["headline_stage_s"] = hl_stage
+    print(f"[bench] headline done at {stage_wall['headline']}s "
+          f"(backend={ran_backend})", file=_sys.stderr, flush=True)
+
+    def _stage(key: str, fn):
+        t0 = time.perf_counter()
+        try:
+            val = fn()
+        except Exception as exc:
+            print(f"{key} bench failed: {type(exc).__name__}: {exc}",
+                  file=_sys.stderr, flush=True)
+            extra[f"{key}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            val = None
+        stage_wall[key] = round(time.perf_counter() - t0, 1)
+        print(f"[bench] {key} took {stage_wall[key]}s",
+              file=_sys.stderr, flush=True)
+        return val
+
+    v = _stage("lsb_cycle_2048", _bench_big)
+    if v is not None:
+        extra["lsb_cycle_2048_mpix_s"] = round(v, 1)
+    v = _stage("pee_cycle", _bench_pee)
+    if v is not None:
+        extra["pee_cycle_mpix_s"] = round(v, 1)
+    v = _stage("pee_cycle_2048", _bench_pee_big)
+    if v is not None:
+        extra["pee_cycle_2048_mpix_s"] = round(v, 1)
+    v = _stage("pee_cycle_odd", _bench_pee_odd)
+    if v is not None:
+        extra["pee_cycle_odd_640x480_mpix_s"] = round(v, 1)
+    v = _stage("e2e", lambda: _bench_e2e(image))
+    if v is not None:
+        extra["e2e_encode_decode_mpix_s"] = round(v[0], 2)
+        extra["e2e_stage_ms_per_image"] = v[1]
+    v = _stage("e2e_batch", lambda: _bench_e2e_batch(image))
+    if v is not None:
+        extra["e2e_batch_mpix_s"] = round(v[0], 1)
+        extra["e2e_batch_stage_ms"] = v[1]
+    extra["stage_wall_s"] = stage_wall
     print(
         json.dumps(
             {
@@ -335,49 +413,69 @@ def _bench_lsb(B: int = 256, tier: str = "packed", h: int = 512,
     base, _ = dicom.load_image("/root/reference/images/pe.dcm")
     reps = (h + base.shape[0] - 1) // base.shape[0]
     big = np.tile(base, (reps, reps))[:h, :w]
-    imgs = np.broadcast_to(big, (B, h, w)).copy()
-    imgs ^= rng.integers(0, 2, size=imgs.shape).astype(np.uint16)
+    # plan once + tile, build the batch on device (see main(): a degraded
+    # tunnel turns host-batch device_puts into minutes)
+    img0 = big ^ rng.integers(0, 2, size=big.shape).astype(np.uint16)
     payloads = [rng.integers(0, 2, size=payload_bits).astype(np.uint8)
                 for _ in range(B)]
-    plan = batch_par.plan_batch(imgs, payloads, EncodeConfig(beta=0.4))
-    imgs_d = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
+    plan = _tile_plan(
+        batch_par.plan_batch(img0[None], payloads[:1], EncodeConfig(beta=0.4)),
+        payloads, B,
+    )
+    base_d = jax.device_put(jnp.asarray(big))
+    noise = jax.jit(
+        lambda k: jax.random.bits(k, (B, h, w), dtype=jnp.uint16) & 1
+    )(jax.random.PRNGKey(3))
+    imgs_d = jax.jit(
+        lambda bs, nz: (bs[None] ^ nz).reshape(B, n // 128, 128)
+    )(base_d, noise)
 
     if tier == "packed":
-        clear3, value3 = pe.preplace_packed(
-            plan.msgs, plan.starts, plan.lengths, plan.offsets, n
+        msgs_dev = _ship_bits(batch_par._msg_prefix(plan))
+        cl_d, vl_d = pe.preplace_packed_device(
+            msgs_dev,
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            jnp.asarray(plan.offsets), n, plan.nbits,
         )
-        cl_d = jax.device_put(jnp.asarray(clear3))
-        vl_d = jax.device_put(jnp.asarray(value3))
 
+        # large buffers are EXPLICIT jit args, never closures: the axon
+        # remote compile serializes captured buffers into the request and
+        # 413s past ~hundreds of MB (the 2048^2 batch found the limit)
         @jax.jit
-        def cycle():
-            stego = pe.embed_batch_packed(imgs_d, cl_d, vl_d)
+        def cycle(im, cl, vl):
+            stego = pe.embed_batch_packed(im, cl, vl)
             packed = pe.extract_packed_batch(stego, plan.nbits)
             return stego, jnp.sum(packed, dtype=jnp.int32)
+
+        args = (imgs_d, cl_d, vl_d)
     elif tier == "preplaced":
         tile = pe.preferred_tile(n)
-        bits4 = pe.preplace_bits(plan.msgs, plan.starts, plan.lengths,
-                                 plan.offsets, n)
-        bits_d = jax.device_put(jnp.asarray(bits4))
+        msgs_dev = _ship_bits(batch_par._msg_prefix(plan))
+        bits_d = pe.preplace_bits_device(
+            msgs_dev,
+            jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+            jnp.asarray(plan.offsets), n, plan.nbits, n,
+        )
         st_d = jax.device_put(jnp.asarray(plan.starts))
         ln_d = jax.device_put(jnp.asarray(plan.lengths))
 
         @jax.jit
-        def cycle():
-            stego = pe.embed_batch_preplaced(
-                imgs_d, bits_d, st_d, ln_d, plan.nbits, tile)
-            rows = pe.extract_raster_batch(stego, st_d, ln_d, plan.nbits, tile)
+        def cycle(im, bt, st, ln):
+            stego = pe.embed_batch_preplaced(im, bt, st, ln, plan.nbits, tile)
+            rows = pe.extract_raster_batch(stego, st, ln, plan.nbits, tile)
             return stego, jnp.sum(rows, dtype=jnp.int32)
+
+        args = (imgs_d, bits_d, st_d, ln_d)
     else:
         raise ValueError(f"unknown tier {tier!r}")
 
-    out = cycle()
+    out = cycle(*args)
     jax.block_until_ready(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
-            out = cycle()
+            out = cycle(*args)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * n / float(np.median(times)) / 1e6
@@ -388,6 +486,25 @@ def _bench_big(B: int = 32) -> float:
     images (16x the headline's pixel count per image; 1 Mbit payloads).
     B=32 = 134 MPix per dispatch, matching the headline's amortization."""
     return _bench_lsb(B, "packed", 2048, 2048, payload_bits=1_000_000)
+
+
+def _pee_images_dev(B: int, h: int, w: int, seed: int,
+                    mean: float, amp: float, py: float, px: float, hi: int):
+    """Smooth sin/cos base + per-pixel ±1 device-RNG noise, built entirely
+    on device: the PEE benches' image batches (134-268 MB as host
+    device_puts) must not ride a possibly-degraded tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        base = (mean + amp * jnp.sin(yy / py) * jnp.cos(xx / px)).astype(jnp.int32)
+        noise = jax.random.randint(key, (B, h, w), -1, 2, dtype=jnp.int32)
+        return jnp.clip(base[None] + noise, 0, hi).astype(jnp.uint16)
+
+    return gen(jax.random.PRNGKey(seed))
 
 
 def _bench_pee(B: int = 256) -> float:
@@ -403,38 +520,33 @@ def _bench_pee(B: int = 256) -> float:
     n = h * w
     t, max_val = 2, 4095
     rng = np.random.default_rng(1)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
-    imgs = np.stack([
-        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
-        for _ in range(B)
-    ])
     msgs = rng.integers(0, 2, size=(B, 1 << 17)).astype(np.uint8)
     want = jnp.full((B,), 100_000, jnp.int32)
 
     if jax.default_backend() == "tpu":
         from codec_tcc_tpu.ops import pallas_pee as pp
 
-        msg2d, l2 = pp.prep_messages(msgs, n)
-        imgs3 = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-        msg2d_d = jax.device_put(jnp.asarray(msg2d))
+        imgs3 = _pee_images_dev(
+            B, h, w, 1, 400, 300, 37.0, 53.0, 836
+        ).reshape(B, n // 128, 128)
+        msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
         zero = jnp.zeros(B, jnp.int32)
 
-        def cycle(im3):
+        def cycle(im3, ms):
             s0, o0, u0, n0 = pp.embed_pass_batch(
-                im3, msg2d_d, zero, want, h, w, 0, t, max_val, l2)
+                im3, ms, zero, want, h, w, 0, t, max_val, l2)
             s1, o1, u1, n1 = pp.embed_pass_batch(
-                s0, msg2d_d, u0, want - u0, h, w, 1, t, max_val, l2)
+                s0, ms, u0, want - u0, h, w, 1, t, max_val, l2)
             over = o0 | o1
             r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val)
             r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val)
             return r0, jnp.sum(c0) + jnp.sum(c1)
 
-        args = (imgs3,)
+        args = (imgs3, msg2d_d)
     else:
         from codec_tcc_tpu.ops import pee as pee_ops
 
-        imgs_d = jax.device_put(jnp.asarray(imgs))
+        imgs_d = _pee_images_dev(B, h, w, 1, 400, 300, 37.0, 53.0, 836)
         msgs_d = jax.device_put(jnp.asarray(msgs))
 
         def one(im, ms, w0):
@@ -481,38 +593,33 @@ def _bench_pee_big(B: int = 32) -> float:
     n = h * w
     t, max_val = 2, 4095
     rng = np.random.default_rng(5)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (800 + 700 * np.sin(yy / 61.0) * np.cos(xx / 97.0)).astype(np.int64)
-    imgs = np.stack([
-        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 4095).astype(np.uint16)
-        for _ in range(B)
-    ])
     msgs = rng.integers(0, 2, size=(B, 1 << 20)).astype(np.uint8)
     want = jnp.full((B,), 1_000_000, jnp.int32)
 
-    msg2d, l2 = pp.prep_messages(msgs, n)
-    imgs3 = jax.device_put(jnp.asarray(imgs).reshape(B, n // 128, 128))
-    msg2d_d = jax.device_put(jnp.asarray(msg2d))
+    imgs3 = _pee_images_dev(
+        B, h, w, 5, 800, 700, 61.0, 97.0, 4095
+    ).reshape(B, n // 128, 128)
+    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
     zero = jnp.zeros(B, jnp.int32)
 
     @jax.jit
-    def cycle(im3):
+    def cycle(im3, ms):
         s0, o0, u0, n0 = pp.embed_pass_batch(
-            im3, msg2d_d, zero, want, h, w, 0, t, max_val, l2)
+            im3, ms, zero, want, h, w, 0, t, max_val, l2)
         s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, msg2d_d, u0, want - u0, h, w, 1, t, max_val, l2)
+            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2)
         over = o0 | o1
         r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val)
         r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val)
         return r0, jnp.sum(c0) + jnp.sum(c1)
 
-    out = cycle(imgs3)
+    out = cycle(imgs3, msg2d_d)
     jax.block_until_ready(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
-            out = cycle(imgs3)
+            out = cycle(imgs3, msg2d_d)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * h * w / float(np.median(times)) / 1e6
@@ -536,27 +643,22 @@ def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
     n = h * w
     t, max_val = 2, 4095
     rng = np.random.default_rng(7)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
-    imgs = np.stack([
-        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
-        for _ in range(B)
-    ])
     msgs = rng.integers(0, 2, size=(B, 1 << 17)).astype(np.uint8)
     want = jnp.full((B,), 100_000, jnp.int32)
 
-    msg2d, l2 = pp.prep_messages(msgs, n)
     wb = pp.padded_geometry(h, w)[1]
-    imgs3 = jax.device_put(pp.pad_batch(imgs, h, w))
-    msg2d_d = jax.device_put(jnp.asarray(msg2d))
+    imgs3 = pp.pad_batch(
+        _pee_images_dev(B, h, w, 7, 400, 300, 37.0, 53.0, 836), h, w
+    )
+    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
     zero = jnp.zeros(B, jnp.int32)
 
     @jax.jit
-    def cycle(im3):
+    def cycle(im3, ms):
         s0, o0, u0, n0 = pp.embed_pass_batch(
-            im3, msg2d_d, zero, want, h, w, 0, t, max_val, l2, buf_w=wb)
+            im3, ms, zero, want, h, w, 0, t, max_val, l2, buf_w=wb)
         s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, msg2d_d, u0, want - u0, h, w, 1, t, max_val, l2, buf_w=wb)
+            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2, buf_w=wb)
         over = o0 | o1
         r1, g1, c1 = pp.extract_pass_batch(
             s1, over, n1, h, w, 1, t, max_val, buf_w=wb)
@@ -564,13 +666,13 @@ def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
             r1, over, n0, h, w, 0, t, max_val, buf_w=wb)
         return r0, jnp.sum(c0) + jnp.sum(c1)
 
-    out = cycle(imgs3)
+    out = cycle(imgs3, msg2d_d)
     jax.block_until_ready(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
-            out = cycle(imgs3)
+            out = cycle(imgs3, msg2d_d)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * n / float(np.median(times)) / 1e6
@@ -677,13 +779,13 @@ def _orchestrate() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker", backend],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1800,
             )
         except subprocess.TimeoutExpired:
             # the dev tunnel occasionally wedges a process at 0% CPU
             # (CLAUDE.md); a timed-out worker must fall through to the next
             # attempt, not sink the whole bench
-            attempts.append(f"{backend}: worker timeout (1200s)")
+            attempts.append(f"{backend}: worker timeout (1800s)")
             sys.stderr.write(f"bench worker ({backend}) timed out; retrying\n")
             continue
         for line in proc.stdout.splitlines():

@@ -735,15 +735,34 @@ def _extract_call(
 # ---------------------------------------------------------------------------
 
 
+def _prep_stride(lpad: int, n_pixels: int) -> int:
+    """Per-image message stride ``l2`` for the kernels' DMA bound (shared by
+    the host and device preps so the layouts cannot drift). A multiple of
+    ``_ALIGN_E`` (2048), hence of ``_LANE``."""
+    l2 = lpad + n_pixels // 2 + _WBUF_ROWS * _LANE
+    return (l2 + _ALIGN_E - 1) // _ALIGN_E * _ALIGN_E
+
+
 def prep_messages(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
     """Host prep: per-image message streams in one flat (rows, 128) buffer
     with per-image stride ``l2`` sized for the kernel's DMA bound."""
     b, lpad = msgs.shape
-    l2 = lpad + n_pixels // 2 + _WBUF_ROWS * _LANE
-    l2 = (l2 + _ALIGN_E - 1) // _ALIGN_E * _ALIGN_E
+    l2 = _prep_stride(lpad, n_pixels)
     flat = np.zeros(b * l2, dtype=np.uint8)
     for i in range(b):
         flat[i * l2 : i * l2 + lpad] = msgs[i]
+    return flat.reshape(-1, _LANE), l2
+
+
+def prep_messages_device(msgs: jax.Array, n_pixels: int) -> Tuple[jax.Array, int]:
+    """Device twin of :func:`prep_messages` for device-resident message
+    rows: each image's stream zero-padded to the ``l2`` stride and flattened
+    to (rows, 128). ``l2`` is ``_ALIGN_E``-aligned, so the reshape is exact.
+    Lets callers ship messages over the host link 8x packed (or generate
+    them on device) instead of uploading the strided uint8 layout."""
+    b, lpad = msgs.shape
+    l2 = _prep_stride(lpad, n_pixels)
+    flat = jnp.pad(msgs.astype(jnp.uint8), ((0, 0), (0, l2 - lpad)))
     return flat.reshape(-1, _LANE), l2
 
 
