@@ -39,6 +39,7 @@ def decompose(
     nbits: Optional[int] = None,
     *,
     histogram_counts: Optional[np.ndarray] = None,
+    full_curve: bool = True,
 ) -> DecompositionResult:
     """Find the adaptive cut point ``s``.
 
@@ -46,6 +47,12 @@ def decompose(
     callers that know DICOM BitsStored should pass it explicitly). Passing a
     precomputed ``histogram_counts`` (e.g. a ``psum``-ed per-shard histogram
     from the mesh pipeline) skips the device pass entirely.
+
+    ``full_curve=False`` stops the MI scan at the cut point like the
+    reference's early-exit loop — ``s``/``entropy``/``target`` and the curve
+    up to ``s`` are unchanged, entries past it stay 0. Batch planners use
+    this (they only consume ``s``); callers reporting the curve (the CLI's
+    ``mi_curve``) keep the default.
     """
     itemsize = np.dtype(image.dtype).itemsize
     if nbits is None:
@@ -63,7 +70,10 @@ def decompose(
                 hist_ops.value_histogram(image, max_val + 1)
             )
 
-    mi, h = hist_ops.plane_mi_curve(histogram_counts, size, nbits, max_val)
+    mi, h = hist_ops.plane_mi_curve(
+        histogram_counts, size, nbits, max_val,
+        stop_at_beta=None if full_curve else beta,
+    )
 
     target = beta * h
     # replay the reference's sequential float64 accumulation (codec.py:580-593)

@@ -41,6 +41,7 @@ __all__ = [
     "assemble_message_device",
     "assemble_raster_device",
     "xor_maps",
+    "xor_maps_packed_batch",
     "restore_original",
     "pad_message",
 ]
@@ -211,6 +212,32 @@ def xor_maps(original: jax.Array, stego: jax.Array, nbits_planes: int = None) ->
     diff = original ^ stego
     nbits = original.dtype.itemsize * 8 if nbits_planes is None else nbits_planes
     return split_planes(diff, nbits)
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def xor_maps_packed_batch(
+    originals: jax.Array, stegos: jax.Array, nbits: int
+) -> jax.Array:
+    """``(B, nbits, N/8) uint8`` bit-packed XOR location maps, MSB-first
+    within each byte so the host inverse is plain ``np.unpackbits``.
+
+    This is the device half of the serving path's download cut: the fused
+    batch encoder ships these instead of the full stego batch (8/itemsize x
+    fewer bytes per plane; the dev tunnel's device->host direction measured
+    ~4x slower than host->device in the round-3 breakdown) and the host
+    reconstructs ``stego = orig ^ unpacked`` — the maps double as the
+    container's bitmap blobs, so ``_host_xor_maps`` disappears entirely.
+    Requires ``H*W % 8 == 0`` (callers fall back to a stego download
+    otherwise)."""
+    b = originals.shape[0]
+    diff = (originals ^ stegos).reshape(b, -1)
+    n = diff.shape[1]
+    sh = jnp.arange(nbits, dtype=diff.dtype).reshape(1, nbits, 1)
+    planes = ((diff[:, None, :] >> sh) & 1).astype(jnp.uint8)
+    w = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return jnp.sum(
+        planes.reshape(b, nbits, n // 8, 8) * w, axis=-1, dtype=jnp.uint8
+    )
 
 
 @jax.jit

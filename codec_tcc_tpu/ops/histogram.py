@@ -20,7 +20,7 @@ parity under fusion ... compare in float64 on host").
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +91,20 @@ def mutual_information_from_counts(
     n = max_val + 1
     counts_y = np.zeros(n, dtype=np.int64)
     counts_y[: counts.size] = counts[:n]
+    return _mi_plane(counts_y, size, plane, _h_y(counts_y, size))
 
+
+def _h_y(counts_y: np.ndarray, size: int) -> float:
+    """H(image) term of the MI replay — plane-independent, so callers walking
+    several planes of one image hoist it (identical operands and summation
+    order as the inline original: bit-exact)."""
+    probs_y = counts_y[counts_y > 0] / float(size)
+    return float(-np.sum(probs_y * np.log2(probs_y)))
+
+
+def _mi_plane(counts_y: np.ndarray, size: int, plane: int, h_y: float) -> float:
+    """One plane's MI given the padded histogram and hoisted ``h_y``."""
+    n = counts_y.size
     values = np.arange(n, dtype=np.int64)
     bit = (values >> plane) & 1
 
@@ -105,9 +118,6 @@ def mutual_information_from_counts(
     probs_x = counts_x[counts_x > 0] / float(size)
     h_x = -np.sum(probs_x * np.log2(probs_x))
 
-    probs_y = counts_y[counts_y > 0] / float(size)
-    h_y = -np.sum(probs_y * np.log2(probs_y))
-
     joint = np.concatenate([np.where(bit == 0, counts_y, 0), np.where(bit == 1, counts_y, 0)])
     joint_probs = joint[joint > 0] / float(size)
     h_xy = -np.sum(joint_probs * np.log2(joint_probs))
@@ -116,17 +126,37 @@ def mutual_information_from_counts(
 
 
 def plane_mi_curve(
-    counts: np.ndarray, size: int, nbits: int, max_val: int
+    counts: np.ndarray, size: int, nbits: int, max_val: int,
+    *, stop_at_beta: Optional[float] = None,
 ) -> Tuple[np.ndarray, float]:
     """Per-plane MI for all ``nbits`` planes plus total image entropy, from a
-    single histogram. Returns ``(mi[nbits] float64, H float64)``."""
+    single histogram. Returns ``(mi[nbits] float64, H float64)``.
+
+    ``stop_at_beta``: stop once the cumulative MI (LSB->MSB, the reference's
+    scan order) reaches ``stop_at_beta * H`` — the remaining entries stay 0.
+    The cut-point search only ever reads the curve up to its early exit
+    (src/codec.py:584-593), so planners that don't report the full curve
+    skip 50-75% of the float64 histogram math (round-3 ``batch_plan``
+    breakdown). Values computed before the stop are bit-identical to the
+    full curve's, and the threshold is the same ``beta * H`` float64 product
+    the cut-point search compares against."""
     counts = np.asarray(counts, dtype=np.int64)
     # calculate_entropy bincounts without minlength -> length max_present+1;
     # filtering zeros makes the operand array identical either way.
     max_present = int(np.max(np.nonzero(counts)[0])) if counts.any() else 0
     h = entropy_from_counts(counts[: max_present + 1], size)
-    mi = np.array(
-        [mutual_information_from_counts(counts, size, p, max_val) for p in range(nbits)],
-        dtype=np.float64,
-    )
+
+    n = max_val + 1
+    counts_y = np.zeros(n, dtype=np.int64)
+    counts_y[: counts.size] = counts[:n]
+    h_y = _h_y(counts_y, size)
+
+    stop_at = None if stop_at_beta is None else stop_at_beta * h
+    mi = np.zeros(nbits, dtype=np.float64)
+    acc = 0.0
+    for p in range(nbits):
+        mi[p] = _mi_plane(counts_y, size, p, h_y)
+        acc += mi[p]
+        if stop_at is not None and acc >= stop_at:
+            break
     return mi, h

@@ -120,7 +120,7 @@ def plan_batch(
     for i in range(b):
         dec = decompose_ops.decompose(
             images[i], beta=config.beta, nbits=dec_nbits,
-            histogram_counts=histograms[i],
+            histogram_counts=histograms[i], full_curve=False,
         )
         s_arr[i] = dec.s
         plans.append(
@@ -575,10 +575,32 @@ def encode_batch_containers(
     metrics = None
     if config.compute_metrics:
         metrics = _batch_quality_reports(imgs_dev, stego_dev)
-    with stage("batch_download"):
-        stego = np.asarray(stego_dev)
+    if n % 8 == 0:
+        # download bit-packed XOR maps, not the stego batch: 8/itemsize x
+        # fewer bytes per plane on the tunnel's slow device->host direction,
+        # and the unpacked maps are exactly the container bitmap blobs —
+        # stego itself is rebuilt host-side as orig ^ diff (embed only ever
+        # touches the low `nbits` planes, so the maps carry the whole diff)
+        from ..ops.embed import xor_maps_packed_batch
+
+        with stage("batch_download"):
+            packed = np.asarray(xor_maps_packed_batch(imgs_dev, stego_dev, nbits))
+        with stage("batch_unpack"):
+            maps_all = np.unpackbits(
+                packed.reshape(b * nbits, n // 8), axis=1
+            ).reshape(b, nbits, h, w)
+            diff = np.zeros((b, h, w), images.dtype)
+            for k in range(nbits):
+                diff |= maps_all[:, k].astype(images.dtype) << k
+            stego = images ^ diff
+    else:
+        maps_all = None
+        with stage("batch_download"):
+            stego = np.asarray(stego_dev)
 
     from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils.pool import host_workers
 
     from ..io import container as container_io
     from ..io.codecs import get as get_codec
@@ -591,7 +613,10 @@ def encode_batch_containers(
         seg = segment_ops.distribute_segments(
             s, int(plan.payload_bits[i]), config.seed
         )
-        maps = _host_xor_maps(images[i], stego[i], s)
+        maps = (
+            maps_all[i, :s] if maps_all is not None
+            else _host_xor_maps(images[i], stego[i], s)
+        )
         meta = container_io.ContainerMeta(
             version=2, codec=config.codec, strategy=config.strategy,
             s=s, nbits=nbits, bits_stored=bits_stored or nbits,
@@ -612,7 +637,7 @@ def encode_batch_containers(
         return container_io.pack(meta, bitmaps_blob, codec.encode(stego[i]))
 
     with stage("batch_pack"):
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        with ThreadPoolExecutor(max_workers=host_workers(b)) as pool:
             containers = list(pool.map(pack_one, range(b)))
     return BatchEncodeResult(
         stego=stego, containers=containers, plan=plan, metrics=metrics
@@ -671,13 +696,15 @@ def decode_batch_containers(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.pool import host_workers
+
     from ..io.codecs import get as get_codec
 
     from ..profiling import stage
 
     codec = get_codec(meta0.codec)
     with stage("batch_codec_decode"):
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+        with ThreadPoolExecutor(max_workers=host_workers(b)) as pool:
             stegos = list(pool.map(
                 lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
             ))

@@ -325,6 +325,8 @@ def encode_pee_batch(
     import zlib
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.pool import host_workers
+
     codec = get_codec(config.codec)
 
     def pack_one(i: int) -> bytes:
@@ -344,7 +346,7 @@ def encode_pee_batch(
         map_blob = zlib.compress(np.packbits(overflow[i]).tobytes())
         return container_io.pack(meta, map_blob, codec.encode(stego[i]))
 
-    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+    with ThreadPoolExecutor(max_workers=host_workers(b)) as pool:
         containers = list(pool.map(pack_one, range(b)))
 
     logger.info(
@@ -429,9 +431,11 @@ def _decode_group_fused(conts, parsed_ext, overflow_maps, restore_original):
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.pool import host_workers
+
     codec = get_codec(conts[0].meta.codec)
 
-    with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+    with ThreadPoolExecutor(max_workers=host_workers(b)) as pool:
         stegos = list(pool.map(
             lambda c: codec.decode(c.stego_blob).astype(dtype), conts
         ))

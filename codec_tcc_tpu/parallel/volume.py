@@ -372,7 +372,9 @@ def pack_volume(
     # both release the GIL, so slices compress in parallel on host cores
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, d)) as pool:
+    from ..utils.pool import host_workers
+
+    with ThreadPoolExecutor(max_workers=host_workers(d)) as pool:
         blobs = list(pool.map(pack_slice, range(d)))
 
     header = VOLUME_MAGIC + struct.pack(">IIQIB", 2, d, total_bits, s, strat_id)

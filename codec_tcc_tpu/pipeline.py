@@ -124,17 +124,26 @@ def _single_pallas_ok(n: int) -> bool:
 
 def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarray:
     """(s, H, W) uint8 XOR location maps computed on host (the reference's
-    ``orig ^ stego`` bitmaps, src/codec.py:309-311)."""
-    diff = (original ^ stego).astype(np.int64)
-    shifts = np.arange(s, dtype=np.int64).reshape(s, 1, 1)
-    return ((diff[None] >> shifts) & 1).astype(np.uint8)
+    ``orig ^ stego`` bitmaps, src/codec.py:309-311).
+
+    Written plane-at-a-time in the images' native dtype: the int64 broadcast
+    it replaced materialized 8-byte temporaries 10x slower on the serving
+    host's single core (round-3 batch_pack breakdown)."""
+    diff = original ^ stego
+    out = np.empty((s,) + diff.shape, np.uint8)
+    for k in range(s):
+        np.bitwise_and(diff >> k, 1, out=out[k], casting="unsafe")
+    return out
 
 
 def _host_restore(stego: np.ndarray, maps: np.ndarray, s: int) -> np.ndarray:
-    """original = stego XOR (maps recombined over the s local planes)."""
-    shifts = np.arange(s, dtype=np.int64).reshape(s, 1, 1)
-    diff = np.sum(maps[:s].astype(np.int64) << shifts, axis=0)
-    return (stego ^ diff.astype(stego.dtype)).astype(stego.dtype)
+    """original = stego XOR (maps recombined over the s local planes).
+    Accumulates in the stego dtype (the int64 sum it replaced was the decode
+    twin of ``_host_xor_maps``' temporaries problem)."""
+    diff = np.zeros(stego.shape, stego.dtype)
+    for k in range(s):
+        diff |= maps[k].astype(stego.dtype) << k
+    return stego ^ diff
 
 
 def _block_bases(
@@ -277,8 +286,25 @@ def encode_array(
         metrics = (
             metric_ops.quality_report(stats) if config.compute_metrics else None
         )
-        stego = np.asarray(stego_dev)
-        maps = _host_xor_maps(image, stego, s)
+        if n % 8 == 0:
+            # download bit-packed XOR maps instead of the stego image (the
+            # tunnel's device->host direction is the slow one) and rebuild
+            # stego host-side as orig ^ diff; the unpacked maps are the
+            # container bitmaps, so no second diff pass happens on host
+            packed = np.asarray(embed_ops.xor_maps_packed_batch(
+                image_dev[None], stego_dev[None], kernel_bits
+            ))[0]
+            maps = np.unpackbits(
+                packed.reshape(kernel_bits, n // 8), axis=1
+            ).reshape(kernel_bits, h, w)
+            diff = np.zeros((h, w), image.dtype)
+            for k in range(kernel_bits):
+                diff |= maps[k].astype(image.dtype) << k
+            stego = image ^ diff
+            maps = maps[:s]
+        else:
+            stego = np.asarray(stego_dev)
+            maps = _host_xor_maps(image, stego, s)
 
     # 5. transport codec + container
     with stage("transport_codec"):
