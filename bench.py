@@ -702,24 +702,28 @@ def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4):
     assert dec.payload == payload
 
     prof = profiling.get_profiler()
-    prof.reset()
-    enc_s = dec_s = 0.0
+    enc_t, dec_t = [], []
+    per_item: dict = {}
     for _ in range(reps):
         for img in imgs:
+            prof.reset()
             t0 = time.perf_counter()
             res = encode_array(img, payload, cfg)
             t1 = time.perf_counter()
             decode_container(res.container)
-            enc_s += t1 - t0
-            dec_s += time.perf_counter() - t1
-    n_items = reps * batch
-    per_image = (enc_s + dec_s) / n_items
+            enc_t.append(t1 - t0)
+            dec_t.append(time.perf_counter() - t1)
+            for name, row in prof.report().items():
+                per_item.setdefault(name, []).append(row["wall_s"])
+    # medians, not means: one stalled item (tunnel hiccup) must not smear
+    # every stage (see _bench_e2e_batch)
+    per_image = float(np.median(enc_t)) + float(np.median(dec_t))
     breakdown = {
-        name: round(1e3 * row["wall_s"] / n_items, 2)
-        for name, row in prof.report().items()
+        name: round(1e3 * float(np.median(vals)), 2)
+        for name, vals in per_item.items()
     }
-    breakdown["encode_total"] = round(1e3 * enc_s / n_items, 2)
-    breakdown["decode_total"] = round(1e3 * dec_s / n_items, 2)
+    breakdown["encode_total"] = round(1e3 * float(np.median(enc_t)), 2)
+    breakdown["decode_total"] = round(1e3 * float(np.median(dec_t)), 2)
     breakdown["image_bytes"] = int(image.nbytes)
     return image.size / per_image / 1e6, breakdown
 
@@ -749,18 +753,26 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     assert all(d.payload == p for d, p in zip(decs, payloads))
 
     prof = profiling.get_profiler()
-    prof.reset()
     times = []
+    per_rep: dict = {}
     for _ in range(reps):
+        prof.reset()
         t0 = time.perf_counter()
         res = batch_par.encode_batch_containers(imgs, payloads, cfg)
         batch_par.decode_batch_containers(res.containers)
         times.append(time.perf_counter() - t0)
+        for name, row in prof.report().items():
+            per_rep.setdefault(name, []).append(row["wall_s"])
+    # per-stage MEDIAN across reps: the round-3 artifact's mean-based stage
+    # sums exceeded the median total whenever one rep stalled (host page
+    # faults / tunnel hiccups), which made the breakdown unusable for
+    # attribution
     breakdown = {
-        name: round(1e3 * row["wall_s"] / reps, 2)
-        for name, row in prof.report().items()
+        name: round(1e3 * float(np.median(vals)), 2)
+        for name, vals in per_rep.items()
     }
     breakdown["batch_total"] = round(1e3 * float(np.median(times)), 2)
+    breakdown["batch_rep_totals_ms"] = [round(1e3 * t, 1) for t in times]
     breakdown["batch_bytes_up"] = int(imgs.nbytes)
     return B * h * w / float(np.median(times)) / 1e6, breakdown
 

@@ -84,6 +84,35 @@ def test_decompose_random_images(rng):
                 assert res.s == s_ref
 
 
+def test_decompose_lazy_scan_matches_full(rng, pe_image):
+    """full_curve=False (the batch planners' early-exit MI scan, matching the
+    reference's codec.py:580-593 loop) must agree with the full scan on
+    s/entropy/target and on every MI entry up to the cut point, with entries
+    past the stop left at 0."""
+    cases = [pe_image] + [
+        rng.integers(0, hi, size=(32, 32)).astype(dtype)
+        for dtype, hi in [(np.uint8, 256), (np.uint16, 4096)]
+    ]
+    for img in cases:
+        for beta in (0.3, 0.6, 0.9):
+            full = decompose.decompose(img, beta=beta)
+            lazy = decompose.decompose(img, beta=beta, full_curve=False)
+            assert lazy.s == full.s
+            assert lazy.entropy == full.entropy
+            assert lazy.target == full.target
+            np.testing.assert_array_equal(lazy.mi[: lazy.s], full.mi[: full.s])
+            if full.cumulative[full.s - 1] >= full.target:
+                # cut point found -> scan stopped there, rest untouched
+                assert (lazy.mi[lazy.s :] == 0).all()
+            else:
+                # target never met (reference default s=1): both scans ran
+                # the full curve
+                np.testing.assert_array_equal(lazy.mi, full.mi)
+            np.testing.assert_array_equal(
+                lazy.cumulative[: lazy.s], full.cumulative[: full.s]
+            )
+
+
 def test_decompose_constant_image():
     img = np.full((16, 16), 7, dtype=np.uint8)
     res = decompose.decompose(img, beta=0.5)
