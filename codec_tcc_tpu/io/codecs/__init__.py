@@ -115,10 +115,14 @@ class DeflateCodec(Codec):
     def encode(self, image: np.ndarray) -> bytes:
         code = _DTYPE_CODES[np.dtype(image.dtype)]
         header = _DEFLATE_MAGIC + struct.pack(">BII", code, *image.shape)
-        # level 1: 4x faster than level 6 for ~3% larger output on stego
-        # pixel data (measured on pe.dcm); the single-core host shell is the
-        # serving path's bottleneck, and the level is not part of the format
-        return header + zlib.compress(np.ascontiguousarray(image).tobytes(), 1)
+        # Z_RLE at level 1: ~1.7x faster than the default match strategy at
+        # the same level for ~6-9% larger output on stego pixel data
+        # (measured pe.dcm 8.7ms/342KB vs 14.5ms/313KB, torax 4.8 vs 8.1ms);
+        # the single-core host shell is the serving path's bottleneck and
+        # the strategy is not part of the format — any zlib stream decodes
+        co = zlib.compressobj(1, zlib.DEFLATED, 15, 9, zlib.Z_RLE)
+        raw = np.ascontiguousarray(image).tobytes()
+        return header + co.compress(raw) + co.flush()
 
     def decode(self, data: bytes) -> np.ndarray:
         if data[:4] != _DEFLATE_MAGIC:

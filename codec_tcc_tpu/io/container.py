@@ -22,7 +22,11 @@ strategy-specific parameters (block size, PEE threshold...). Layout:
     header_v2 =
       >BBBBBBBB  version=2, codec_id, strategy, s, nbits, bits_stored,
                  dtype_code (1=u8, 2=u16), flags (bit0: align_across_planes,
-                 bit1: has_bitmaps)
+                 bit1: has_bitmaps, bit2: bitmaps bit-PACKED before zlib —
+                 v2.1, written whenever H*W % 8 == 0: the blob deflates the
+                 ``np.packbits`` form of the planes, 8x less single-core
+                 zlib input and ~45% smaller containers; readers accept
+                 both forms, so round-1/2 v2 files keep decoding)
       >IIII      width, height, start_offset, seed
       >Q         payload_bits
       {s}i       planned sizes           (plane-indexed, may be negative)
@@ -63,6 +67,7 @@ _CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items()}
 
 FLAG_ALIGN = 1
 FLAG_HAS_BITMAPS = 2
+FLAG_PACKED_BITMAPS = 4     # v2.1: bitmap blob is zlib of bit-PACKED planes
 
 _DTYPE_CODES = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 2}
 _CODE_DTYPES = {1: np.dtype(np.uint8), 2: np.dtype(np.uint16)}
@@ -89,6 +94,7 @@ class ContainerMeta:
     eff_lengths: Tuple[int, ...]    # plane-indexed
     plane_starts: Tuple[int, ...]   # plane-indexed
     ext: bytes = b""
+    bitmaps_packed: bool = False    # v2 only: blob holds bit-packed planes
 
     @property
     def codec_id(self) -> int:
@@ -110,7 +116,17 @@ class Container:
             raw = zlib.decompress(self.bitmaps_blob)
         except zlib.error as exc:
             raise ValueError(f"Invalid file: corrupt bitmap blob ({exc})") from exc
-        if len(raw) != m.s * m.height * m.width:
+        n = m.height * m.width
+        if m.bitmaps_packed:
+            if n % 8 or len(raw) != m.s * n // 8:
+                raise ValueError(
+                    f"Invalid file: packed bitmap blob holds {len(raw)} bytes,"
+                    f" header says {m.s}x{m.height}x{m.width} bits"
+                )
+            return np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8).reshape(m.s, n // 8), axis=1
+            ).reshape(m.s, m.height, m.width)
+        if len(raw) != m.s * n:
             raise ValueError(
                 f"Invalid file: bitmap blob holds {len(raw)} bytes, header "
                 f"says {m.s}x{m.height}x{m.width}"
@@ -132,6 +148,24 @@ def compress_bitmaps(maps: np.ndarray) -> bytes:
     )
 
 
+def compress_bitmaps_packed(maps: np.ndarray) -> bytes:
+    """v2.1 packed bitmap blob: zlib of bit-PACKED planes (``FLAG_PACKED_
+    BITMAPS``). Accepts either unpacked ``(s, H, W)`` 0/1 maps (packed here
+    with ``np.packbits``, MSB-first) or already-packed ``(s, H*W/8)`` bytes
+    straight off the device's :func:`~codec_tcc_tpu.ops.embed.
+    xor_maps_packed_batch` download — both produce the identical blob.
+
+    8x less zlib input than :func:`compress_bitmaps`: on the single-core
+    serving host the v2 raster ``batch_pack`` stage was dominated by zlib of
+    raw 0/1 bytes (round-3 breakdown), and the device already ships the maps
+    bit-packed, so the unpacked form never needs to exist for the container.
+    Requires ``H*W % 8 == 0`` (writers fall back to the unpacked blob)."""
+    maps = np.ascontiguousarray(maps, dtype=np.uint8)
+    if maps.ndim == 3:
+        maps = np.packbits(maps.reshape(maps.shape[0], -1), axis=1)
+    return zlib.compress(maps.tobytes(), 1)
+
+
 # ---------------------------------------------------------------------------
 # v2 pack / parse
 # ---------------------------------------------------------------------------
@@ -139,8 +173,10 @@ def compress_bitmaps(maps: np.ndarray) -> bytes:
 
 def pack(meta: ContainerMeta, bitmaps_blob: bytes, stego_blob: bytes) -> bytes:
     s = meta.s
-    flags = (FLAG_ALIGN if meta.align_across_planes else 0) | (
-        FLAG_HAS_BITMAPS if meta.has_bitmaps else 0
+    flags = (
+        (FLAG_ALIGN if meta.align_across_planes else 0)
+        | (FLAG_HAS_BITMAPS if meta.has_bitmaps else 0)
+        | (FLAG_PACKED_BITMAPS if meta.bitmaps_packed else 0)
     )
     header = struct.pack(
         ">BBBBBBBB",
@@ -237,6 +273,7 @@ def _parse_v2(header: bytes, body: bytes) -> Container:
         payload_bits=payload_bits,
         align_across_planes=bool(flags & FLAG_ALIGN),
         has_bitmaps=bool(flags & FLAG_HAS_BITMAPS),
+        bitmaps_packed=bool(flags & FLAG_PACKED_BITMAPS),
         sizes=tuple(sizes),
         indices=tuple(indices),
         eff_lengths=tuple(eff_lengths),

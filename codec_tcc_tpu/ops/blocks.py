@@ -5,17 +5,18 @@ The reference scores ``block_size^2`` tiles of a bit plane by ``np.var``
 ``:441-450`` for the hybrid start-block search). For binary data the variance
 is the exact rational ``c*(k-c)/k^2`` where ``c`` is the tile popcount and
 ``k`` the tile size, so the device computes one integer popcount per tile (a
-fused reshape-reduction — no float at all) and the host ranks tiles with exact
-fraction comparisons. This makes the ordering *well-defined* (float64
+fused reshape-reduction — no float at all) and the host ranks tiles with
+exact common-denominator integer keys. This makes the ordering *well-defined*
+(float64
 ``np.var`` ordering is reproduced wherever np.var distinguishes blocks, with
 raster-stable tie-breaks; golden-tested against np.var on the bundled images).
 """
 
 from __future__ import annotations
 
-from fractions import Fraction
+import math
 from functools import partial
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,24 +68,50 @@ def _tile_dims(h: int, w: int, block: int) -> Tuple[np.ndarray, np.ndarray]:
     return bh[:, None] * np.ones_like(bw)[None, :], np.ones_like(bh)[:, None] * bw[None, :]
 
 
-def _fractions(counts: np.ndarray, h: int, w: int, block: int) -> List[Fraction]:
+def _int_keys(counts: np.ndarray, h: int, w: int, block: int) -> Sequence[int]:
+    """EXACT integer sort keys proportional to the binary-variance scores
+    ``c*(k-c)/k^2``: key_i = ``n_i * (M / k_i^2)`` with ``n = c*(k-c)`` and
+    ``M = lcm`` of the (at most 4: interior / right edge / bottom edge /
+    corner) distinct ``k^2`` values — the ordering is identical to comparing
+    the rationals, with none of ``fractions.Fraction``'s per-element gcd
+    normalization (which dominated the batch planner at ~12 ms/image,
+    round-3 ``batch_plan`` profile). The common every-tile-full case
+    collapses to the raw int64 popcount products."""
     bh, bw = _tile_dims(h, w, block)
-    k = (bh * bw).ravel()
+    k = (bh * bw).ravel().astype(np.int64)
     c = np.asarray(counts, dtype=np.int64).ravel()
-    return [Fraction(int(ci) * int(ki - ci), int(ki) * int(ki)) for ci, ki in zip(c, k)]
+    n = c * (k - c)                       # <= k^2/4, fits int64 for any image
+    uniq = [int(v) for v in np.unique(k)]
+    if len(uniq) == 1:
+        return n                          # same denominator everywhere
+    m = math.lcm(*[v * v for v in uniq])
+    mult = {v: m // (v * v) for v in uniq}
+    if m <= (1 << 62) // max(1, int(n.max())):
+        lut = np.zeros(int(k.max()) + 1, dtype=np.int64)
+        for v, f in mult.items():
+            lut[v] = f
+        return n * lut[k]                 # products proven to fit int64
+    # arbitrary-precision fallback (enormous blocks): plain Python ints
+    return [int(ni) * mult[int(ki)] for ni, ki in zip(n, k)]
 
 
 def ranking_from_counts(counts: np.ndarray, h: int, w: int, block: int) -> List[int]:
     """Raster tile indices ranked by exact variance descending, raster ties."""
-    scores = _fractions(counts, h, w, block)
-    return sorted(range(len(scores)), key=lambda i: (-scores[i], i))
+    keys = _int_keys(counts, h, w, block)
+    if isinstance(keys, np.ndarray):
+        # stable mergesort on -keys == variance desc with raster tie-breaks
+        return list(np.argsort(-keys, kind="stable"))
+    return sorted(range(len(keys)), key=lambda i: (-keys[i], i))
 
 
 def best_offset_from_counts(counts: np.ndarray, h: int, w: int, block: int) -> int:
     """Raster pixel offset of the first strictly-max-variance tile — the
     hybrid strategy's start point (strict ``>`` scan, src/codec.py:441-450)."""
-    scores = _fractions(counts, h, w, block)
-    best_i = max(range(len(scores)), key=lambda i: (scores[i], -i))
+    keys = _int_keys(counts, h, w, block)
+    if isinstance(keys, np.ndarray):
+        best_i = int(np.argmax(keys))     # argmax returns the FIRST maximum
+    else:
+        best_i = max(range(len(keys)), key=lambda i: (keys[i], -i))
     nw = -(-w // block)
     y0 = (best_i // nw) * block
     x0 = (best_i % nw) * block

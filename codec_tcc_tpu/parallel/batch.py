@@ -578,23 +578,25 @@ def encode_batch_containers(
     if n % 8 == 0:
         # download bit-packed XOR maps, not the stego batch: 8/itemsize x
         # fewer bytes per plane on the tunnel's slow device->host direction,
-        # and the unpacked maps are exactly the container bitmap blobs —
-        # stego itself is rebuilt host-side as orig ^ diff (embed only ever
-        # touches the low `nbits` planes, so the maps carry the whole diff)
+        # and the packed planes are exactly the v2.1 container bitmap blobs —
+        # stego itself is rebuilt host-side as orig ^ diff. Only the first
+        # max(s) planes ever change (every strategy embeds into planes
+        # [0, s_i)), so the download/unpack covers max_s planes, not nbits.
         from ..ops.embed import xor_maps_packed_batch
 
+        max_s = int(plan.s.max())
         with stage("batch_download"):
-            packed = np.asarray(xor_maps_packed_batch(imgs_dev, stego_dev, nbits))
+            packed = np.asarray(xor_maps_packed_batch(imgs_dev, stego_dev, max_s))
         with stage("batch_unpack"):
-            maps_all = np.unpackbits(
-                packed.reshape(b * nbits, n // 8), axis=1
-            ).reshape(b, nbits, h, w)
+            maps_lo = np.unpackbits(
+                packed.reshape(b * max_s, n // 8), axis=1
+            ).reshape(b, max_s, h, w)
             diff = np.zeros((b, h, w), images.dtype)
-            for k in range(nbits):
-                diff |= maps_all[:, k].astype(images.dtype) << k
+            for k in range(max_s):
+                diff |= maps_lo[:, k].astype(images.dtype) << k
             stego = images ^ diff
     else:
-        maps_all = None
+        packed = None
         with stage("batch_download"):
             stego = np.asarray(stego_dev)
 
@@ -613,8 +615,12 @@ def encode_batch_containers(
         seg = segment_ops.distribute_segments(
             s, int(plan.payload_bits[i]), config.seed
         )
+        # the device download is already bit-packed per plane — v2.1 blobs
+        # zlib it as-is (8x less single-core deflate input than the raw
+        # 0/1-byte form, round-3 batch_pack breakdown)
+        packed_i = packed[i, :s] if packed is not None else None
         maps = (
-            maps_all[i, :s] if maps_all is not None
+            None if packed_i is not None
             else _host_xor_maps(images[i], stego[i], s)
         )
         meta = container_io.ContainerMeta(
@@ -626,14 +632,18 @@ def encode_batch_containers(
             payload_bits=int(plan.payload_bits[i]),
             align_across_planes=plan.align,
             has_bitmaps=config.store_bitmaps,
+            bitmaps_packed=config.store_bitmaps and packed_i is not None,
             sizes=seg.sizes, indices=seg.indices,
             eff_lengths=tuple(int(v) for v in plan.lengths[i, :s]),
             plane_starts=tuple(int(v) for v in plan.starts[i, :s]),
             ext=b"",
         )
-        bitmaps_blob = (
-            container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
-        )
+        if not config.store_bitmaps:
+            bitmaps_blob = b""
+        elif packed_i is not None:
+            bitmaps_blob = container_io.compress_bitmaps_packed(packed_i)
+        else:
+            bitmaps_blob = container_io.compress_bitmaps(maps)
         return container_io.pack(meta, bitmaps_blob, codec.encode(stego[i]))
 
     with stage("batch_pack"):

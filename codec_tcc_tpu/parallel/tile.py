@@ -360,9 +360,13 @@ def encode_array_tiled(
     from ..io.codecs import get as get_codec
 
     stego_blob = get_codec(config.codec).encode(stego)
-    bitmaps_blob = (
-        container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
-    )
+    bitmaps_packed = config.store_bitmaps and n % 8 == 0
+    if not config.store_bitmaps:
+        bitmaps_blob = b""
+    elif bitmaps_packed:
+        bitmaps_blob = container_io.compress_bitmaps_packed(maps)
+    else:
+        bitmaps_blob = container_io.compress_bitmaps(maps)
     meta = container_io.ContainerMeta(
         version=2,
         codec=config.codec,
@@ -378,6 +382,7 @@ def encode_array_tiled(
         payload_bits=total_bits,
         align_across_planes=pp.align_across_planes,
         has_bitmaps=config.store_bitmaps,
+        bitmaps_packed=bitmaps_packed,
         sizes=plan.sizes,
         indices=plan.indices,
         eff_lengths=tuple(int(v) for v in pp.lengths[:s]),

@@ -357,16 +357,18 @@ def pack_volume(
             payload_bits=int(result.slice_bits[i]),
             align_across_planes=align,
             has_bitmaps=True,
+            bitmaps_packed=(h * w) % 8 == 0,
             sizes=plan_i.sizes,
             indices=plan_i.indices,
             eff_lengths=tuple(int(v) for v in result.plan.lengths[i][:s]),
             plane_starts=tuple(int(v) for v in result.plan.starts[i][:s]),
         )
-        return container_io.pack(
-            meta,
-            container_io.compress_bitmaps(maps[i][:s]),
-            codec.encode(result.stego[i]),
+        blob = (
+            container_io.compress_bitmaps_packed(maps[i][:s])
+            if meta.bitmaps_packed
+            else container_io.compress_bitmaps(maps[i][:s])
         )
+        return container_io.pack(meta, blob, codec.encode(result.stego[i]))
 
     # per-slice compression in threads: zlib and the ctypes JPEG-LS codec
     # both release the GIL, so slices compress in parallel on host cores

@@ -289,30 +289,42 @@ def encode_array(
         if n % 8 == 0:
             # download bit-packed XOR maps instead of the stego image (the
             # tunnel's device->host direction is the slow one) and rebuild
-            # stego host-side as orig ^ diff; the unpacked maps are the
-            # container bitmaps, so no second diff pass happens on host
-            packed = np.asarray(embed_ops.xor_maps_packed_batch(
-                image_dev[None], stego_dev[None], kernel_bits
+            # stego host-side as orig ^ diff; the packed planes are the
+            # v2.1 container bitmap blob, so no second diff pass happens on
+            # host. Every strategy embeds into planes [0, s) only, so s
+            # planes cover the whole diff — no need to ship all kernel_bits.
+            packed_maps = np.asarray(embed_ops.xor_maps_packed_batch(
+                image_dev[None], stego_dev[None], s
             ))[0]
             maps = np.unpackbits(
-                packed.reshape(kernel_bits, n // 8), axis=1
-            ).reshape(kernel_bits, h, w)
+                packed_maps.reshape(s, n // 8), axis=1
+            ).reshape(s, h, w)
             diff = np.zeros((h, w), image.dtype)
-            for k in range(kernel_bits):
+            for k in range(s):
                 diff |= maps[k].astype(image.dtype) << k
             stego = image ^ diff
-            maps = maps[:s]
         else:
             stego = np.asarray(stego_dev)
             maps = _host_xor_maps(image, stego, s)
+            packed_maps = None
 
-    # 5. transport codec + container
+    # 5. transport codec + container (v2 stores the bitmap planes bit-packed
+    # before zlib — 8x less single-core deflate input; v1 must keep the
+    # reference's raw 0/1-byte blob so its own parse path reads our files)
+    bitmaps_packed = (
+        config.store_bitmaps and config.container_version == 2 and n % 8 == 0
+    )
     with stage("transport_codec"):
         codec = get_codec(config.codec)
         stego_blob = codec.encode(stego)
-        bitmaps_blob = (
-            container_io.compress_bitmaps(maps) if config.store_bitmaps else b""
-        )
+        if not config.store_bitmaps:
+            bitmaps_blob = b""
+        elif bitmaps_packed:
+            bitmaps_blob = container_io.compress_bitmaps_packed(
+                packed_maps if packed_maps is not None else maps
+            )
+        else:
+            bitmaps_blob = container_io.compress_bitmaps(maps)
 
     ext = b""
     if config.strategy == "block_adaptive":
@@ -333,6 +345,7 @@ def encode_array(
         payload_bits=total_bits,
         align_across_planes=pp.align_across_planes,
         has_bitmaps=config.store_bitmaps,
+        bitmaps_packed=bitmaps_packed,
         sizes=plan.sizes,
         indices=plan.indices,
         eff_lengths=tuple(int(v) for v in pp.lengths[:s]),

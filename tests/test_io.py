@@ -131,6 +131,37 @@ def test_v2_pack_parse_roundtrip():
     np.testing.assert_array_equal(cont.bitmaps(), maps)
 
 
+def test_v2_packed_bitmaps_roundtrip(rng):
+    """v2.1 FLAG_PACKED_BITMAPS: the blob zlibs bit-PACKED planes; parse
+    reports the flag and bitmaps() returns the identical unpacked maps.
+    Both writer inputs — unpacked (s,H,W) maps and the device's already
+    bit-packed (s,H*W/8) download — must produce the same blob."""
+    maps = rng.integers(0, 2, size=(3, 48, 64)).astype(np.uint8)
+    packed = np.packbits(maps.reshape(3, -1), axis=1)
+    meta = _meta(bitmaps_packed=True)
+    blob_a = container_io.compress_bitmaps_packed(maps)
+    blob_b = container_io.compress_bitmaps_packed(packed)
+    assert blob_a == blob_b
+    cont = container_io.parse(container_io.pack(meta, blob_a, b"STEGO"))
+    assert cont.meta.bitmaps_packed
+    np.testing.assert_array_equal(cont.bitmaps(), maps)
+    # unpacked blobs (flag off) keep parsing — on-disk back-compat with
+    # round-1/2 v2 files (the golden fixtures pin this end-to-end too)
+    cont2 = container_io.parse(
+        container_io.pack(_meta(), container_io.compress_bitmaps(maps), b"S")
+    )
+    assert not cont2.meta.bitmaps_packed
+    np.testing.assert_array_equal(cont2.bitmaps(), maps)
+    # a packed blob whose bit count disagrees with the header must refuse
+    bad = container_io.pack(
+        _meta(bitmaps_packed=True), container_io.compress_bitmaps_packed(
+            packed[:, :-1]
+        ), b"S",
+    )
+    with pytest.raises(ValueError, match="Invalid file"):
+        container_io.parse(bad).bitmaps()
+
+
 def test_v2_negative_planned_size():
     """The reference's excess correction can go negative (SURVEY B-edge);
     v2 stores signed sizes."""
