@@ -104,22 +104,39 @@ def _h_y(counts_y: np.ndarray, size: int) -> float:
 
 def _mi_plane(counts_y: np.ndarray, size: int, plane: int, h_y: float) -> float:
     """One plane's MI given the padded histogram and hoisted ``h_y``."""
-    n = counts_y.size
-    values = np.arange(n, dtype=np.int64)
-    bit = (values >> plane) & 1
+    nz = np.nonzero(counts_y)[0]
+    return _mi_plane_nz(nz, counts_y[nz], size, plane, h_y)
 
-    c1 = int(counts_y[bit == 1].sum())
+
+def _mi_plane_nz(
+    nz: np.ndarray, cnz: np.ndarray, size: int, plane: int, h_y: float
+) -> float:
+    """MI replay on the histogram's nonzero support only.
+
+    The reference filters every operand array to its nonzero entries before
+    the float64 ``probs * log2(probs)`` sums (src/codec.py:516-544), so
+    building the full ``max_val+1``-bin arrays just to mask them again is
+    pure waste — a 512x512 DICOM has a few hundred distinct values against
+    65,536 bins, and this construction dominated the batch planner's MI time
+    (round-3 profile: ~4.5 ms/plane). Restricting to ``(nz, cnz)`` yields
+    the IDENTICAL filtered operand arrays in the identical (ascending-value)
+    order, so every ``np.sum`` sees the same floats: bit-exact, golden-
+    tested (`tests/test_oracle_golden.py`)."""
+    bit = (nz >> plane) & 1
+    c1 = int(cnz[bit == 1].sum())
     c0 = size - c1
     # reference shortcut: constant plane or constant image -> 0.0
-    if c0 == 0 or c1 == 0 or np.count_nonzero(counts_y) <= 1:
+    if c0 == 0 or c1 == 0 or nz.size <= 1:
         return 0.0
 
     counts_x = np.array([c0, c1], dtype=np.int64)
     probs_x = counts_x[counts_x > 0] / float(size)
     h_x = -np.sum(probs_x * np.log2(probs_x))
 
-    joint = np.concatenate([np.where(bit == 0, counts_y, 0), np.where(bit == 1, counts_y, 0)])
-    joint_probs = joint[joint > 0] / float(size)
+    # reference operand order: bit-0 counts ascending v, then bit-1 counts
+    # ascending v, zeros filtered — boolean masks keep ascending order
+    joint_nz = np.concatenate([cnz[bit == 0], cnz[bit == 1]])
+    joint_probs = joint_nz / float(size)
     h_xy = -np.sum(joint_probs * np.log2(joint_probs))
 
     return max(0.0, float(h_x + h_y - h_xy))
@@ -151,11 +168,13 @@ def plane_mi_curve(
     counts_y[: counts.size] = counts[:n]
     h_y = _h_y(counts_y, size)
 
+    nz = np.nonzero(counts_y)[0]
+    cnz = counts_y[nz]
     stop_at = None if stop_at_beta is None else stop_at_beta * h
     mi = np.zeros(nbits, dtype=np.float64)
     acc = 0.0
     for p in range(nbits):
-        mi[p] = _mi_plane(counts_y, size, p, h_y)
+        mi[p] = _mi_plane_nz(nz, cnz, size, p, h_y)
         acc += mi[p]
         if stop_at is not None and acc >= stop_at:
             break
