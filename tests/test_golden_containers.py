@@ -28,6 +28,24 @@ def test_golden_lsb_containers_decode(strategy):
     np.testing.assert_array_equal(dec.original, img)
 
 
+def test_golden_packed_bitmaps_container_decodes():
+    """Round-3 v2.1 fixture: FLAG_PACKED_BITMAPS container committed the day
+    the flag landed — future format drift in the packed blob layout (bit
+    order, plane count, zlib framing) breaks this, not just fresh
+    round-trips."""
+    from codec_tcc_tpu.io import container as container_io
+
+    img = np.load(os.path.join(DATA, "golden_image.npy"))
+    with open(os.path.join(DATA, "golden_hybrid_packed.stgc"), "rb") as f:
+        blob = f.read()
+    cont = container_io.parse(blob)
+    assert cont.meta.bitmaps_packed and cont.meta.has_bitmaps
+    dec = decode_container(blob)
+    assert dec.meta.strategy == "hybrid"
+    assert dec.payload == _payload()
+    np.testing.assert_array_equal(dec.original, img)
+
+
 def test_golden_pee_container_decodes():
     img = np.load(os.path.join(DATA, "golden_pee_image.npy"))
     with open(os.path.join(DATA, "golden_pee.stgc"), "rb") as f:
