@@ -85,11 +85,29 @@ __all__ = [
     "collect_bits",
 ]
 
-TILE_PX = 65536                 # pixels per grid step
+TILE_PX = 65536                 # DEFAULT pixels per grid step
 _TROWS = TILE_PX // _LANE       # 512 pixel-major rows per tile
 _WCAP = TILE_PX // 2            # max eligible pixels per tile (checkerboard)
 _WROWS = _WCAP // _LANE         # 256 window rows
 _WBUF_ROWS = _WROWS + _PAD_R    # message DMA buffer rows
+
+# Larger tiles amortize the kernels' per-grid-step floor (measured ~5-6 us
+# on v5e: a copy-only variant of the grid runs at full-math speed, so the
+# bound is step overhead + DMA issue, not compute). tile_px is threaded as a
+# static parameter; 65536 reproduces the round-2 kernels bit-for-bit, and
+# every derived dimension scales: TROWS = tile_px/128 buffer rows per step,
+# WROWS = tile_px/256 message-window rows, fetch/scatter one-hot segments =
+# WROWS/128. VMEM per step grows linearly (~270 KB at 65536); the remote
+# compiler 500s on multi-MB blocks, so sizes beyond 262144 are not offered.
+
+
+def _tile_geom(tile_px: int) -> Tuple[int, int, int]:
+    """(trows, wrows, wbuf_rows) for a given tile size."""
+    if tile_px % (2 * _LANE * _LANE) != 0:
+        raise ValueError(f"tile_px {tile_px} must be a multiple of 32768")
+    trows = tile_px // _LANE
+    wrows = tile_px // (2 * _LANE)
+    return trows, wrows, wrows + _PAD_R
 def _halo(w: int) -> int:
     """Image halo rows for width ``w``: must cover the rhombus prediction's
     vertical-neighbor offset of ``w // 128`` pixel-major buffer rows, rounded
@@ -98,7 +116,7 @@ def _halo(w: int) -> int:
     return max(8, ((w // _LANE + 7) // 8) * 8)
 
 
-def supports(h: int, w: int) -> bool:
+def supports(h: int, w: int, tile_px: int = TILE_PX) -> bool:
     """Whether these kernels handle an (h, w) image DIRECTLY (no padding):
     the width must pack an integral number of pixel-major rows (the
     in-kernel rhombus prediction's vertical-neighbor offset is ``w // 128``
@@ -106,7 +124,7 @@ def supports(h: int, w: int) -> bool:
     evenly. Other geometries run via :func:`padded_geometry` + the
     ``buf_w`` kernel parameter (round-2 verdict #4: a 640x480 or 500x500
     image must not fall off a ~40x cliff to the XLA path)."""
-    return w % _LANE == 0 and w >= _LANE and (h * w) % TILE_PX == 0
+    return w % _LANE == 0 and w >= _LANE and (h * w) % tile_px == 0
 
 
 def routeable(h: int, w: int) -> bool:
@@ -125,7 +143,7 @@ def routeable(h: int, w: int) -> bool:
     return hb * wb <= 2 * h * w
 
 
-def padded_geometry(h: int, w: int) -> Tuple[int, int]:
+def padded_geometry(h: int, w: int, tile_px: int = TILE_PX) -> Tuple[int, int]:
     """Smallest buffer geometry ``(hb, wb)`` the kernels accept that embeds
     a logical (h, w) image: ``wb`` is the width rounded up to a full lane
     row, ``hb`` the height rounded up so the buffer tiles evenly. Padding is
@@ -135,24 +153,25 @@ def padded_geometry(h: int, w: int) -> Tuple[int, int]:
     import math
 
     wb = max(_LANE, -(-w // _LANE) * _LANE)
-    step = (TILE_PX // _LANE) // math.gcd(wb // _LANE, TILE_PX // _LANE)
+    trows = tile_px // _LANE
+    step = trows // math.gcd(wb // _LANE, trows)
     hb = -(-h // step) * step
     return hb, wb
 
 
-def pad_batch(images, h: int, w: int):
+def pad_batch(images, h: int, w: int, tile_px: int = TILE_PX):
     """(B, h, w) -> (B, hb*wb/128, 128) zero-padded pixel-major buffer."""
     import jax.numpy as _jnp
 
-    hb, wb = padded_geometry(h, w)
+    hb, wb = padded_geometry(h, w, tile_px)
     x = _jnp.asarray(images)
     x = _jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w)))
     return x.reshape(x.shape[0], hb * wb // _LANE, _LANE)
 
 
-def unpad_batch(x3, h: int, w: int):
+def unpad_batch(x3, h: int, w: int, tile_px: int = TILE_PX):
     """Inverse of :func:`pad_batch` for (B, hb*wb/128, 128) buffers."""
-    hb, wb = padded_geometry(h, w)
+    hb, wb = padded_geometry(h, w, tile_px)
     return x3.reshape(x3.shape[0], hb, wb)[:, :h, :w]
 
 
@@ -322,19 +341,19 @@ def _classify(x, pred, in_set, t: int, max_val: int):
     return e, expandable, overflow, eligible
 
 
-def _halo_predict(hbuf, w: int):
+def _halo_predict(hbuf, w: int, trows: int = _TROWS):
     """Rhombus prediction for the tile's center rows from the haloed image
-    buffer ``(TROWS + 2*_halo(w), 128)`` (uint8/uint16). Returns (x, pred) as
-    int32 ``(TROWS, 128)``. Values at image borders are garbage — harmless,
+    buffer ``(trows + 2*_halo(w), 128)`` (uint8/uint16). Returns (x, pred) as
+    int32 ``(trows, 128)``. Values at image borders are garbage — harmless,
     since only interior checkerboard pixels are eligible/processed."""
     wr = w // _LANE
     hl = _halo(w)
     buf = hbuf[...].astype(jnp.int32)
-    center = buf[hl : hl + _TROWS]
-    up = buf[hl - wr : hl - wr + _TROWS]
-    down = buf[hl + wr : hl + wr + _TROWS]
-    prev = buf[hl - 1 : hl - 1 + _TROWS]
-    nxt = buf[hl + 1 : hl + 1 + _TROWS]
+    center = buf[hl : hl + trows]
+    up = buf[hl - wr : hl - wr + trows]
+    down = buf[hl + wr : hl + wr + trows]
+    prev = buf[hl - 1 : hl - 1 + trows]
+    nxt = buf[hl + 1 : hl + 1 + trows]
     col = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
     left = jnp.where(
         col >= 1, pltpu.roll(center, 1, 1), pltpu.roll(prev, 1, 1)
@@ -346,25 +365,28 @@ def _halo_predict(hbuf, w: int):
     return center, (up + down + left + right) // 4
 
 
-def _fetch_rows(win, onehot_for, rowpref):
+def _fetch_rows(win, onehot_for, rowpref, wrows: int = _WROWS):
     """Per-row window slices: out[r, j] = win_flat[rowpref[r] + j].
 
-    ``win`` is the rotated (row-aligned) window as int32 ``(>=_WROWS+1, 128)``;
-    the row index ``ar = rowpref >> 7`` spans [0, _WROWS), selected by
-    low/high one-hot matmuls; the residual ``br`` is applied as conditional
-    lane rotations."""
+    ``win`` is the rotated (row-aligned) window as int32 ``(>=wrows+1, 128)``;
+    the row index ``ar = rowpref >> 7`` spans [0, wrows), selected by
+    ``wrows/128`` one-hot matmul segments; the residual ``br`` is applied as
+    conditional lane rotations."""
     ar = rowpref >> 7
     br = rowpref & (_LANE - 1)
     winf = win.astype(jnp.bfloat16)
 
     def select(base_row_shift: int, a):
-        lo = onehot_for(a).astype(jnp.bfloat16)
-        hi = onehot_for(a - _LANE).astype(jnp.bfloat16)
-        out = jnp.dot(lo, winf[base_row_shift : base_row_shift + _LANE],
-                      preferred_element_type=jnp.float32)
-        out = out + jnp.dot(
-            hi, winf[base_row_shift + _LANE : base_row_shift + 2 * _LANE],
-            preferred_element_type=jnp.float32)
+        out = None
+        for k in range(wrows // _LANE):
+            oh = onehot_for(a - k * _LANE).astype(jnp.bfloat16)
+            part = jnp.dot(
+                oh,
+                winf[base_row_shift + k * _LANE
+                     : base_row_shift + (k + 1) * _LANE],
+                preferred_element_type=jnp.float32,
+            )
+            out = part if out is None else out + part
         return out.astype(jnp.int32)
 
     p_rows = select(0, ar)
@@ -380,16 +402,17 @@ def _fetch_rows(win, onehot_for, rowpref):
 # ---------------------------------------------------------------------------
 
 
-def _start_img_dma(imgp_ref, hbuf, hsem, step, tiles: int, w: int):
+def _start_img_dma(imgp_ref, hbuf, hsem, step, tiles: int, w: int,
+                   trows: int = _TROWS):
     """Issue the haloed image-row DMA for flat grid ``step`` into buffer slot
     ``step % 2``. Returns the copy descriptor (same args re-create it for the
     matching ``wait``)."""
     bb = step // tiles
     tt = step % tiles
     slot = step % 2
-    row_img = pl.multiple_of(tt * _TROWS, _ALIGN_R)
+    row_img = pl.multiple_of(tt * trows, _ALIGN_R)
     return pltpu.make_async_copy(
-        imgp_ref.at[bb, pl.ds(row_img, _TROWS + 2 * _halo(w)), :],
+        imgp_ref.at[bb, pl.ds(row_img, trows + 2 * _halo(w)), :],
         hbuf.at[slot], hsem.at[slot],
     )
 
@@ -400,8 +423,9 @@ def _embed_kernel(
     stego_ref, over_ref, nproc_ref, cnt_ref,  # outs: tile, tile, SMEM (B,T) x2
     hbuf, hsem, wbuf, wsem, carry,    # scratch
     *, h: int, w: int, wb: int, parity: int, t: int, max_val: int, l2: int,
-    tiles: int, batch: int,
+    tiles: int, batch: int, tile_px: int = TILE_PX,
 ):
+    trows, wrows, _ = _tile_geom(tile_px)
     b = pl.program_id(0)
     tt = pl.program_id(1)
 
@@ -414,13 +438,13 @@ def _embed_kernel(
 
     @pl.when(step == 0)
     def _():
-        _start_img_dma(imgp_ref, hbuf, hsem, 0, tiles, wb).start()
+        _start_img_dma(imgp_ref, hbuf, hsem, 0, tiles, wb, trows).start()
 
     @pl.when(step + 1 < batch * tiles)
     def _():
-        _start_img_dma(imgp_ref, hbuf, hsem, step + 1, tiles, wb).start()
+        _start_img_dma(imgp_ref, hbuf, hsem, step + 1, tiles, wb, trows).start()
 
-    cp_img = _start_img_dma(imgp_ref, hbuf, hsem, step, tiles, wb)
+    cp_img = _start_img_dma(imgp_ref, hbuf, hsem, step, tiles, wb, trows)
     hview = hbuf.at[step % 2]
 
     # rank_base/pos_base generalize the kernel to a SHARD of a larger image
@@ -458,7 +482,7 @@ def _embed_kernel(
     delta = mb - mb_al
     row0 = pl.multiple_of(mb_al // _LANE, _ALIGN_R)
     cp_msg = pltpu.make_async_copy(
-        msg_ref.at[pl.ds(row0, _WBUF_ROWS), :], wbuf, wsem
+        msg_ref.at[pl.ds(row0, wrows + _PAD_R), :], wbuf, wsem
     )
 
     @pl.when(active)
@@ -469,27 +493,27 @@ def _embed_kernel(
     def _():
         cp_img.wait()
         hl = _halo(wb)
-        stego_ref[0] = hview[hl : hl + _TROWS]
-        over_ref[0] = jnp.zeros((_TROWS, _LANE), jnp.uint8)
+        stego_ref[0] = hview[hl : hl + trows]
+        over_ref[0] = jnp.zeros((trows, _LANE), jnp.uint8)
         nproc_ref[b, tt] = 0
         cnt_ref[b, tt] = 0
 
     @pl.when(active)
     def _():
-        r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
-        c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
-        pos = pos_base_ref[b] + tt * TILE_PX + r_id * _LANE + c_id
+        r_id = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANE), 0)
+        c_id = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANE), 1)
+        pos = pos_base_ref[b] + tt * tile_px + r_id * _LANE + c_id
         in_set, set_rank = _geometry(pos, h, w, wb, parity)
 
         cp_img.wait()
-        x, pred = _halo_predict(hview, wb)
+        x, pred = _halo_predict(hview, wb, trows)
         e, expandable, overflow, eligible = _classify(
             x, pred, in_set, t, max_val
         )
 
         elig = eligible.astype(jnp.int32)
         inrow_incl, rowtot, rowpref = _mxu_prefixes(elig)
-        tile_cnt = rowpref[_TROWS - 1, 0] + rowtot[_TROWS - 1, 0]
+        tile_cnt = rowpref[trows - 1, 0] + rowtot[trows - 1, 0]
         carry[0] = tile_base + tile_cnt
 
         grank_incl = tile_base + rowpref + inrow_incl
@@ -499,12 +523,12 @@ def _embed_kernel(
         )
 
         cp_msg.wait()
-        win = _rot_window(wbuf[...].astype(jnp.int32), delta, _WROWS + 8)
+        win = _rot_window(wbuf[...].astype(jnp.int32), delta, wrows + 8)
 
         def onehot_for(a):
             return c_id == a
 
-        rw = _fetch_rows(win, onehot_for, rowpref)   # rw[c] = win[rowpref+c]
+        rw = _fetch_rows(win, onehot_for, rowpref, wrows)
         bits = _expand_rows(rw, embeds.astype(jnp.int32))
 
         e_new = jnp.where(
@@ -521,19 +545,22 @@ def _embed_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "wb", "parity", "t", "max_val", "l2", "interpret"),
+    static_argnames=(
+        "h", "w", "wb", "parity", "t", "max_val", "l2", "interpret", "tile_px"
+    ),
 )
 def _embed_call(
     imgs_pad, msg2d, msg_base, want, pos_base, rank_base,
     h: int, w: int, wb: int, parity: int, t: int, max_val: int, l2: int,
-    interpret: bool = False,
+    interpret: bool = False, tile_px: int = TILE_PX,
 ):
+    trows, _, wbuf_rows = _tile_geom(tile_px)
     b = imgs_pad.shape[0]
     nr = imgs_pad.shape[1] - 2 * _halo(wb)
-    tiles = nr // _TROWS
+    tiles = nr // trows
     kernel = functools.partial(
         _embed_kernel, h=h, w=w, wb=wb, parity=parity, t=t, max_val=max_val,
-        l2=l2, tiles=tiles, batch=b,
+        l2=l2, tiles=tiles, batch=b, tile_px=tile_px,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -543,9 +570,9 @@ def _embed_call(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+            pl.BlockSpec((1, trows, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+            pl.BlockSpec((1, trows, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
             # full-array SMEM refs, written at [b, t] (Mosaic rejects (1,1)
             # blocks: last two block dims must be 8/128-divisible or full)
@@ -553,9 +580,9 @@ def _embed_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _TROWS + 2 * _halo(wb), _LANE), imgs_pad.dtype),
+            pltpu.VMEM((2, trows + 2 * _halo(wb), _LANE), imgs_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((_WBUF_ROWS, _LANE), jnp.uint8),
+            pltpu.VMEM((wbuf_rows, _LANE), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.int32),
         ],
@@ -584,8 +611,9 @@ def _extract_kernel(
     restored_ref, seg_ref, cnt_ref,    # outs: tile, (1,1,WROWS,128), SMEM
     hbuf, hsem,
     *, h: int, w: int, wb: int, parity: int, t: int, max_val: int,
-    tiles: int, batch: int,
+    tiles: int, batch: int, tile_px: int = TILE_PX,
 ):
+    trows, wrows, _ = _tile_geom(tile_px)
     b = pl.program_id(0)
     tt = pl.program_id(1)
 
@@ -594,13 +622,13 @@ def _extract_kernel(
 
     @pl.when(step == 0)
     def _():
-        _start_img_dma(stegop_ref, hbuf, hsem, 0, tiles, wb).start()
+        _start_img_dma(stegop_ref, hbuf, hsem, 0, tiles, wb, trows).start()
 
     @pl.when(step + 1 < batch * tiles)
     def _():
-        _start_img_dma(stegop_ref, hbuf, hsem, step + 1, tiles, wb).start()
+        _start_img_dma(stegop_ref, hbuf, hsem, step + 1, tiles, wb, trows).start()
 
-    cp = _start_img_dma(stegop_ref, hbuf, hsem, step, tiles, wb)
+    cp = _start_img_dma(stegop_ref, hbuf, hsem, step, tiles, wb, trows)
     hview = hbuf.at[step % 2]
 
     # Scalar lower bound on the tile's first inclusive in-set rank: ranks are
@@ -608,7 +636,7 @@ def _extract_kernel(
     # in_row >= 1, so min rank >= row_excl(first row) + 1. Tiles entirely
     # past `nproc` have no processed pixels — pure stego copy (with
     # realistic payloads most tiles, and whole nproc==0 passes, skip).
-    y0 = (pos_base_ref[b] + tt * TILE_PX) // wb
+    y0 = (pos_base_ref[b] + tt * tile_px) // wb
     m0 = jnp.clip(y0 - 1, 0, h - 2)
     if parity % 2 == 0:
         n_q1 = (m0 + 1) // 2
@@ -621,19 +649,19 @@ def _extract_kernel(
     def _():
         cp.wait()
         hl = _halo(wb)
-        restored_ref[0] = hview[hl : hl + _TROWS]
-        seg_ref[0, 0] = jnp.zeros((_WROWS, _LANE), jnp.uint8)
+        restored_ref[0] = hview[hl : hl + trows]
+        seg_ref[0, 0] = jnp.zeros((wrows, _LANE), jnp.uint8)
         cnt_ref[b, tt] = 0
 
     @pl.when(active)
     def _():
-        r_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 0)
-        c_id = jax.lax.broadcasted_iota(jnp.int32, (_TROWS, _LANE), 1)
-        pos = pos_base_ref[b] + tt * TILE_PX + r_id * _LANE + c_id
+        r_id = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANE), 0)
+        c_id = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANE), 1)
+        pos = pos_base_ref[b] + tt * tile_px + r_id * _LANE + c_id
         in_set, set_rank = _geometry(pos, h, w, wb, parity)
         ov = over_ref[0].astype(jnp.int32) > 0  # no unsigned-i8 compares (v5e)
         cp.wait()
-        x2, pred = _halo_predict(hview, wb)
+        x2, pred = _halo_predict(hview, wb, trows)
 
         e2 = x2 - pred
         processed = in_set & (set_rank <= nproc_ref[b]) & ~ov
@@ -673,48 +701,49 @@ def _extract_kernel(
                                              preferred_element_type=jnp.float32)
 
         # Mosaic has no f32->u8 cast; hop through int32
-        seg_ref[0, 0, 0:_LANE] = (
-            scatter_half(ar).astype(jnp.int32).astype(jnp.uint8)
-        )
-        seg_ref[0, 0, _LANE : 2 * _LANE] = (
-            scatter_half(ar - _LANE).astype(jnp.int32).astype(jnp.uint8)
-        )
-        cnt_ref[b, tt] = rowpref[_TROWS - 1, 0] + rowcnt[_TROWS - 1, 0]
+        for k in range(wrows // _LANE):
+            seg_ref[0, 0, k * _LANE : (k + 1) * _LANE] = (
+                scatter_half(ar - k * _LANE).astype(jnp.int32).astype(jnp.uint8)
+            )
+        cnt_ref[b, tt] = rowpref[trows - 1, 0] + rowcnt[trows - 1, 0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "wb", "parity", "t", "max_val", "interpret"),
+    static_argnames=(
+        "h", "w", "wb", "parity", "t", "max_val", "interpret", "tile_px"
+    ),
 )
 def _extract_call(
     stego_pad, over3, nproc, pos_base,
     h: int, w: int, wb: int, parity: int, t: int, max_val: int,
-    interpret: bool = False,
+    interpret: bool = False, tile_px: int = TILE_PX,
 ):
+    trows, wrows, _ = _tile_geom(tile_px)
     b = stego_pad.shape[0]
     nr = stego_pad.shape[1] - 2 * _halo(wb)
-    tiles = nr // _TROWS
+    tiles = nr // trows
     kernel = functools.partial(
         _extract_kernel, h=h, w=w, wb=wb, parity=parity, t=t, max_val=max_val,
-        tiles=tiles, batch=b,
+        tiles=tiles, batch=b, tile_px=tile_px,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+            pl.BlockSpec((1, trows, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0),
+            pl.BlockSpec((1, trows, _LANE), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _WROWS, _LANE), lambda bb, tt, *_: (bb, tt, 0, 0),
+            pl.BlockSpec((1, 1, wrows, _LANE), lambda bb, tt, *_: (bb, tt, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _TROWS + 2 * _halo(wb), _LANE), stego_pad.dtype),
+            pltpu.VMEM((2, trows + 2 * _halo(wb), _LANE), stego_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -723,7 +752,7 @@ def _extract_call(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nr, _LANE), stego_pad.dtype),
-            jax.ShapeDtypeStruct((b, tiles, _WROWS, _LANE), jnp.uint8),
+            jax.ShapeDtypeStruct((b, tiles, wrows, _LANE), jnp.uint8),
             jax.ShapeDtypeStruct((b, tiles), jnp.int32),
         ),
         interpret=interpret,
@@ -735,33 +764,39 @@ def _extract_call(
 # ---------------------------------------------------------------------------
 
 
-def _prep_stride(lpad: int, n_pixels: int) -> int:
+def _prep_stride(lpad: int, n_pixels: int, tile_px: int = TILE_PX) -> int:
     """Per-image message stride ``l2`` for the kernels' DMA bound (shared by
     the host and device preps so the layouts cannot drift). A multiple of
-    ``_ALIGN_E`` (2048), hence of ``_LANE``."""
-    l2 = lpad + n_pixels // 2 + _WBUF_ROWS * _LANE
+    ``_ALIGN_E`` (2048), hence of ``_LANE``. ``tile_px`` MUST match the pass
+    calls': a larger tile copies a larger message window per step."""
+    _, _, wbuf_rows = _tile_geom(tile_px)
+    l2 = lpad + n_pixels // 2 + wbuf_rows * _LANE
     return (l2 + _ALIGN_E - 1) // _ALIGN_E * _ALIGN_E
 
 
-def prep_messages(msgs: np.ndarray, n_pixels: int) -> Tuple[np.ndarray, int]:
+def prep_messages(
+    msgs: np.ndarray, n_pixels: int, tile_px: int = TILE_PX
+) -> Tuple[np.ndarray, int]:
     """Host prep: per-image message streams in one flat (rows, 128) buffer
     with per-image stride ``l2`` sized for the kernel's DMA bound."""
     b, lpad = msgs.shape
-    l2 = _prep_stride(lpad, n_pixels)
+    l2 = _prep_stride(lpad, n_pixels, tile_px)
     flat = np.zeros(b * l2, dtype=np.uint8)
     for i in range(b):
         flat[i * l2 : i * l2 + lpad] = msgs[i]
     return flat.reshape(-1, _LANE), l2
 
 
-def prep_messages_device(msgs: jax.Array, n_pixels: int) -> Tuple[jax.Array, int]:
+def prep_messages_device(
+    msgs: jax.Array, n_pixels: int, tile_px: int = TILE_PX
+) -> Tuple[jax.Array, int]:
     """Device twin of :func:`prep_messages` for device-resident message
     rows: each image's stream zero-padded to the ``l2`` stride and flattened
     to (rows, 128). ``l2`` is ``_ALIGN_E``-aligned, so the reshape is exact.
     Lets callers ship messages over the host link 8x packed (or generate
     them on device) instead of uploading the strided uint8 layout."""
     b, lpad = msgs.shape
-    l2 = _prep_stride(lpad, n_pixels)
+    l2 = _prep_stride(lpad, n_pixels, tile_px)
     flat = jnp.pad(msgs.astype(jnp.uint8), ((0, 0), (0, l2 - lpad)))
     return flat.reshape(-1, _LANE), l2
 
@@ -783,8 +818,14 @@ def embed_pass_batch(
     *,
     shard: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     buf_w: Optional[int] = None,
+    tile_px: int = TILE_PX,
 ):
     """One PEE pass. Returns (stego3, overflow3 u8, used (B,), nproc (B,)).
+
+    ``tile_px`` sets the pixels per grid step (default 65536 = the round-2
+    kernels exactly). Larger tiles amortize the ~5-6 us per-step floor;
+    ``prep_messages``/``pad_batch``/``padded_geometry`` must be called with
+    the SAME value (the message-window DMA and buffer tiling scale with it).
 
     ``buf_w`` runs the kernels on a width-PADDED buffer (``pad_batch`` /
     ``padded_geometry``): ``imgs3`` is then the padded pixel-major layout
@@ -816,18 +857,19 @@ def embed_pass_batch(
     used to build a cross-shard rank prefix (tile_pee computes an exact
     XLA count for that instead).
     """
+    trows, _, wbuf_rows = _tile_geom(tile_px)
     wb = w if buf_w is None else int(buf_w)
     if shard is None:
         if buf_w is None:
-            if not supports(h, w):
+            if not supports(h, w, tile_px):
                 raise ValueError(
                     f"pallas PEE kernels do not support {h}x{w} images "
                     f"directly (need w % 128 == 0 and >= 128, n % "
-                    f"{TILE_PX} == 0); pass buf_w=padded_geometry(h, w)[1] "
+                    f"{tile_px} == 0); pass buf_w=padded_geometry(h, w)[1] "
                     f"with a pad_batch buffer"
                 )
         else:
-            if wb % _LANE or wb < _LANE or (imgs3.shape[1] * _LANE) % TILE_PX:
+            if wb % _LANE or wb < _LANE or (imgs3.shape[1] * _LANE) % tile_px:
                 raise ValueError(
                     f"padded buffer ({imgs3.shape[1]} rows, buf_w={wb}) does "
                     f"not tile; use pad_batch/padded_geometry"
@@ -846,15 +888,15 @@ def embed_pass_batch(
         imgs_pad, pos_base, rank_base = shard
         pos_base = pos_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
         rank_base = rank_base.astype(jnp.int32).reshape(imgs_pad.shape[0])
-        if (imgs_pad.shape[1] - 2 * _halo(w)) % _TROWS:
+        if (imgs_pad.shape[1] - 2 * _halo(w)) % trows:
             raise ValueError(
                 f"shard buffer rows {imgs_pad.shape[1]} do not tile "
-                f"(need halo {_halo(w)} rows each side + k*{_TROWS})"
+                f"(need halo {_halo(w)} rows each side + k*{trows})"
             )
         # necessary (not sufficient — Lpad is unknown here) guard against
         # the classic shard-mode mistake of sizing prep_messages with the
         # LOCAL pixel count; see the module docstring's DMA bound
-        if l2 < h * w // 2 + _WBUF_ROWS * _LANE:
+        if l2 < h * w // 2 + wbuf_rows * _LANE:
             raise ValueError(
                 f"l2={l2} too small for global geometry {h}x{w}: size "
                 f"prep_messages with the GLOBAL pixel count"
@@ -863,6 +905,7 @@ def embed_pass_batch(
         imgs_pad, msg2d, msg_base.astype(jnp.int32), want.astype(jnp.int32),
         pos_base, rank_base,
         h, w, wb, parity, t, max_val, l2, interpret=interpret,
+        tile_px=tile_px,
     )
     cap = jnp.sum(cnt_t, axis=1)
     if shard is not None:
@@ -881,9 +924,11 @@ def extract_pass_batch(
     *,
     shard: Optional[Tuple[jax.Array, jax.Array]] = None,
     buf_w: Optional[int] = None,
+    tile_px: int = TILE_PX,
 ):
-    """Invert one PEE pass. Returns (restored3, segs (B,T,256,128) u8,
-    counts (B,T) int32); feed segs/counts to :func:`collect_bits`.
+    """Invert one PEE pass. Returns (restored3, segs (B,T,tile_px/256,128)
+    u8, counts (B,T) int32); feed segs/counts to :func:`collect_bits`.
+    ``tile_px`` must match the embed pass's (see :func:`embed_pass_batch`).
 
     ``shard=(stego_pad, pos_base)`` inverts one SHARD of a larger image (see
     :func:`embed_pass_batch`): the caller supplies the padded buffer with
@@ -899,20 +944,20 @@ def extract_pass_batch(
         pos_base = pos_base.astype(jnp.int32).reshape(stego_pad.shape[0])
         return _extract_call(
             stego_pad, over3, nproc.astype(jnp.int32), pos_base,
-            h, w, w, parity, t, max_val, interpret=interpret,
+            h, w, w, parity, t, max_val, interpret=interpret, tile_px=tile_px,
         )
     wb = w if buf_w is None else int(buf_w)
-    if buf_w is None and not supports(h, w):
+    if buf_w is None and not supports(h, w, tile_px):
         raise ValueError(
             f"pallas PEE kernels do not support {h}x{w} images directly "
-            f"(need w % 128 == 0 and >= 128, n % {TILE_PX} == 0); pass "
+            f"(need w % 128 == 0 and >= 128, n % {tile_px} == 0); pass "
             f"buf_w=padded_geometry(h, w)[1] with pad_batch buffers"
         )
     b = stego3.shape[0]
     return _extract_call(
         pad_images(stego3, _halo(wb)), over3, nproc.astype(jnp.int32),
         jnp.zeros(b, jnp.int32),
-        h, w, wb, parity, t, max_val, interpret=interpret,
+        h, w, wb, parity, t, max_val, interpret=interpret, tile_px=tile_px,
     )
 
 

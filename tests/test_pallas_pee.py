@@ -125,6 +125,53 @@ def test_pallas_pee_full_cycle_roundtrip(rng):
         np.testing.assert_array_equal(got, msgs[i, : want[i]])
 
 
+@pytest.mark.parametrize("tile_px", [131072, 262144])
+def test_pallas_pee_tile_px_bit_identical(rng, tile_px):
+    """Larger grid tiles (round-3 per-step-floor amortization: tile_px is a
+    static kernel parameter, default 65536) must produce bit-identical
+    stego/restored/bits/counts to the default tile on both passes,
+    including the capacity-saturated case."""
+    b, h, w = 2, 1024, 512
+    n = h * w
+    t, max_val = 2, 4095
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (400 + 300 * np.sin(yy / 37.0) * np.cos(xx / 53.0)).astype(np.int64)
+    imgs = np.stack([
+        (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836).astype(np.uint16)
+        for _ in range(b)
+    ])
+    msgs = rng.integers(0, 2, size=(b, 1 << 18)).astype(np.uint8)
+    # second image saturates (want > two-pass capacity)
+    want = jnp.asarray(np.array([150_000, 500_000], dtype=np.int32))
+    zero = jnp.zeros(b, jnp.int32)
+    imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+
+    def cycle(tile):
+        msg2d, l2 = pp.prep_messages(msgs, n, tile)
+        m2 = jnp.asarray(msg2d)
+        s0, o0, u0, n0 = pp.embed_pass_batch(
+            imgs3, m2, zero, want, h, w, 0, t, max_val, l2, tile_px=tile)
+        s1, o1, u1, n1 = pp.embed_pass_batch(
+            s0, m2, u0, want - u0, h, w, 1, t, max_val, l2, tile_px=tile)
+        over = o0 | o1
+        r1, g1, c1 = pp.extract_pass_batch(
+            s1, over, n1, h, w, 1, t, max_val, tile_px=tile)
+        r0, g0, c0 = pp.extract_pass_batch(
+            r1, over, n0, h, w, 0, t, max_val, tile_px=tile)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(imgs3))
+        return tuple(np.asarray(v) for v in (
+            s1, u0, u1, n0, n1,
+            pp.collect_bits(g0, c0, n), pp.collect_bits(g1, c1, n),
+        ))
+
+    ref = cycle(pp.TILE_PX)
+    got = cycle(tile_px)
+    for name, a, b_ in zip(
+        ("stego", "u0", "u1", "n0", "n1", "bits0", "bits1"), ref, got
+    ):
+        np.testing.assert_array_equal(a, b_, err_msg=f"{name} @ {tile_px}")
+
+
 def test_pallas_pee_capacity_saturated_matches_xla(rng):
     """want > capacity (the saturation convention: the whole in-set is
     processed, nproc = h*w, used = capacity) — Pallas and XLA must agree
