@@ -6,11 +6,13 @@ message gather ``jnp.take(msg, msg_base + rank)`` (XLA lowers it to serial
 scalar gathers). These kernels replace the gather with structured data
 movement that the VPU/MXU actually execute well:
 
-* the image is processed in raster tiles of ``TILE_PX = 65536`` pixels in
-  pixel-major ``(512, 128)`` layout; the grid is sequential on a TensorCore,
+* the image is processed in raster tiles of ``tile_px`` pixels (static
+  parameter, default ``TILE_PX = 65536``) in pixel-major
+  ``(tile_px/128, 128)`` layout; the grid is sequential on a TensorCore,
   so the running count of eligible pixels carries across tiles in SMEM —
   the "global rank" prefix costs one scalar per tile instead of an
-  image-wide scan;
+  image-wide scan; larger tiles amortize the measured ~5-6 us per-step
+  floor (see ``preferred_tile_px``);
 * the rhombus prediction is computed **in-kernel** from a haloed DMA of the
   (zero-padded) image — vertical neighbors are static row shifts of the
   pixel-major layout, horizontal neighbors are lane rotations with a
@@ -18,10 +20,11 @@ movement that the VPU/MXU actually execute well:
   checkerboard pixels are ever eligible;
 * each tile's message window is one contiguous DMA (rank order is raster
   order, so a tile consumes ``msg[base + tile_base : + tile_count]``);
-* each 128-pixel row fetches its in-window slice with four one-hot matmuls
-  on the MXU (exact 0/1 bf16 products; the window row index spans [0, 256)
-  so low/high one-hot pairs select it) plus seven conditional static lane
-  rotations (binary decomposition of the per-row offset);
+* each 128-pixel row fetches its in-window slice with one-hot matmuls on
+  the MXU (exact 0/1 bf16 products; the window row index spans
+  [0, tile_px/256), selected by ``tile_px/32768`` one-hot segment pairs)
+  plus seven conditional static lane rotations (binary decomposition of
+  the per-row offset);
 * within a row, bits spread to the eligible lanes with the Hacker's
   Delight 7-4 **expand** network generalized from word bits to lanes,
   executed on 32-row-packed int32 words (8x less VPU work than unpacked;
@@ -75,6 +78,7 @@ __all__ = [
     "TILE_PX",
     "supports",
     "routeable",
+    "preferred_tile_px",
     "padded_geometry",
     "pad_batch",
     "unpad_batch",
@@ -114,6 +118,27 @@ def _halo(w: int) -> int:
     up to a multiple of 8 (sublane-aligned DMA rows). 8 for w <= 1024, 16 for
     w = 2048, and so on — no upper width cap."""
     return max(8, ((w // _LANE + 7) // 8) * 8)
+
+
+# Production tile-size preference, largest first. 65536-only until the
+# on-chip sweep (tools/pee_profile.py) certifies the larger sizes under the
+# remote compiler's VMEM block limits — every size is already proven
+# bit-identical in interpret mode (tests/test_pallas_pee.py).
+_TILE_CHOICES = (65536,)
+
+
+def preferred_tile_px(h: int, w: int) -> int:
+    """Largest certified tile size for an (h, w) image: direct support
+    first, then the padded route provided its buffer stays within the 2x
+    pad-overhead bound that :func:`routeable` promises."""
+    for tp in _TILE_CHOICES:
+        if supports(h, w, tp):
+            return tp
+    for tp in _TILE_CHOICES:
+        hb, wb = padded_geometry(h, w, tp)
+        if hb * wb <= 2 * h * w:
+            return tp
+    return TILE_PX
 
 
 def supports(h: int, w: int, tile_px: int = TILE_PX) -> bool:

@@ -85,20 +85,23 @@ def probe_capacity_batch(
     from ..ops import pallas_pee as pp
 
     if jax.default_backend() == "tpu" and pp.routeable(h, w):
-        msg2d, l2 = pp.prep_messages(np.zeros((b, lpad), np.uint8), n)
+        tp = pp.preferred_tile_px(h, w)
+        msg2d, l2 = pp.prep_messages(np.zeros((b, lpad), np.uint8), n, tp)
         msg2d_d = jnp.asarray(msg2d)
-        if pp.supports(h, w):
+        if pp.supports(h, w, tp):
             imgs3 = imgs_d.reshape(b, n // 128, 128)
             buf_w = None
         else:
-            imgs3 = pp.pad_batch(images, h, w)
-            buf_w = pp.padded_geometry(h, w)[1]
+            imgs3 = pp.pad_batch(images, h, w, tp)
+            buf_w = pp.padded_geometry(h, w, tp)[1]
         zero = jnp.zeros(b, jnp.int32)
         s0, _, u0, _ = pp.embed_pass_batch(
-            imgs3, msg2d_d, zero, big, h, w, 0, t, max_val, l2, buf_w=buf_w
+            imgs3, msg2d_d, zero, big, h, w, 0, t, max_val, l2, buf_w=buf_w,
+            tile_px=tp,
         )
         _, _, u1, _ = pp.embed_pass_batch(
-            s0, msg2d_d, u0, big - u0, h, w, 1, t, max_val, l2, buf_w=buf_w
+            s0, msg2d_d, u0, big - u0, h, w, 1, t, max_val, l2, buf_w=buf_w,
+            tile_px=tp,
         )
     else:
         zeros_msg = jnp.zeros(lpad, jnp.uint8)
@@ -157,9 +160,10 @@ def _run_passes(
         from ..ops import pallas_pee as pp
 
         n = h * w
-        msg2d, l2 = pp.prep_messages(msgs, n)
+        tp = pp.preferred_tile_px(h, w)
+        msg2d, l2 = pp.prep_messages(msgs, n, tp)
         msg2d_d = jax.device_put(jnp.asarray(msg2d))
-        if pp.supports(h, w):
+        if pp.supports(h, w, tp):
             imgs3 = imgs_d.reshape(g_pad, n // 128, 128)
             buf_w = None
             back = lambda a3: np.asarray(a3)[:g].reshape(g, h, w)
@@ -167,13 +171,13 @@ def _run_passes(
             # pad-and-mask route (round-2 verdict #4): the kernels run on a
             # zero-padded buffer while masks/ranks use the logical dims —
             # bit-exact with the oracle, no XLA-path cliff for odd shapes
-            imgs3 = pp.pad_batch(imgs_d, h, w)
-            buf_w = pp.padded_geometry(h, w)[1]
-            back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))[:g]
+            imgs3 = pp.pad_batch(imgs_d, h, w, tp)
+            buf_w = pp.padded_geometry(h, w, tp)[1]
+            back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w, tp))[:g]
         zero = jnp.zeros(g_pad, jnp.int32)
         s0, o0, u0, n0 = pp.embed_pass_batch(
             imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2,
-            buf_w=buf_w,
+            buf_w=buf_w, tile_px=tp,
         )
         used0 = np.asarray(u0).astype(np.int64)
         want1 = want - used0
@@ -185,7 +189,7 @@ def _run_passes(
             )
         s1, o1, u1, n1 = pp.embed_pass_batch(
             s0, msg2d_d, u0, want_d - u0, h, w, 1, t, max_val, l2,
-            buf_w=buf_w,
+            buf_w=buf_w, tile_px=tp,
         )
         return (
             back(s1), back(jnp.asarray(o0) | jnp.asarray(o1)),
@@ -446,22 +450,23 @@ def _decode_group_fused(conts, parsed_ext, overflow_maps, restore_original):
     nproc0 = jnp.asarray([e[2] for e in parsed_ext], dtype=jnp.int32)
     nproc1 = jnp.asarray([e[3] for e in parsed_ext], dtype=jnp.int32)
 
-    if pp.supports(h, w):
+    tp = pp.preferred_tile_px(h, w)
+    if pp.supports(h, w, tp):
         stego3 = jnp.asarray(stego).reshape(b, n // 128, 128)
         over3 = jnp.asarray(over).reshape(b, n // 128, 128)
         buf_w = None
         back = lambda a3: np.asarray(a3).reshape(b, h, w)
     else:
         # pad-and-mask route for odd geometries (round-2 verdict #4)
-        stego3 = pp.pad_batch(stego, h, w)
-        over3 = pp.pad_batch(over, h, w)
-        buf_w = pp.padded_geometry(h, w)[1]
-        back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w))
+        stego3 = pp.pad_batch(stego, h, w, tp)
+        over3 = pp.pad_batch(over, h, w, tp)
+        buf_w = pp.padded_geometry(h, w, tp)[1]
+        back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w, tp))
     r1, segs1, cnts1 = pp.extract_pass_batch(
-        stego3, over3, nproc1, h, w, 1, t, max_val, buf_w=buf_w
+        stego3, over3, nproc1, h, w, 1, t, max_val, buf_w=buf_w, tile_px=tp
     )
     r0, segs0, cnts0 = pp.extract_pass_batch(
-        r1, over3, nproc0, h, w, 0, t, max_val, buf_w=buf_w
+        r1, over3, nproc0, h, w, 0, t, max_val, buf_w=buf_w, tile_px=tp
     )
     restored = back(r0)
     out_len0 = max(int(max(e[4] for e in parsed_ext)), 1)
