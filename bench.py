@@ -777,6 +777,31 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     return B * h * w / float(np.median(times)) / 1e6, breakdown
 
 
+def _tunnel_up(attempts: list) -> bool:
+    """Fail-fast gate: one tiny device op in a fresh subprocess, three tries
+    (the tunnel wedges individual processes ~1 in 3 on bad days — CLAUDE.md —
+    but also has multi-hour FULL outages; without this gate a dead tunnel
+    burns 4 x 1800 s of worker timeouts and leaves no artifact at all)."""
+    import subprocess
+    import sys
+
+    for i in range(3):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8,8),jnp.float32))))"],
+                capture_output=True, text=True, timeout=300,
+            )
+            if p.returncode == 0 and "64.0" in p.stdout:
+                return True
+            tail = (p.stderr.strip().splitlines() or ["?"])[-1]
+            attempts.append(f"probe{i}: rc={p.returncode} {tail[:120]}")
+        except subprocess.TimeoutExpired:
+            attempts.append(f"probe{i}: device init timeout (300s)")
+    return False
+
+
 def _orchestrate() -> int:
     """Run the measurement in fresh subprocesses: a TPU-tunnel abort poisons
     the whole JAX runtime in-process (even device_put fails afterwards), so
@@ -787,6 +812,18 @@ def _orchestrate() -> int:
     import sys
 
     attempts = []
+    if not _tunnel_up(attempts):
+        # still print ONE parseable line so the artifact documents the
+        # outage instead of being empty
+        print(json.dumps({
+            "metric": "embed+extract throughput (512x512 uint16, batch 256)",
+            "value": 0.0, "unit": "MPix/s/chip", "vs_baseline": 0.0,
+            "backend": "none",
+            "extra": {"error": "TPU tunnel unreachable (device init failed "
+                               "3x in fresh processes)",
+                      "worker_attempts": attempts},
+        }))
+        return 1
     for backend in ("packed", "packed", "preplaced", "xla"):
         try:
             proc = subprocess.run(
