@@ -125,6 +125,22 @@ def test_pallas_pee_full_cycle_roundtrip(rng):
         np.testing.assert_array_equal(got, msgs[i, : want[i]])
 
 
+def test_preferred_tile_px_contract():
+    """Selection invariants that hold for ANY preference list: the choice
+    must be usable — directly supported, or padded within the 2x overhead
+    bound — and must prefer direct support over padding."""
+    for h, w in [(512, 512), (2048, 2048), (640, 480), (500, 500), (64, 64)]:
+        tp = pp.preferred_tile_px(h, w)
+        assert tp in pp._TILE_CHOICES or tp == pp.TILE_PX
+        if pp.supports(h, w, tp):
+            continue
+        hb, wb = pp.padded_geometry(h, w, tp)
+        # padded fallback must respect routeable()'s overhead promise for
+        # every geometry routeable() accepts
+        if pp.routeable(h, w):
+            assert hb * wb <= 2 * h * w, (h, w, tp)
+
+
 @pytest.mark.parametrize("tile_px", [131072, 262144])
 def test_pallas_pee_tile_px_bit_identical(rng, tile_px):
     """Larger grid tiles (round-3 per-step-floor amortization: tile_px is a
