@@ -439,9 +439,7 @@ def decode_container_tiled(
 
     original = None
     if restore_original and meta.has_bitmaps:
-        maps = cont.bitmaps()
-        if maps is not None:
-            from ..pipeline import _host_restore
-
-            original = _host_restore(stego, maps, meta.s)
+        diff = cont.diff(stego.dtype)
+        if diff is not None:
+            original = stego ^ diff
     return DecodeResult(bits, stego, meta, original)

@@ -136,16 +136,6 @@ def _host_xor_maps(original: np.ndarray, stego: np.ndarray, s: int) -> np.ndarra
     return out
 
 
-def _host_restore(stego: np.ndarray, maps: np.ndarray, s: int) -> np.ndarray:
-    """original = stego XOR (maps recombined over the s local planes).
-    Accumulates in the stego dtype (the int64 sum it replaced was the decode
-    twin of ``_host_xor_maps``' temporaries problem)."""
-    diff = np.zeros(stego.shape, stego.dtype)
-    for k in range(s):
-        diff |= maps[k].astype(stego.dtype) << k
-    return stego ^ diff
-
-
 def _block_bases(
     image: ArrayLike, nbits: int, s: int, block: int, h: int, w: int
 ) -> np.ndarray:
@@ -296,13 +286,9 @@ def encode_array(
             packed_maps = np.asarray(embed_ops.xor_maps_packed_batch(
                 image_dev[None], stego_dev[None], s
             ))[0]
-            maps = np.unpackbits(
-                packed_maps.reshape(s, n // 8), axis=1
-            ).reshape(s, h, w)
-            diff = np.zeros((h, w), image.dtype)
-            for k in range(s):
-                diff |= maps[k].astype(image.dtype) << k
-            stego = image ^ diff
+            diff = bit_utils.packed_planes_to_diff(packed_maps, image.dtype)
+            stego = image ^ diff.reshape(h, w)
+            maps = None  # v1 fallback rebuilds the raw planes on demand
         else:
             stego = np.asarray(stego_dev)
             maps = _host_xor_maps(image, stego, s)
@@ -324,6 +310,10 @@ def encode_array(
                 packed_maps if packed_maps is not None else maps
             )
         else:
+            if maps is None:  # packed branch above skips the raw planes
+                maps = np.unpackbits(
+                    packed_maps.reshape(s, n // 8), axis=1
+                ).reshape(s, h, w)
             bitmaps_blob = container_io.compress_bitmaps(maps)
 
     ext = b""
@@ -502,13 +492,13 @@ def decode_container(
     out_len = max(int(meta.payload_bits), 1)
 
     if meta.strategy == "block_adaptive":
-        maps = cont.bitmaps()
-        if maps is None:
+        diff = cont.diff(stego.dtype)
+        if diff is None:
             raise ValueError(
                 "block_adaptive extraction requires the XOR location maps"
             )
         block = container_io.parse_block_ext(meta.ext)
-        original = _host_restore(stego, maps, meta.s)
+        original = stego ^ diff
         bases = _block_bases(original, kernel_bits, meta.s, block, h, w)
         aligned = embed_ops.extract_block_aligned(
             stego, bases, lengths, np.int32(meta.s), kernel_bits, block
@@ -532,9 +522,9 @@ def decode_container(
 
     original = None
     if restore_original and meta.has_bitmaps:
-        maps = cont.bitmaps()
-        if maps is not None:
-            original = _host_restore(stego, maps, meta.s)
+        diff = cont.diff(stego.dtype)
+        if diff is not None:
+            original = stego ^ diff
     return DecodeResult(bits, stego, meta, original)
 
 

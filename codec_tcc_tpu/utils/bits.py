@@ -21,6 +21,7 @@ __all__ = [
     "bits_to_message",
     "pack_bits",
     "unpack_bits",
+    "packed_planes_to_diff",
 ]
 
 
@@ -69,3 +70,42 @@ def unpack_bits(data: bytes, n_bits: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`, truncated to ``n_bits``."""
     arr = np.frombuffer(data, dtype=np.uint8)
     return np.unpackbits(arr)[:n_bits]
+
+
+_PLANE_LUTS: dict = {}
+
+
+def _plane_lut(k: int, dt: np.dtype) -> np.ndarray:
+    """(256, 8) table: byte value -> its 8 MSB-first bits, each shifted to
+    plane position ``k`` in dtype ``dt``. Cached per (plane, dtype)."""
+    key = (k, dt.str)
+    lut = _PLANE_LUTS.get(key)
+    if lut is None:
+        bits = ((np.arange(256)[:, None] >> (7 - np.arange(8))[None, :]) & 1)
+        lut = (bits << k).astype(dt)
+        _PLANE_LUTS[key] = lut
+    return lut
+
+
+def packed_planes_to_diff(packed: np.ndarray, dtype) -> np.ndarray:
+    """``(..., s, n//8)`` MSB-first bit-packed plane maps -> ``(..., n)``
+    integer diff where plane ``k`` contributes bit ``k``.
+
+    One cached 256->8 LUT gather per plane instead of ``np.unpackbits`` +
+    per-plane ``astype``/shift/OR. On the serving host's single core the
+    LUT route measures ~23x faster, and the unpack it replaces was the
+    single largest cost of the batch serving path (round-3 bench
+    ``batch_unpack`` stage: 2.7 s of a 3.7 s batch wall)."""
+    packed = np.asarray(packed)
+    if packed.dtype != np.uint8:
+        raise ValueError(f"packed plane maps must be uint8, got {packed.dtype}")
+    *lead, s, nb = packed.shape
+    dt = np.dtype(dtype)
+    if s == 0:
+        return np.zeros((*lead, nb * 8), dt)
+    if s > 8 * dt.itemsize:
+        raise ValueError(f"{s} planes do not fit a {dt} diff")
+    diff = _plane_lut(0, dt)[packed[..., 0, :]]
+    for k in range(1, s):
+        diff |= _plane_lut(k, dt)[packed[..., k, :]]
+    return diff.reshape(*lead, nb * 8)

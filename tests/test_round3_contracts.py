@@ -135,3 +135,61 @@ def test_pee_batch_metrics_delegation(rng):
     assert res.metrics is not None and len(res.metrics) == 2
     for m in res.metrics:
         assert "psnr" in m and "mse" in m
+
+
+# 6. The serving paths' host-side bit-plane recombination runs through one
+#    cached LUT gather per plane (utils.bits.packed_planes_to_diff) — the
+#    unpackbits + shift/OR form it replaced was the single largest host
+#    cost of the batch serving path (round-3 bench batch_unpack stage).
+
+
+def test_packed_planes_to_diff_matches_unpackbits(rng):
+    from codec_tcc_tpu.utils.bits import packed_planes_to_diff
+
+    for dtype, s in ((np.uint8, 3), (np.uint16, 6), (np.uint16, 1)):
+        b, n = 3, 512
+        packed = rng.integers(0, 256, size=(b, s, n // 8), dtype=np.uint8)
+        got = packed_planes_to_diff(packed, dtype)
+        maps = np.unpackbits(packed.reshape(b * s, n // 8), axis=1).reshape(
+            b, s, n
+        )
+        want = np.zeros((b, n), dtype)
+        for k in range(s):
+            want |= maps[:, k].astype(dtype) << k
+        assert got.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(got, want)
+    # leading-dim-free form (single image) and plane-count guards
+    packed1 = rng.integers(0, 256, size=(2, 8), dtype=np.uint8)
+    assert packed_planes_to_diff(packed1, np.uint8).shape == (64,)
+    with pytest.raises(ValueError):
+        packed_planes_to_diff(
+            rng.integers(0, 256, size=(9, 8), dtype=np.uint8), np.uint8
+        )
+    with pytest.raises(ValueError):
+        packed_planes_to_diff(packed1.astype(np.int16), np.uint8)
+
+
+def test_container_diff_matches_bitmaps(rng):
+    """Container.diff == recombined Container.bitmaps for both blob forms."""
+    from codec_tcc_tpu.io import container as container_io
+    from codec_tcc_tpu.pipeline import encode_array, decode_container
+
+    img = rng.integers(0, 4096, size=(32, 32), dtype=np.uint16)
+    payload = rng.bytes(40)
+    for version, codec in ((1, "png"), (2, "deflate")):
+        cfg = EncodeConfig(
+            strategy="multi_plane", codec=codec,
+            container_version=version, compute_metrics=False,
+        )
+        blob = encode_array(img, payload, cfg).container
+        cont = container_io.parse(blob)
+        maps = cont.bitmaps()
+        diff = cont.diff(img.dtype)
+        want = np.zeros(img.shape, img.dtype)
+        for k in range(cont.meta.s):
+            want |= maps[k].astype(img.dtype) << k
+        np.testing.assert_array_equal(diff, want)
+        # and the restore contract end-to-end
+        dec = decode_container(blob)
+        np.testing.assert_array_equal(dec.original, img)
+        assert dec.payload == payload
