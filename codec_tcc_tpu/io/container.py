@@ -138,8 +138,10 @@ class Container:
         m = self.meta
         n = m.height * m.width
         if m.bitmaps_packed:
-            return np.unpackbits(
-                np.frombuffer(raw, dtype=np.uint8).reshape(m.s, n // 8), axis=1
+            from ..utils.bits import expand_bits
+
+            return expand_bits(
+                np.frombuffer(raw, dtype=np.uint8).reshape(m.s, n // 8)
             ).reshape(m.s, m.height, m.width)
         return np.frombuffer(raw, dtype=np.uint8).reshape(m.s, m.height, m.width)
 

@@ -138,8 +138,7 @@ def encode_pee_array(
         used0 = int(used0_dev)
         want1 = total_bits - used0
         if want1 <= 0:
-            result = (t, stego0, np.asarray(over0), used0, int(nproc0),
-                      np.zeros((h, w), dtype=bool), 0, 0, 1)
+            result = (t, stego0, over0, used0, int(nproc0), None, 0, 0, 1)
             break
         stego, over1_dev, used1_dev, nproc1_dev = pee_ops.embed_pass(
             stego0, msg_pad, np.int32(used0), np.int32(want1), 1, t, max_val
@@ -147,8 +146,8 @@ def encode_pee_array(
         if int(used1_dev) < want1:
             t += 1  # estimate fell short by the pass interaction; escalate
             continue
-        result = (t, stego, np.asarray(over0), used0, int(nproc0),
-                  np.asarray(over1_dev), int(used1_dev), int(nproc1_dev), 2)
+        result = (t, stego, over0, used0, int(nproc0),
+                  over1_dev, int(used1_dev), int(nproc1_dev), 2)
         break
     if result is None:
         raise CapacityError(
@@ -159,9 +158,14 @@ def encode_pee_array(
     if used0 + used1 < total_bits:
         raise AssertionError("PEE capacity accounting violated")
 
+    # pack the overflow map ON DEVICE (8x less device->host traffic and no
+    # host packbits; the packed bytes ARE the container blob's input)
+    from ..ops import embed as embed_ops
+
+    over_dev = over0 if over1 is None else over0 | over1
     stego_np = np.asarray(stego)
-    overflow = np.asarray(over0) | np.asarray(over1)
-    map_blob = zlib.compress(np.packbits(overflow).tobytes())
+    packed_over = np.asarray(embed_ops.pack_bits_batch(over_dev[None]))[0]
+    map_blob = zlib.compress(packed_over.tobytes())
 
     metrics = None
     if config.compute_metrics:
@@ -245,7 +249,9 @@ def parse_pee_container_parts(cont: container_io.Container):
         raw = zlib.decompress(cont.bitmaps_blob)
     except zlib.error as exc:
         raise ValueError(f"Invalid file: corrupt PEE overflow map blob ({exc})") from exc
-    overflow = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+    from ..utils.bits import expand_bits
+
+    overflow = expand_bits(np.frombuffer(raw, dtype=np.uint8))
     if overflow.size < h * w:
         raise ValueError(
             f"Invalid file: PEE overflow map holds {overflow.size} bits, "

@@ -504,8 +504,7 @@ def encode_array_tiled_pee(
         used0 = int(u0)
         want1 = total_bits - used0
         if want1 <= 0:
-            result = (t, s0, np.asarray(o0), used0, int(n0),
-                      np.zeros((h, w), dtype=bool), 0, 0, 1)
+            result = (t, s0, o0, used0, int(n0), None, 0, 0, 1)
             break
         # s0 is already sharded P(axis, None); device_put inside is a no-op,
         # so the intermediate image never visits the host
@@ -513,8 +512,7 @@ def encode_array_tiled_pee(
         if int(u1) < want1:
             t += 1  # pass-interaction shortfall of the estimate; escalate
             continue
-        result = (t, s1, np.asarray(o0), used0, int(n0),
-                  np.asarray(o1), int(u1), int(n1), 2)
+        result = (t, s1, o0, used0, int(n0), o1, int(u1), int(n1), 2)
         break
     if result is None:
         from ..errors import CapacityError
@@ -525,8 +523,16 @@ def encode_array_tiled_pee(
         )
     t, stego_d, over0, used0, nproc0, over1, used1, nproc1, passes = result
     stego_np = np.asarray(stego_d)
-    overflow = over0 | over1
-    map_blob = zlib.compress(np.packbits(overflow).tobytes())
+    # pack the overflow map ON DEVICE (8x less traffic off the mesh, no
+    # single-core np.packbits; same blob bytes as before)
+    from ..ops import embed as embed_ops
+
+    over_d = jnp.asarray(over0) if over1 is None else (
+        jnp.asarray(over0) | jnp.asarray(over1)
+    )
+    map_blob = zlib.compress(
+        np.asarray(embed_ops.pack_bits_batch(over_d[None]))[0].tobytes()
+    )
 
     metrics = None
     if config.compute_metrics:

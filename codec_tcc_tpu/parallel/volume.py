@@ -333,9 +333,19 @@ def pack_volume(
         header += struct.pack(f">{d}Q", *[len(b) for b in blobs])
         return header + b"".join(blobs)
 
-    maps = np.asarray(
-        jax.vmap(embed_ops.xor_maps)(jnp.asarray(volume), jnp.asarray(result.stego))
-    )
+    if (h * w) % 8 == 0:
+        # bit-packed s-plane download (the container blob's exact input):
+        # 8x fewer bytes than unpacked planes and nbits/s fewer planes —
+        # the unpacked form shipped d x nbits x H x W uint8 over the link
+        maps_packed = np.asarray(embed_ops.xor_maps_packed_batch(
+            jnp.asarray(volume), jnp.asarray(result.stego), s
+        ))
+        maps = None
+    else:
+        maps_packed = None
+        maps = np.asarray(jax.vmap(embed_ops.xor_maps)(
+            jnp.asarray(volume), jnp.asarray(result.stego)
+        ))
 
     base_offsets = result.plan.base_offsets
     align = result.plan.align
@@ -364,7 +374,7 @@ def pack_volume(
             plane_starts=tuple(int(v) for v in result.plan.starts[i][:s]),
         )
         blob = (
-            container_io.compress_bitmaps_packed(maps[i][:s])
+            container_io.compress_bitmaps_packed(maps_packed[i])
             if meta.bitmaps_packed
             else container_io.compress_bitmaps(maps[i][:s])
         )

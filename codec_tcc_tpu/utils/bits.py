@@ -21,6 +21,7 @@ __all__ = [
     "bits_to_message",
     "pack_bits",
     "unpack_bits",
+    "expand_bits",
     "packed_planes_to_diff",
 ]
 
@@ -85,6 +86,19 @@ def _plane_lut(k: int, dt: np.dtype) -> np.ndarray:
         lut = (bits << k).astype(dt)
         _PLANE_LUTS[key] = lut
     return lut
+
+
+def expand_bits(packed: np.ndarray) -> np.ndarray:
+    """``(..., nb) uint8`` packed bytes -> ``(..., nb*8) uint8`` 0/1 bits,
+    MSB-first: same output as ``np.unpackbits(..., axis=-1)`` via one cached
+    LUT gather — ~10-20x faster on the single-core serving host (unpackbits
+    measured ~30 MB/s there)."""
+    packed = np.asarray(packed)
+    if packed.dtype != np.uint8:
+        raise ValueError(f"packed bits must be uint8, got {packed.dtype}")
+    return _plane_lut(0, np.dtype(np.uint8))[packed].reshape(
+        *packed.shape[:-1], packed.shape[-1] * 8
+    )
 
 
 def packed_planes_to_diff(packed: np.ndarray, dtype) -> np.ndarray:

@@ -193,3 +193,26 @@ def test_container_diff_matches_bitmaps(rng):
         dec = decode_container(blob)
         np.testing.assert_array_equal(dec.original, img)
         assert dec.payload == payload
+
+
+def test_pack_bits_batch_matches_np_packbits(rng):
+    """Device packbits twin: bit-identical bytes to per-item np.packbits,
+    including non-multiple-of-8 lengths (zero padding)."""
+    from codec_tcc_tpu.ops.embed import pack_bits_batch
+
+    for shape in ((3, 16, 16), (2, 5, 7), (4, 33)):
+        bits = rng.integers(0, 2, size=shape).astype(np.uint8)
+        got = np.asarray(pack_bits_batch(bits))
+        want = np.stack([np.packbits(b) for b in bits])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_expand_bits_matches_unpackbits(rng):
+    from codec_tcc_tpu.utils.bits import expand_bits
+
+    packed = rng.integers(0, 256, size=(5, 40), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        expand_bits(packed), np.unpackbits(packed, axis=1)
+    )
+    with pytest.raises(ValueError):
+        expand_bits(packed.astype(np.int32))
