@@ -132,37 +132,31 @@ def encode_pee_array(
         #             histogram estimate only schedules (matches batch path)
     result = None
     while t <= _MAX_T:
-        stego0, over0, used0_dev, nproc0 = pee_ops.embed_pass(
-            image, msg_pad, np.int32(0), np.int32(total_bits), 0, t, max_val
+        # ONE dispatch per threshold attempt: both passes chain on device
+        # (pass 1 at want - used0 = 0 bits is a provable no-op, so the
+        # fused form is bit-identical to the old sequential early exit);
+        # only the used/nproc scalars come back to the host
+        stego, over_dev, u0, n0, u1, n1 = pee_ops.embed_both_passes(
+            image, msg_pad, np.int32(total_bits), t, max_val
         )
-        used0 = int(used0_dev)
-        want1 = total_bits - used0
-        if want1 <= 0:
-            result = (t, stego0, over0, used0, int(nproc0), None, 0, 0, 1)
-            break
-        stego, over1_dev, used1_dev, nproc1_dev = pee_ops.embed_pass(
-            stego0, msg_pad, np.int32(used0), np.int32(want1), 1, t, max_val
-        )
-        if int(used1_dev) < want1:
+        used0, used1 = int(u0), int(u1)
+        if used0 + used1 < total_bits:
             t += 1  # estimate fell short by the pass interaction; escalate
             continue
-        result = (t, stego, over0, used0, int(nproc0),
-                  over1_dev, int(used1_dev), int(nproc1_dev), 2)
+        passes = 2 if used1 > 0 else 1
+        result = (t, stego, over_dev, used0, int(n0), used1, int(n1), passes)
         break
     if result is None:
         raise CapacityError(
             f"payload of {total_bits} bits exceeds PEE capacity even at "
             f"T={_MAX_T} (pass-1 capacity measured on the pass-0 result)"
         )
-    t, stego, over0, used0, nproc0, over1, used1, nproc1, passes = result
-    if used0 + used1 < total_bits:
-        raise AssertionError("PEE capacity accounting violated")
+    t, stego, over_dev, used0, nproc0, used1, nproc1, passes = result
 
     # pack the overflow map ON DEVICE (8x less device->host traffic and no
     # host packbits; the packed bytes ARE the container blob's input)
     from ..ops import embed as embed_ops
 
-    over_dev = over0 if over1 is None else over0 | over1
     stego_np = np.asarray(stego)
     packed_over = np.asarray(embed_ops.pack_bits_batch(over_dev[None]))[0]
     map_blob = zlib.compress(packed_over.tobytes())
@@ -290,17 +284,14 @@ def decode_pee_container(cont: container_io.Container, *, restore_original: bool
 
     out_len = 1 << max(3, (max(int(meta.payload_bits), 1) - 1).bit_length())
 
-    # invert pass 1 first (it was applied last), then pass 0
-    img = stego
-    bits1_arr = np.zeros(0, dtype=np.uint8)
-    if passes == 2:
-        img, b1, n1 = pee_ops.extract_pass(
-            img, overflow, np.int32(nproc1), 1, t, max_val, out_len
-        )
-        bits1_arr = np.asarray(b1)[: int(n1)]
-    img, b0, n0 = pee_ops.extract_pass(
-        img, overflow, np.int32(nproc0), 0, t, max_val, out_len
+    # invert pass 1 first (it was applied last), then pass 0 — fused into
+    # one dispatch; single-pass containers carry nproc1 == 0, which makes
+    # the pass-1 inversion an exact identity (see ops.pee)
+    img, b1, n1, b0, n0 = pee_ops.extract_both_passes(
+        stego, overflow, np.int32(nproc0),
+        np.int32(nproc1 if passes == 2 else 0), t, max_val, out_len,
     )
+    bits1_arr = np.asarray(b1)[: int(n1)]
     bits0_arr = np.asarray(b0)[: int(n0)]
 
     payload_bits = np.concatenate([bits0_arr, bits1_arr])[: meta.payload_bits]

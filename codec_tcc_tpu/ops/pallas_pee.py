@@ -86,6 +86,8 @@ __all__ = [
     "pad_images",
     "embed_pass_batch",
     "extract_pass_batch",
+    "embed_both_passes_batch",
+    "extract_both_passes_batch",
     "collect_bits",
 ]
 
@@ -984,6 +986,69 @@ def extract_pass_batch(
         jnp.zeros(b, jnp.int32),
         h, w, wb, parity, t, max_val, interpret=interpret, tile_px=tile_px,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "t", "max_val", "l2", "buf_w", "tile_px", "interpret"
+    ),
+)
+def embed_both_passes_batch(
+    imgs3: jax.Array, msg2d: jax.Array, want: jax.Array,
+    h: int, w: int, t: int, max_val: int, l2: int,
+    *, buf_w: Optional[int] = None, tile_px: int = TILE_PX,
+    interpret: bool = False,
+):
+    """Both PEE embed passes in ONE dispatch. Returns
+    ``(stego3, overflow3, used0, nproc0, used1, nproc1)``.
+
+    Pass 1's base/want come straight off pass 0's device scalars, so the
+    production encoder pays one jitted call (and zero host syncs) per
+    threshold attempt instead of two dispatches with a download between —
+    on the dev tunnel each dispatch carries a ~7 ms fixed cost. For images
+    whose payload fits in pass 0, pass 1 embeds ``want - used0 = 0`` bits:
+    every tile takes the inactive fast path (pure copy), ``used1 = nproc1
+    = 0`` and the overflow OR is a no-op — bit-identical to running pass 0
+    alone (the sequential early-exit this replaces)."""
+    zero = jnp.zeros(imgs3.shape[0], jnp.int32)
+    want = want.astype(jnp.int32)
+    s0, o0, u0, n0 = embed_pass_batch(
+        imgs3, msg2d, zero, want, h, w, 0, t, max_val, l2,
+        interpret, buf_w=buf_w, tile_px=tile_px,
+    )
+    s1, o1, u1, n1 = embed_pass_batch(
+        s0, msg2d, u0, want - u0, h, w, 1, t, max_val, l2,
+        interpret, buf_w=buf_w, tile_px=tile_px,
+    )
+    return s1, o0 | o1, u0, jnp.maximum(n0, 0), u1, jnp.maximum(n1, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "t", "max_val", "buf_w", "tile_px", "interpret"),
+)
+def extract_both_passes_batch(
+    stego3: jax.Array, over3: jax.Array,
+    nproc0: jax.Array, nproc1: jax.Array,
+    h: int, w: int, t: int, max_val: int,
+    *, buf_w: Optional[int] = None, tile_px: int = TILE_PX,
+    interpret: bool = False,
+):
+    """Both PEE extract passes (pass 1 inverted first, then pass 0) in ONE
+    dispatch. Returns ``(restored3, segs1, counts1, segs0, counts0)`` —
+    feed each (segs, counts) pair to :func:`collect_bits`. Both pass
+    boundaries are known from the container ext before any device work, so
+    nothing forces the host sync the two eager calls used to pay."""
+    r1, segs1, cnts1 = extract_pass_batch(
+        stego3, over3, nproc1.astype(jnp.int32), h, w, 1, t, max_val,
+        interpret, buf_w=buf_w, tile_px=tile_px,
+    )
+    r0, segs0, cnts0 = extract_pass_batch(
+        r1, over3, nproc0.astype(jnp.int32), h, w, 0, t, max_val,
+        interpret, buf_w=buf_w, tile_px=tile_px,
+    )
+    return r0, segs1, cnts1, segs0, cnts0
 
 
 def collect_bits(segs, counts, out_len: int) -> np.ndarray:

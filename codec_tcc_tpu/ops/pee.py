@@ -45,6 +45,8 @@ __all__ = [
     "capacities_by_threshold",
     "embed_pass",
     "extract_pass",
+    "embed_both_passes",
+    "extract_both_passes",
     "parity_mask",
 ]
 
@@ -254,6 +256,49 @@ def embed_pass(
     modify = processed & ~overflow & (embeds | ~expandable)
     out = jnp.where(modify, x_new, img.astype(jnp.int32)).astype(img.dtype)
     return out, overflow & processed, used, n_proc
+
+
+@partial(jax.jit, static_argnames=("t", "max_val"))
+def embed_both_passes(
+    img: jax.Array,
+    msg_bits: jax.Array,
+    total_bits: jax.Array,   # scalar int32
+    t: int,
+    max_val: int,
+):
+    """Both PEE passes in ONE dispatch (single image). Returns
+    ``(stego, overflow_map, used0, nproc0, used1, nproc1)``.
+
+    Pass 1's base/want chain on pass 0's device scalars, so an encode
+    threshold attempt costs one jitted call instead of two with a
+    ``used0`` download between them. A pass at ``want = 0`` is a provable
+    no-op (``n_proc = 0`` empties ``processed``, the stego copy and the
+    ``overflow & processed`` map are exact identities), so this is
+    bit-identical to running pass 0 alone when the payload fits there."""
+    s0, o0, u0, n0 = embed_pass(
+        img, msg_bits, jnp.int32(0), total_bits, 0, t, max_val
+    )
+    s1, o1, u1, n1 = embed_pass(s0, msg_bits, u0, total_bits - u0, 1, t, max_val)
+    return s1, o0 | o1, u0, n0, u1, n1
+
+
+@partial(jax.jit, static_argnames=("t", "max_val", "out_len"))
+def extract_both_passes(
+    stego: jax.Array,
+    overflow_map: jax.Array,
+    nproc0: jax.Array,       # scalar int32 (pass-0 boundary)
+    nproc1: jax.Array,       # scalar int32 (pass-1 boundary; 0 = no pass 1)
+    t: int,
+    max_val: int,
+    out_len: int,
+):
+    """Invert both PEE passes (pass 1 first) in ONE dispatch. Returns
+    ``(restored, bits1, n_bits1, bits0, n_bits0)``. A pass at
+    ``n_proc = 0`` is an exact identity (``processed`` is empty), so
+    single-pass containers (``nproc1 == 0``) restore bit-identically."""
+    r1, b1, m1 = extract_pass(stego, overflow_map, nproc1, 1, t, max_val, out_len)
+    r0, b0, m0 = extract_pass(r1, overflow_map, nproc0, 0, t, max_val, out_len)
+    return r0, b1, m1, b0, m0
 
 
 @partial(jax.jit, static_argnames=("parity", "t", "max_val", "out_len"))

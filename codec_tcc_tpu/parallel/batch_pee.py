@@ -19,6 +19,7 @@ fused (:func:`decode_pee_batch` groups mixed-T batches by T).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
@@ -119,6 +120,21 @@ def probe_capacity_batch(
     return np.asarray(u0).astype(np.int64) + np.asarray(u1).astype(np.int64)
 
 
+@functools.partial(jax.jit, static_argnames=("t", "max_val"))
+def _xla_both_passes(imgs, msgs, want, t, max_val):
+    """Both XLA PEE passes plus the overflow bit-pack, fused into one
+    dispatch (the Pallas twin is ops.pallas_pee.embed_both_passes_batch)."""
+    def one(im, ms, w0):
+        s0, o0, u0, n0 = pee_ops.embed_pass(
+            im, ms, jnp.int32(0), w0, 0, t, max_val
+        )
+        s1, o1, u1, n1 = pee_ops.embed_pass(s0, ms, u0, w0 - u0, 1, t, max_val)
+        return s1, o0 | o1, u0, n0, u1, n1
+
+    s1, over, u0, n0, u1, n1 = jax.vmap(one)(imgs, msgs, want)
+    return s1, embed_ops.pack_bits_batch(over), u0, n0, u1, n1
+
+
 def _run_passes(
     images,                  # (G, H, W) device (or numpy) subgroup at threshold t
     msgs: np.ndarray,        # (G, Lpad) padded message bits
@@ -186,26 +202,18 @@ def _run_passes(
                 else pp.unpad_batch(o3, h, w, tp).reshape(g_pad, n)
             )
             return np.asarray(embed_ops.pack_bits_batch(flat))[:g]
-        zero = jnp.zeros(g_pad, jnp.int32)
-        s0, o0, u0, n0 = pp.embed_pass_batch(
-            imgs3, msg2d_d, zero, want_d, h, w, 0, t, max_val, l2,
-            buf_w=buf_w, tile_px=tp,
-        )
-        used0 = np.asarray(u0).astype(np.int64)
-        want1 = want - used0
-        if (want1 <= 0).all():
-            return (
-                back(s0), pack_over(o0),
-                used0[:g], np.asarray(jnp.maximum(n0, 0)).astype(np.int64)[:g],
-                np.zeros(g, np.int64), np.zeros(g, np.int64),
-            )
-        s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, msg2d_d, u0, want_d - u0, h, w, 1, t, max_val, l2,
+        # ONE dispatch for both passes (pass 1's base/want chain on device;
+        # payloads that fit in pass 0 make pass 1 an inactive-tile copy) —
+        # the sequential form paid two dispatches plus a used0 download
+        # between them, ~15 ms of pure tunnel latency per threshold attempt
+        s1, over, u0, n0, u1, n1 = pp.embed_both_passes_batch(
+            imgs3, msg2d_d, want_d, h, w, t, max_val, l2,
             buf_w=buf_w, tile_px=tp,
         )
         return (
-            back(s1), pack_over(jnp.asarray(o0) | jnp.asarray(o1)),
-            used0[:g], np.asarray(n0).astype(np.int64)[:g],
+            back(s1), pack_over(over),
+            np.asarray(u0).astype(np.int64)[:g],
+            np.asarray(n0).astype(np.int64)[:g],
             np.asarray(u1).astype(np.int64)[:g],
             np.asarray(n1).astype(np.int64)[:g],
         )
@@ -214,28 +222,17 @@ def _run_passes(
     if mesh is not None and g_pad % mesh.devices.size == 0:
         imgs_d = jax.device_put(imgs_d, NamedSharding(mesh, P("dp", None, None)))
         msgs_d = jax.device_put(msgs_d, NamedSharding(mesh, P("dp", None)))
-    s0, o0, u0, n0 = jax.vmap(
-        lambda im, ms, w0: pee_ops.embed_pass(
-            im, ms, jnp.int32(0), w0, 0, t, max_val
-        )
-    )(imgs_d, msgs_d, want_d)
-    used0 = np.asarray(u0).astype(np.int64)
-    want1 = want - used0
-    if (want1 <= 0).all():
-        return (
-            np.asarray(s0)[:g],
-            np.asarray(embed_ops.pack_bits_batch(o0))[:g],
-            used0[:g], np.asarray(n0).astype(np.int64)[:g],
-            np.zeros(g, np.int64), np.zeros(g, np.int64),
-        )
-    s1, o1, u1, n1 = jax.vmap(
-        lambda im, ms, b0, w1: pee_ops.embed_pass(im, ms, b0, w1, 1, t, max_val)
-    )(s0, msgs_d, jnp.asarray(used0.astype(np.int32)),
-      jnp.asarray(np.maximum(want1, 0).astype(np.int32)))
+    # both passes in one dispatch (see embed_both_passes_batch: pass 1 at
+    # want - used0 = 0 is a provable no-op, matching the early exit it
+    # replaces); pass 1's base/want never visit the host
+    s1, over, u0, n0, u1, n1 = _xla_both_passes(
+        imgs_d, msgs_d, want_d, t, max_val
+    )
     return (
         np.asarray(s1)[:g],
-        np.asarray(embed_ops.pack_bits_batch(o0 | o1))[:g],
-        used0[:g], np.asarray(n0).astype(np.int64)[:g],
+        np.asarray(over)[:g],
+        np.asarray(u0).astype(np.int64)[:g],
+        np.asarray(n0).astype(np.int64)[:g],
         np.asarray(u1).astype(np.int64)[:g],
         np.asarray(n1).astype(np.int64)[:g],
     )
@@ -475,11 +472,11 @@ def _decode_group_fused(conts, parsed_ext, overflow_maps, restore_original):
         over3 = pp.pad_batch(over, h, w, tp)
         buf_w = pp.padded_geometry(h, w, tp)[1]
         back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w, tp))
-    r1, segs1, cnts1 = pp.extract_pass_batch(
-        stego3, over3, nproc1, h, w, 1, t, max_val, buf_w=buf_w, tile_px=tp
-    )
-    r0, segs0, cnts0 = pp.extract_pass_batch(
-        r1, over3, nproc0, h, w, 0, t, max_val, buf_w=buf_w, tile_px=tp
+    # both inversions in one dispatch (boundaries come from the container
+    # ext, so nothing needs the host between passes)
+    r0, segs1, cnts1, segs0, cnts0 = pp.extract_both_passes_batch(
+        stego3, over3, nproc0, nproc1, h, w, t, max_val,
+        buf_w=buf_w, tile_px=tp,
     )
     restored = back(r0)
     out_len0 = max(int(max(e[4] for e in parsed_ext)), 1)
