@@ -320,6 +320,42 @@ def embed_block_adaptive(
     return acc
 
 
+@partial(jax.jit, static_argnames=("nbits", "out_len"))
+def extract_message_device(
+    stego: jax.Array,
+    plane_start: jax.Array,
+    seg_len: jax.Array,
+    msg_off: jax.Array,
+    s: jax.Array,
+    nbits: int,
+    out_len: int,
+) -> jax.Array:
+    """:func:`extract_aligned` + :func:`assemble_message_device` in ONE
+    dispatch — the single-image decode hot path paid a fixed per-dispatch
+    cost twice (~7 ms each on the dev tunnel) for what is one fused
+    HBM sweep; only the ``out_len`` payload bits come back."""
+    aligned = extract_aligned(stego, plane_start, seg_len, s, nbits)
+    return assemble_message_device(aligned, msg_off, seg_len, out_len)
+
+
+@partial(jax.jit, static_argnames=("nbits", "block", "out_len"))
+def extract_block_message_device(
+    stego: jax.Array,
+    base_offsets: jax.Array,
+    seg_len: jax.Array,
+    msg_off: jax.Array,
+    s: jax.Array,
+    nbits: int,
+    block: int,
+    out_len: int,
+) -> jax.Array:
+    """Block-adaptive twin of :func:`extract_message_device`:
+    :func:`extract_block_aligned` + :func:`assemble_message_device` fused
+    into one dispatch."""
+    aligned = extract_block_aligned(stego, base_offsets, seg_len, s, nbits, block)
+    return assemble_message_device(aligned, msg_off, seg_len, out_len)
+
+
 @partial(jax.jit, static_argnames=("nbits", "block"))
 def extract_block_aligned(
     stego: jax.Array,

@@ -500,24 +500,23 @@ def decode_container(
         block = container_io.parse_block_ext(meta.ext)
         original = stego ^ diff
         bases = _block_bases(original, kernel_bits, meta.s, block, h, w)
-        aligned = embed_ops.extract_block_aligned(
-            stego, bases, lengths, np.int32(meta.s), kernel_bits, block
-        )
-        # assemble ON DEVICE (planes >= s contribute nothing: zero lengths)
-        # so only the payload bits cross the host link, not s x N rows;
-        # bucket the static out_len to bound jit specializations
-        bits = np.asarray(embed_ops.assemble_message_device(
-            aligned, offsets, lengths, _next_pow2(out_len)
+        # extraction + device assembly in one dispatch (planes >= s
+        # contribute nothing: zero lengths); only the payload bits cross
+        # the host link, not s x N rows; bucket the static out_len to
+        # bound jit specializations
+        bits = np.asarray(embed_ops.extract_block_message_device(
+            stego, bases, lengths, offsets, np.int32(meta.s), kernel_bits,
+            block, _next_pow2(out_len),
         ))[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
     with stage("extract"):
-        aligned = embed_ops.extract_aligned(
-            stego, starts, lengths, np.int32(meta.s), kernel_bits
-        )
-        # device assembly: see the block_adaptive branch note above
-        bits = np.asarray(embed_ops.assemble_message_device(
-            aligned, offsets, lengths, _next_pow2(out_len)
+        # one fused dispatch for extraction + device assembly (the two-call
+        # form paid the tunnel's fixed per-dispatch cost twice); see the
+        # block_adaptive branch note above for why assembly stays on device
+        bits = np.asarray(embed_ops.extract_message_device(
+            stego, starts, lengths, offsets, np.int32(meta.s), kernel_bits,
+            _next_pow2(out_len),
         ))[: meta.payload_bits]
 
     original = None
