@@ -231,6 +231,50 @@ def _pick_pallas_backend(shape: tuple, nbits: int, mesh: Optional[Mesh]) -> str:
     return "preplaced" if bits_bytes <= _PREPLACED_HBM_CAP else "pallas"
 
 
+@partial(jax.jit, static_argnames=("n", "nbits", "n_buf", "max_s"))
+def _packed_embed_with_maps_jit(imgs, msgs, st, ln, of, n, nbits, n_buf, max_s):
+    """Packed-tier preplace + embed + bit-packed XOR maps as ONE program:
+    the single-image hot path paid three dispatches (preplace, embed, xor)
+    at the tunnel's fixed ~7 ms each for one fused HBM sweep's worth of
+    work."""
+    from ..ops import pallas_embed as pe
+
+    b = imgs.shape[0]
+    flat = imgs.reshape(b, n)
+    clear3, value3 = pe.preplace_packed_device(
+        msgs, st, ln, of, n, nbits, n_buf, dtype=imgs.dtype
+    )
+    buf = flat if n_buf == n else jnp.pad(flat, ((0, 0), (0, n_buf - n)))
+    stego3 = pe.embed_batch_packed(
+        buf.reshape(b, n_buf // 128, 128), clear3, value3
+    )
+    stego = stego3.reshape(b, n_buf)[:, :n]
+    packed = embed_ops.xor_maps_packed_batch(flat, stego, max_s)
+    return stego, packed
+
+
+def encode_single_packed_with_maps(
+    image_dev: jax.Array, plan: BatchPlan, s: int
+):
+    """Single-image TPU fast path: returns ``(stego (H, W) device, packed
+    XOR maps (s, N/8) device)`` from one fused dispatch, or ``None`` when
+    the packed tier or bit-packed maps are ineligible (caller falls back
+    to :func:`encode_batch` + a separate maps dispatch)."""
+    h, w = image_dev.shape
+    n = h * w
+    if n % 8 or s < 1:
+        return None
+    if _pick_pallas_backend((1, h, w), plan.nbits, None) != "packed":
+        return None
+    stego, packed = _packed_embed_with_maps_jit(
+        image_dev[None], jnp.asarray(_msg_prefix(plan)),
+        jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+        jnp.asarray(plan.offsets),
+        n, plan.nbits, (n + 127) // 128 * 128, s,
+    )
+    return stego[0].reshape(h, w), packed[0]
+
+
 def encode_batch(
     images: np.ndarray,
     plan: BatchPlan,

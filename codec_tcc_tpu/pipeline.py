@@ -236,6 +236,7 @@ def encode_array(
     if lpad != msg_pad.size:
         msg_pad = np.pad(msg_pad, (0, lpad - msg_pad.size))
 
+    packed_maps_dev = None  # set by the fused packed-tier route below
     with stage("embed"):
         # 3b+4. one fused device dispatch: embed + metric moments
         if config.strategy == "block_adaptive":
@@ -261,9 +262,17 @@ def encode_array(
                 payload_bits=np.array([total_bits], np.int64),
                 nbits=kernel_bits, lpad=msg_pad.size,
             )
-            stego_dev = batch_par.encode_batch(
-                image_dev[None], plan1, backend="auto"
-            )[0]
+            # packed tier + bit-packed XOR maps as one dispatch when
+            # eligible (3 dispatches' fixed tunnel cost otherwise)
+            fused1 = batch_par.encode_single_packed_with_maps(
+                image_dev, plan1, s
+            )
+            if fused1 is not None:
+                stego_dev, packed_maps_dev = fused1
+            else:
+                stego_dev = batch_par.encode_batch(
+                    image_dev[None], plan1, backend="auto"
+                )[0]
             stats = (
                 metric_ops.pair_stats(image_dev, stego_dev)
                 if config.compute_metrics else None
@@ -283,9 +292,12 @@ def encode_array(
             # v2.1 container bitmap blob, so no second diff pass happens on
             # host. Every strategy embeds into planes [0, s) only, so s
             # planes cover the whole diff — no need to ship all kernel_bits.
-            packed_maps = np.asarray(embed_ops.xor_maps_packed_batch(
-                image_dev[None], stego_dev[None], s
-            ))[0]
+            packed_maps = np.asarray(
+                packed_maps_dev if packed_maps_dev is not None
+                else embed_ops.xor_maps_packed_batch(
+                    image_dev[None], stego_dev[None], s
+                )[0]
+            )
             diff = bit_utils.packed_planes_to_diff(packed_maps, image.dtype)
             stego = image ^ diff.reshape(h, w)
             maps = None  # v1 fallback rebuilds the raw planes on demand

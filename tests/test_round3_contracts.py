@@ -216,3 +216,44 @@ def test_expand_bits_matches_unpackbits(rng):
     )
     with pytest.raises(ValueError):
         expand_bits(packed.astype(np.int32))
+
+
+def test_packed_embed_with_maps_jit_matches_separate_calls(rng):
+    """The single-image fused dispatch (packed preplace + embed + bit-packed
+    XOR maps in one program) is bit-identical to the three separate calls
+    it replaces. The production gate only takes this route on real TPU, so
+    the jit is exercised directly here on the CPU mesh."""
+    import jax.numpy as jnp
+
+    from codec_tcc_tpu.ops import embed as embed_ops
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    h, w, s, nbits = 24, 32, 2, 4
+    n = h * w
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    msg = rng.integers(0, 2, size=512, dtype=np.uint8)
+    starts = np.array([[0, 100, 0, 0]], np.int32)
+    lengths = np.array([[200, 150, 0, 0]], np.int32)
+    offsets = np.array([[0, 200, 0, 0]], np.int32)
+    plan = batch_par.BatchPlan(
+        s=np.array([s], np.int32), starts=starts, lengths=lengths,
+        offsets=offsets, msgs=msg[None],
+        payload_bits=np.array([350], np.int64), nbits=nbits, lpad=msg.size,
+    )
+    stego_sep = np.asarray(
+        batch_par.encode_batch(img[None], plan, backend="packed")
+    )
+    packed_sep = np.asarray(embed_ops.xor_maps_packed_batch(
+        jnp.asarray(img[None]), jnp.asarray(stego_sep), s
+    ))[0]
+
+    n_buf = (n + 127) // 128 * 128
+    stego_f, packed_f = batch_par._packed_embed_with_maps_jit(
+        jnp.asarray(img[None]), jnp.asarray(batch_par._msg_prefix(plan)),
+        jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offsets),
+        n, nbits, n_buf, s,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stego_f)[0].reshape(h, w), stego_sep[0]
+    )
+    np.testing.assert_array_equal(np.asarray(packed_f)[0], packed_sep)
