@@ -612,8 +612,25 @@ def encode_batch_containers(
                     f"shrink it, raise beta, or set allow_capacity_overflow=True"
                 )
 
+    max_s = int(plan.s.max(initial=0))
+    packed_dev = None
     with stage("batch_embed"):
-        stego_dev = encode_batch(imgs_dev, plan, mesh)
+        if (
+            n % 8 == 0 and mesh is None and max_s >= 1
+            and _pick_pallas_backend((b, h, w), plan.nbits, None) == "packed"
+        ):
+            # packed tier + bit-packed XOR maps as one program (the
+            # separate form paid three dispatches — see the single-image
+            # twin encode_single_packed_with_maps)
+            st_flat, packed_dev = _packed_embed_with_maps_jit(
+                imgs_dev, jnp.asarray(_msg_prefix(plan)),
+                jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+                jnp.asarray(plan.offsets),
+                n, plan.nbits, (n + 127) // 128 * 128, max_s,
+            )
+            stego_dev = st_flat.reshape(b, h, w)
+        else:
+            stego_dev = encode_batch(imgs_dev, plan, mesh)
         jax.block_until_ready(stego_dev)
 
     metrics = None
@@ -628,9 +645,11 @@ def encode_batch_containers(
         # [0, s_i)), so the download/unpack covers max_s planes, not nbits.
         from ..ops.embed import xor_maps_packed_batch
 
-        max_s = int(plan.s.max())
         with stage("batch_download"):
-            packed = np.asarray(xor_maps_packed_batch(imgs_dev, stego_dev, max_s))
+            packed = np.asarray(
+                packed_dev if packed_dev is not None
+                else xor_maps_packed_batch(imgs_dev, stego_dev, max_s)
+            )
         with stage("batch_unpack"):
             # cached LUT gather per plane (utils.bits): the unpackbits +
             # shift/OR form this replaces was the batch path's single
