@@ -487,3 +487,63 @@ def test_batch_pee_mixed_thresholds_grouped(rng):
         (out,) = bp._decode_group_fused([cont], [ext], [over], True)
         np.testing.assert_array_equal(out.payload_bits, np.asarray(payloads[i]))
         np.testing.assert_array_equal(out.original, imgs[i])
+
+
+def test_both_passes_composites_match_sequential(rng):
+    """The round-3 fused composites (embed_both_passes_batch /
+    extract_both_passes_batch — ONE dispatch on the production paths) are
+    bit-identical to the sequential per-pass calls, on both the direct and
+    the pad-and-mask (odd geometry) routes, including an image whose
+    payload fits entirely in pass 0 (the old early-exit case)."""
+    t, max_val = 2, 4095
+    for h, w in ((512, 512), (160, 96)):
+        n = h * w
+        b = 2
+        tp = pp.preferred_tile_px(h, w)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (400 + 300 * np.sin(yy / 31.0) * np.cos(xx / 41.0)).astype(np.int64)
+        imgs = np.stack([
+            (base + rng.integers(-1, 2, size=(h, w))).clip(0, 836)
+            .astype(np.uint16)
+            for _ in range(b)
+        ])
+        msgs = rng.integers(0, 2, size=(b, 1 << 17)).astype(np.uint8)
+        # image 0: tiny payload (fits in pass 0); image 1: needs both passes
+        want = jnp.asarray(np.array([64, min(100_000, n // 4)], np.int32))
+        zero = jnp.zeros(b, jnp.int32)
+        msg2d, l2 = pp.prep_messages(msgs, n, tp)
+        m2 = jnp.asarray(msg2d)
+        if pp.supports(h, w, tp):
+            imgs3 = jnp.asarray(imgs).reshape(b, n // 128, 128)
+            buf_w = None
+        else:
+            imgs3 = pp.pad_batch(jnp.asarray(imgs), h, w, tp)
+            buf_w = pp.padded_geometry(h, w, tp)[1]
+
+        s0, o0, u0, n0 = pp.embed_pass_batch(
+            imgs3, m2, zero, want, h, w, 0, t, max_val, l2,
+            buf_w=buf_w, tile_px=tp)
+        s1, o1, u1, n1 = pp.embed_pass_batch(
+            s0, m2, u0, want - u0, h, w, 1, t, max_val, l2,
+            buf_w=buf_w, tile_px=tp)
+        fs, fo, fu0, fn0, fu1, fn1 = pp.embed_both_passes_batch(
+            imgs3, m2, want, h, w, t, max_val, l2, buf_w=buf_w, tile_px=tp)
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(fo), np.asarray(o0 | o1))
+        for a, bb in ((fu0, u0), (fu1, u1), (fn1, n1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+        np.testing.assert_array_equal(
+            np.asarray(fn0), np.maximum(np.asarray(n0), 0))
+
+        r1, g1, c1 = pp.extract_pass_batch(
+            s1, o0 | o1, n1, h, w, 1, t, max_val, buf_w=buf_w, tile_px=tp)
+        r0, g0, c0 = pp.extract_pass_batch(
+            r1, o0 | o1, n0, h, w, 0, t, max_val, buf_w=buf_w, tile_px=tp)
+        fr0, fg1, fc1, fg0, fc0 = pp.extract_both_passes_batch(
+            s1, o0 | o1, n0, n1, h, w, t, max_val, buf_w=buf_w, tile_px=tp)
+        np.testing.assert_array_equal(np.asarray(fr0), np.asarray(r0))
+        np.testing.assert_array_equal(np.asarray(fr0), np.asarray(imgs3))
+        np.testing.assert_array_equal(
+            pp.collect_bits(fg0, fc0, n), pp.collect_bits(g0, c0, n))
+        np.testing.assert_array_equal(
+            pp.collect_bits(fg1, fc1, n), pp.collect_bits(g1, c1, n))
