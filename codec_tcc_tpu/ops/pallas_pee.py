@@ -991,17 +991,21 @@ def extract_pass_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w", "t", "max_val", "l2", "buf_w", "tile_px", "interpret"
+        "h", "w", "t", "max_val", "l2", "buf_w", "tile_px", "interpret",
+        "pack_overflow",
     ),
 )
 def embed_both_passes_batch(
     imgs3: jax.Array, msg2d: jax.Array, want: jax.Array,
     h: int, w: int, t: int, max_val: int, l2: int,
     *, buf_w: Optional[int] = None, tile_px: int = TILE_PX,
-    interpret: bool = False,
+    interpret: bool = False, pack_overflow: bool = False,
 ):
     """Both PEE embed passes in ONE dispatch. Returns
-    ``(stego3, overflow3, used0, nproc0, used1, nproc1)``.
+    ``(stego3, overflow, used0, nproc0, used1, nproc1)``; with
+    ``pack_overflow`` the overflow comes back bit-PACKED ``(B,
+    ceil(hw/8)) uint8`` in LOGICAL geometry (np.packbits-identical bytes,
+    the container blob's zlib input), folded into the same program.
 
     Pass 1's base/want come straight off pass 0's device scalars, so the
     production encoder pays one jitted call (and zero host syncs) per
@@ -1021,7 +1025,17 @@ def embed_both_passes_batch(
         s0, msg2d, u0, want - u0, h, w, 1, t, max_val, l2,
         interpret, buf_w=buf_w, tile_px=tile_px,
     )
-    return s1, o0 | o1, u0, jnp.maximum(n0, 0), u1, jnp.maximum(n1, 0)
+    over = o0 | o1
+    if pack_overflow:
+        from .embed import pack_bits_batch
+
+        b = over.shape[0]
+        flat = (
+            over.reshape(b, h * w) if buf_w is None
+            else unpad_batch(over, h, w, tile_px).reshape(b, h * w)
+        )
+        over = pack_bits_batch(flat)
+    return s1, over, u0, n0, u1, n1
 
 
 @functools.partial(

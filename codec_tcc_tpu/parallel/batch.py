@@ -232,11 +232,16 @@ def _pick_pallas_backend(shape: tuple, nbits: int, mesh: Optional[Mesh]) -> str:
 
 
 @partial(jax.jit, static_argnames=("n", "nbits", "n_buf", "max_s"))
-def _packed_embed_with_maps_jit(imgs, msgs, st, ln, of, n, nbits, n_buf, max_s):
-    """Packed-tier preplace + embed + bit-packed XOR maps as ONE program:
-    the single-image hot path paid three dispatches (preplace, embed, xor)
-    at the tunnel's fixed ~7 ms each for one fused HBM sweep's worth of
-    work."""
+def _packed_embed_jit(imgs, msgs, st, ln, of, n, nbits, n_buf, max_s):
+    """The packed tier as ONE program: preplace + embed, plus (when
+    ``max_s >= 1``) the bit-packed XOR maps — the single-image hot path
+    paid three dispatches (preplace, embed, xor) at the tunnel's fixed
+    ~7 ms each for one fused HBM sweep's worth of work. This jit is the
+    ONLY implementation of the packed-tier protocol; ``encode_batch``'s
+    'packed' branch delegates here with ``max_s=0`` (maps skipped).
+
+    Returns ``(stego (B, n) in the images' dtype, packed maps (B, max_s,
+    n/8) or None)``."""
     from ..ops import pallas_embed as pe
 
     b = imgs.shape[0]
@@ -249,8 +254,24 @@ def _packed_embed_with_maps_jit(imgs, msgs, st, ln, of, n, nbits, n_buf, max_s):
         buf.reshape(b, n_buf // 128, 128), clear3, value3
     )
     stego = stego3.reshape(b, n_buf)[:, :n]
-    packed = embed_ops.xor_maps_packed_batch(flat, stego, max_s)
+    packed = (
+        embed_ops.xor_maps_packed_batch(flat, stego, max_s) if max_s else None
+    )
     return stego, packed
+
+
+def _packed_with_maps_eligible(
+    shape: tuple, nbits: int, mesh: Optional[Mesh], max_s: int
+) -> bool:
+    """Shared gate for the fused packed-tier+maps route (single image and
+    serving batch): bit-packable geometry, >= 1 embedded plane, no mesh
+    (sharded inputs keep the encode_batch device_put path), packed tier
+    picked."""
+    n = int(np.prod(shape[1:]))
+    return (
+        n % 8 == 0 and max_s >= 1 and mesh is None
+        and _pick_pallas_backend(shape, nbits, None) == "packed"
+    )
 
 
 def encode_single_packed_with_maps(
@@ -262,11 +283,9 @@ def encode_single_packed_with_maps(
     to :func:`encode_batch` + a separate maps dispatch)."""
     h, w = image_dev.shape
     n = h * w
-    if n % 8 or s < 1:
+    if not _packed_with_maps_eligible((1, h, w), plan.nbits, None, s):
         return None
-    if _pick_pallas_backend((1, h, w), plan.nbits, None) != "packed":
-        return None
-    stego, packed = _packed_embed_with_maps_jit(
+    stego, packed = _packed_embed_jit(
         image_dev[None], jnp.asarray(_msg_prefix(plan)),
         jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
         jnp.asarray(plan.offsets),
@@ -291,11 +310,8 @@ def encode_batch(
     if backend == "auto":
         backend = _pick_pallas_backend(images.shape, plan.nbits, mesh)
     if backend == "packed":
-        from ..ops import pallas_embed as pe
-
         b, h, w = np.shape(images)
         n = h * w
-        n_buf = (n + 127) // 128 * 128
         imgs = jnp.asarray(images)
         msgs = jnp.asarray(_msg_prefix(plan))
         st, ln, of = (jnp.asarray(a)
@@ -305,16 +321,11 @@ def encode_batch(
             imgs = jax.device_put(imgs, NamedSharding(mesh, P("dp", None, None)))
             msgs = jax.device_put(msgs, shard2)
             st, ln, of = (jax.device_put(a, shard2) for a in (st, ln, of))
-        clear3, value3 = pe.preplace_packed_device(
-            msgs, st, ln, of, n, plan.nbits, n_buf, dtype=imgs.dtype,
+        stego, _ = _packed_embed_jit(
+            imgs, msgs, st, ln, of, n, plan.nbits,
+            (n + 127) // 128 * 128, 0,
         )
-        flat = imgs.reshape(b, n)
-        if n_buf != n:
-            flat = jnp.pad(flat, ((0, 0), (0, n_buf - n)))
-        stego = pe.embed_batch_packed(
-            flat.reshape(b, n_buf // 128, 128), clear3, value3
-        )
-        return stego.reshape(b, n_buf)[:, :n].reshape(b, h, w)
+        return stego.reshape(b, h, w)
     if backend == "preplaced":
         from ..ops import pallas_embed as pe
 
@@ -615,14 +626,11 @@ def encode_batch_containers(
     max_s = int(plan.s.max(initial=0))
     packed_dev = None
     with stage("batch_embed"):
-        if (
-            n % 8 == 0 and mesh is None and max_s >= 1
-            and _pick_pallas_backend((b, h, w), plan.nbits, None) == "packed"
-        ):
+        if _packed_with_maps_eligible((b, h, w), plan.nbits, mesh, max_s):
             # packed tier + bit-packed XOR maps as one program (the
             # separate form paid three dispatches — see the single-image
             # twin encode_single_packed_with_maps)
-            st_flat, packed_dev = _packed_embed_with_maps_jit(
+            st_flat, packed_dev = _packed_embed_jit(
                 imgs_dev, jnp.asarray(_msg_prefix(plan)),
                 jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
                 jnp.asarray(plan.offsets),

@@ -196,22 +196,17 @@ def _run_passes(
             buf_w = pp.padded_geometry(h, w, tp)[1]
             back = lambda a3: np.asarray(pp.unpad_batch(a3, h, w, tp))[:g]
 
-        def pack_over(o3):
-            flat = (
-                o3.reshape(g_pad, n) if buf_w is None
-                else pp.unpad_batch(o3, h, w, tp).reshape(g_pad, n)
-            )
-            return np.asarray(embed_ops.pack_bits_batch(flat))[:g]
-        # ONE dispatch for both passes (pass 1's base/want chain on device;
-        # payloads that fit in pass 0 make pass 1 an inactive-tile copy) —
-        # the sequential form paid two dispatches plus a used0 download
-        # between them, ~15 ms of pure tunnel latency per threshold attempt
-        s1, over, u0, n0, u1, n1 = pp.embed_both_passes_batch(
+        # ONE dispatch for both passes AND the overflow bit-pack (pass 1's
+        # base/want chain on device; payloads that fit in pass 0 make pass
+        # 1 an inactive-tile copy) — the sequential form paid two
+        # dispatches plus a used0 download between them, ~15 ms of pure
+        # tunnel latency per threshold attempt
+        s1, over_packed, u0, n0, u1, n1 = pp.embed_both_passes_batch(
             imgs3, msg2d_d, want_d, h, w, t, max_val, l2,
-            buf_w=buf_w, tile_px=tp,
+            buf_w=buf_w, tile_px=tp, pack_overflow=True,
         )
         return (
-            back(s1), pack_over(over),
+            back(s1), np.asarray(over_packed)[:g],
             np.asarray(u0).astype(np.int64)[:g],
             np.asarray(n0).astype(np.int64)[:g],
             np.asarray(u1).astype(np.int64)[:g],

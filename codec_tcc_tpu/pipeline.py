@@ -323,8 +323,8 @@ def encode_array(
             )
         else:
             if maps is None:  # packed branch above skips the raw planes
-                maps = np.unpackbits(
-                    packed_maps.reshape(s, n // 8), axis=1
+                maps = bit_utils.expand_bits(
+                    packed_maps.reshape(s, n // 8)
                 ).reshape(s, h, w)
             bitmaps_blob = container_io.compress_bitmaps(maps)
 

@@ -530,10 +530,8 @@ def test_both_passes_composites_match_sequential(rng):
             imgs3, m2, want, h, w, t, max_val, l2, buf_w=buf_w, tile_px=tp)
         np.testing.assert_array_equal(np.asarray(fs), np.asarray(s1))
         np.testing.assert_array_equal(np.asarray(fo), np.asarray(o0 | o1))
-        for a, bb in ((fu0, u0), (fu1, u1), (fn1, n1)):
+        for a, bb in ((fu0, u0), (fu1, u1), (fn0, n0), (fn1, n1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
-        np.testing.assert_array_equal(
-            np.asarray(fn0), np.maximum(np.asarray(n0), 0))
 
         r1, g1, c1 = pp.extract_pass_batch(
             s1, o0 | o1, n1, h, w, 1, t, max_val, buf_w=buf_w, tile_px=tp)

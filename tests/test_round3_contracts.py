@@ -218,7 +218,7 @@ def test_expand_bits_matches_unpackbits(rng):
         expand_bits(packed.astype(np.int32))
 
 
-def test_packed_embed_with_maps_jit_matches_separate_calls(rng):
+def test_packed_embed_jit_matches_separate_calls(rng):
     """The single-image fused dispatch (packed preplace + embed + bit-packed
     XOR maps in one program) is bit-identical to the three separate calls
     it replaces. The production gate only takes this route on real TPU, so
@@ -248,7 +248,7 @@ def test_packed_embed_with_maps_jit_matches_separate_calls(rng):
     ))[0]
 
     n_buf = (n + 127) // 128 * 128
-    stego_f, packed_f = batch_par._packed_embed_with_maps_jit(
+    stego_f, packed_f = batch_par._packed_embed_jit(
         jnp.asarray(img[None]), jnp.asarray(batch_par._msg_prefix(plan)),
         jnp.asarray(starts), jnp.asarray(lengths), jnp.asarray(offsets),
         n, nbits, n_buf, s,
