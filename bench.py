@@ -802,6 +802,47 @@ def _tunnel_up(attempts: list) -> bool:
     return False
 
 
+def _last_healthy_artifact() -> dict | None:
+    """Newest preserved driver-style run from docs/artifacts/ (raw bench JSON
+    lines kept because the dev tunnel has multi-hour full outages). Lets an
+    outage-time artifact still carry the last real measurement + provenance
+    instead of only a zero."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "docs/artifacts/*.json"))):
+        try:
+            with open(path) as f:
+                obj = json.loads(f.readline())
+            if obj.get("value", 0) > 0:
+                best = {
+                    "value": obj["value"],
+                    "unit": obj.get("unit"),
+                    "backend": obj.get("backend"),
+                    "artifact": os.path.relpath(path, here),
+                }
+        except Exception:
+            continue
+    return best
+
+
+def _print_outage_line(error: str, attempts: list) -> None:
+    """Print ONE parseable artifact line documenting a failed measurement
+    instead of leaving the artifact empty; carry the newest preserved
+    healthy-run number so the artifact stays self-explaining."""
+    extra = {"error": error, "worker_attempts": attempts}
+    last = _last_healthy_artifact()
+    if last:
+        extra["last_healthy_run"] = last
+    print(json.dumps({
+        "metric": "embed+extract throughput (512x512 uint16, batch 256)",
+        "value": 0.0, "unit": "MPix/s/chip", "vs_baseline": 0.0,
+        "backend": "none",
+        "extra": extra,
+    }))
+
+
 def _orchestrate() -> int:
     """Run the measurement in fresh subprocesses: a TPU-tunnel abort poisons
     the whole JAX runtime in-process (even device_put fails afterwards), so
@@ -813,16 +854,9 @@ def _orchestrate() -> int:
 
     attempts = []
     if not _tunnel_up(attempts):
-        # still print ONE parseable line so the artifact documents the
-        # outage instead of being empty
-        print(json.dumps({
-            "metric": "embed+extract throughput (512x512 uint16, batch 256)",
-            "value": 0.0, "unit": "MPix/s/chip", "vs_baseline": 0.0,
-            "backend": "none",
-            "extra": {"error": "TPU tunnel unreachable (device init failed "
-                               "3x in fresh processes)",
-                      "worker_attempts": attempts},
-        }))
+        _print_outage_line(
+            "TPU tunnel unreachable (device init failed 3x in fresh "
+            "processes)", attempts)
         return 1
     for backend in ("packed", "packed", "preplaced", "xla"):
         try:
@@ -858,6 +892,10 @@ def _orchestrate() -> int:
         sys.stderr.write(
             f"bench worker ({backend}) failed rc={proc.returncode}: {err_tail}\n"
         )
+    # tunnel answered the probe but every worker died/timed out (e.g. the
+    # tunnel degraded mid-run): still emit a self-describing artifact line
+    _print_outage_line("all bench workers failed after a passing tunnel "
+                       "probe", attempts)
     return 1
 
 

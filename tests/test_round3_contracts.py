@@ -257,3 +257,40 @@ def test_packed_embed_jit_matches_separate_calls(rng):
         np.asarray(stego_f)[0].reshape(h, w), stego_sep[0]
     )
     np.testing.assert_array_equal(np.asarray(packed_f)[0], packed_sep)
+
+
+def test_bench_outage_line_carries_last_healthy_run():
+    """The bench's dead-tunnel artifact must carry provenance: the newest
+    preserved healthy driver-style run from docs/artifacts/ (value,
+    backend, artifact path), so a tunnel outage at driver time still
+    yields a self-explaining BENCH_r{N}.json instead of a bare zero."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("bench_mod", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    last = bench._last_healthy_artifact()
+    assert last is not None
+    assert last["value"] > 0
+    assert last["unit"] == "MPix/s/chip"
+    assert last["backend"] in ("packed", "preplaced", "windowed", "xla")
+    assert (root / last["artifact"]).is_file()
+
+    # both failure paths (dead tunnel; all workers died after a passing
+    # probe) go through _print_outage_line: one parseable line, value 0,
+    # provenance in extra
+    import contextlib
+    import io
+    import json
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._print_outage_line("synthetic error", ["packed: rc=1 boom"])
+    obj = json.loads(buf.getvalue())
+    assert obj["backend"] == "none" and obj["value"] == 0.0
+    assert obj["extra"]["error"] == "synthetic error"
+    assert obj["extra"]["worker_attempts"] == ["packed: rc=1 boom"]
+    assert obj["extra"]["last_healthy_run"] == last
