@@ -777,6 +777,83 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     return B * h * w / float(np.median(times)) / 1e6, breakdown
 
 
+def _cpu_e2e_main() -> None:
+    """CPU-backend full-cycle e2e worker (run with JAX_PLATFORMS=cpu in a
+    fresh subprocess): measures the complete encode+decode cycle — decompose,
+    plan, embed, XOR maps, transport codec, container pack/parse, extract,
+    restore — on this box's single CPU core for uint16 (pe.dcm content) and
+    uint8, per-image and fused-batch. These are the figures BASELINE.md:54
+    compares against the reference's 10.3 MPix/s embed+merge-only step on the
+    same hardware class; measuring them inside the driver bench makes the
+    claim reproducible from the artifact instead of docs-only. Prints one
+    JSON object."""
+    import sys
+
+    # the axon sitecustomize registers the TPU plugin in every interpreter
+    # (gated on PALLAS_AXON_POOL_IPS) — stripping the var in-process is too
+    # late (CLAUDE.md), so re-exec once with a clean env; this makes the
+    # worker safe to run standalone, not only via _run_cpu_e2e
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execvpe(sys.executable, [sys.executable, *sys.argv], env)
+
+    from codec_tcc_tpu.io import dicom
+
+    u16, _ = dicom.load_image("/root/reference/images/pe.dcm")
+    u16 = np.ascontiguousarray(u16.astype(np.uint16))
+    u8 = (u16 >> 4).astype(np.uint8)
+    out: dict = {"note": "full encode+decode cycle on the CPU backend "
+                         "(1-core host); reference baseline 10.3 MPix/s "
+                         "covers embed+merge only",
+                 # competing processes on the single core (e.g. a tunnel
+                 # probe's jax init) stall individual reps — record them so
+                 # a deflated rep is attributable from the artifact
+                 "contention": _probe_contention()}
+    for tag, img in (("u16", u16), ("u8", u8)):
+        t0 = time.perf_counter()
+        v, bd = _bench_e2e(img)
+        out[f"{tag}_per_image_mpix_s"] = round(v, 2)
+        # 5 reps: the per-batch wall is ~1 s and a single stalled rep out
+        # of 3 lands ON the median; 5 keeps the median on a clean rep
+        vb, bdb = _bench_e2e_batch(img, reps=5)
+        out[f"{tag}_batch_mpix_s"] = round(vb, 2)
+        out[f"{tag}_wall_s"] = round(time.perf_counter() - t0, 1)
+        if tag == "u16":
+            out["u16_batch_stage_ms"] = bdb
+    print(json.dumps(out), flush=True)
+    sys.exit(0)
+
+
+def _run_cpu_e2e(timeout: int = 900):
+    """Run the CPU-backend e2e worker in a fresh subprocess (the axon
+    sitecustomize registers the TPU plugin in every interpreter; the worker
+    must not touch the chip, so the gate env var is stripped and the
+    platform pinned to cpu). Returns the parsed dict or an error string."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker-cpu-e2e"],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return f"cpu-e2e worker timeout ({timeout}s)"
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except Exception:
+                break
+    tail = (proc.stderr.strip().splitlines() or ["?"])[-1]
+    return f"cpu-e2e worker failed rc={proc.returncode}: {tail[:160]}"
+
+
 def _tunnel_up(attempts: list) -> bool:
     """Fail-fast gate: one tiny device op in a fresh subprocess, three tries
     (the tunnel wedges individual processes ~1 in 3 on bad days — CLAUDE.md —
@@ -830,11 +907,13 @@ def _last_healthy_artifact() -> dict | None:
 def _print_outage_line(error: str, attempts: list) -> None:
     """Print ONE parseable artifact line documenting a failed measurement
     instead of leaving the artifact empty; carry the newest preserved
-    healthy-run number so the artifact stays self-explaining."""
+    healthy-run number AND a freshly measured CPU-backend e2e (which needs
+    no tunnel) so the artifact stays self-explaining."""
     extra = {"error": error, "worker_attempts": attempts}
     last = _last_healthy_artifact()
     if last:
         extra["last_healthy_run"] = last
+    extra["cpu_backend_e2e"] = _run_cpu_e2e()
     print(json.dumps({
         "metric": "embed+extract throughput (512x512 uint16, batch 256)",
         "value": 0.0, "unit": "MPix/s/chip", "vs_baseline": 0.0,
@@ -873,16 +952,19 @@ def _orchestrate() -> int:
             continue
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                # surface dead-worker history in the artifact itself, not
-                # just stderr (round-2 verdict: provenance must be in the
-                # parsed JSON)
-                if attempts:
-                    try:
-                        obj = json.loads(line)
+                # surface dead-worker history and the CPU-backend e2e in the
+                # artifact itself, not just stderr/docs (round-2 verdict:
+                # provenance must be in the parsed JSON); a cpu-e2e failure
+                # must never lose the TPU number
+                try:
+                    obj = json.loads(line)
+                    if attempts:
                         obj.setdefault("extra", {})["worker_attempts"] = attempts
-                        line = json.dumps(obj)
-                    except Exception:
-                        pass
+                    obj.setdefault("extra", {})["cpu_backend_e2e"] = \
+                        _run_cpu_e2e()
+                    line = json.dumps(obj)
+                except Exception:
+                    pass
                 print(line)
                 return 0
         err_tail = (
@@ -904,5 +986,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
         main(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--worker-cpu-e2e":
+        _cpu_e2e_main()
     else:
         sys.exit(_orchestrate())

@@ -13,6 +13,7 @@ configurable entry point (SURVEY §5 config plan):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -648,6 +649,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     }[args.command]
     try:
         return handler(args)
+    except BrokenPipeError:
+        # stdout reader went away (e.g. `... | head`): exit quietly like a
+        # well-behaved unix tool instead of dumping a traceback. Route
+        # stdout to devnull so interpreter-shutdown flushes can't re-raise.
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        return 1
     except (ValueError, RuntimeError, FileNotFoundError) as exc:
         if args.verbose:
             raise

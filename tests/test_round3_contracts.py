@@ -286,6 +286,9 @@ def test_bench_outage_line_carries_last_healthy_run():
     import io
     import json
 
+    # stub the CPU-backend e2e measurement (a real subprocess worker takes
+    # minutes); the contract here is that the outage line CARRIES the field
+    bench._run_cpu_e2e = lambda timeout=900: {"stubbed": True}
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench._print_outage_line("synthetic error", ["packed: rc=1 boom"])
@@ -294,3 +297,4 @@ def test_bench_outage_line_carries_last_healthy_run():
     assert obj["extra"]["error"] == "synthetic error"
     assert obj["extra"]["worker_attempts"] == ["packed: rc=1 boom"]
     assert obj["extra"]["last_healthy_run"] == last
+    assert obj["extra"]["cpu_backend_e2e"] == {"stubbed": True}
