@@ -4,13 +4,13 @@
 # measurement sequence one process at a time: tools/pee_profile.py (per-pass
 # timings + tile_px sweep), then the bench. Artifacts land in /tmp.
 cd /root/repo
-for i in $(seq 1 40); do
+for i in $(seq 1 400); do
   echo "probe $i $(date +%H:%M:%S)"
   timeout 300 python -c "
 import jax, jax.numpy as jnp
 print('TUNNEL_OK', float(jnp.sum(jnp.ones((64,64), jnp.float32))))
 " 2>/dev/null && break
-  if [ "$i" = 40 ]; then echo TUNNEL_STILL_DOWN; exit 1; fi
+  if [ "$i" = 400 ]; then echo TUNNEL_STILL_DOWN; exit 1; fi
   sleep 240
 done
 echo "=== tunnel up $(date +%H:%M:%S); pee_profile ==="
