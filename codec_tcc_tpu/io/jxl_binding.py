@@ -42,11 +42,6 @@ def _find_libjxl() -> Optional[str]:
     return None
 
 
-def system_library() -> Optional[str]:
-    """Path/soname of the system libjxl, or None if absent."""
-    return _find_libjxl()
-
-
 def _build(libjxl: str) -> None:
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "jxl_shim.cpp")

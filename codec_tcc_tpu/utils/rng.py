@@ -11,7 +11,7 @@ instance, parameterized by seed, without touching global state.
 from __future__ import annotations
 
 import random
-from typing import List, Sequence
+from typing import List
 
 DEFAULT_SEGMENT_SHUFFLE_SEED = 42
 
@@ -27,11 +27,3 @@ def shuffled_indices(n: int, seed: int = DEFAULT_SEGMENT_SHUFFLE_SEED) -> List[i
     idx = list(range(n))
     random.Random(seed).shuffle(idx)
     return idx
-
-
-def invert_permutation(perm: Sequence[int]) -> List[int]:
-    """inv[perm[k]] = k."""
-    inv = [0] * len(perm)
-    for k, p in enumerate(perm):
-        inv[p] = k
-    return inv
