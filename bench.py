@@ -813,15 +813,27 @@ def _cpu_e2e_main() -> None:
                  "contention": _probe_contention()}
     for tag, img in (("u16", u16), ("u8", u8)):
         t0 = time.perf_counter()
-        v, bd = _bench_e2e(img)
-        out[f"{tag}_per_image_mpix_s"] = round(v, 2)
-        # 5 reps: the per-batch wall is ~1 s and a single stalled rep out
-        # of 3 lands ON the median; 5 keeps the median on a clean rep
-        vb, bdb = _bench_e2e_batch(img, reps=5)
-        out[f"{tag}_batch_mpix_s"] = round(vb, 2)
+        # per-leg error isolation (mirrors the TPU worker's _stage): one
+        # failing leg must not discard the figures already measured — the
+        # outage artifact exists to carry real numbers
+        try:
+            v, bd = _bench_e2e(img)
+            out[f"{tag}_per_image_mpix_s"] = round(v, 2)
+            if tag == "u16":
+                out["u16_per_image_stage_ms"] = bd
+        except Exception as exc:
+            out[f"{tag}_per_image_error"] = \
+                f"{type(exc).__name__}: {exc}"[:200]
+        try:
+            # 5 reps: the per-batch wall is ~1 s and a single stalled rep
+            # out of 3 lands ON the median; 5 keeps the median clean
+            vb, bdb = _bench_e2e_batch(img, reps=5)
+            out[f"{tag}_batch_mpix_s"] = round(vb, 2)
+            if tag == "u16":
+                out["u16_batch_stage_ms"] = bdb
+        except Exception as exc:
+            out[f"{tag}_batch_error"] = f"{type(exc).__name__}: {exc}"[:200]
         out[f"{tag}_wall_s"] = round(time.perf_counter() - t0, 1)
-        if tag == "u16":
-            out["u16_batch_stage_ms"] = bdb
     print(json.dumps(out), flush=True)
     sys.exit(0)
 
@@ -888,7 +900,11 @@ def _last_healthy_artifact() -> dict | None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
-    for path in sorted(glob.glob(os.path.join(here, "docs/artifacts/*.json"))):
+    # the bench_<ISO-date>_<HHMM>UTC_* naming convention makes lexicographic
+    # order chronological (mtimes are not git-stable after a checkout);
+    # off-convention names are excluded rather than mis-ordered
+    for path in sorted(glob.glob(
+            os.path.join(here, "docs/artifacts/bench_*UTC_*.json"))):
         try:
             with open(path) as f:
                 obj = json.loads(f.readline())

@@ -650,11 +650,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         return handler(args)
     except BrokenPipeError:
-        # stdout reader went away (e.g. `... | head`): exit quietly like a
-        # well-behaved unix tool instead of dumping a traceback. Route
-        # stdout to devnull so interpreter-shutdown flushes can't re-raise.
-        devnull = os.open(os.devnull, os.O_WRONLY)
-        os.dup2(devnull, sys.stdout.fileno())
+        # a pipe reader went away (usually `... | head` closing stdout):
+        # exit like a well-behaved unix tool instead of dumping a
+        # traceback. Route stdout to devnull so interpreter-shutdown
+        # flushes can't re-raise; stdout may not be a real fd (redirected
+        # to a StringIO by a wrapping caller), and the broken pipe may be
+        # some OTHER fd entirely — so guard the dup2 and leave one line of
+        # diagnostic on stderr either way.
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except Exception:
+            pass
+        print("error: broken pipe", file=sys.stderr)
         return 1
     except (ValueError, RuntimeError, FileNotFoundError) as exc:
         if args.verbose:

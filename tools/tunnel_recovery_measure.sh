@@ -16,5 +16,8 @@ done
 echo "=== tunnel up $(date +%H:%M:%S); pee_profile ==="
 timeout 1800 python tools/pee_profile.py 2>/tmp/pee_profile.err | tee /tmp/pee_profile.json
 echo "=== bench $(date +%H:%M:%S) ==="
-timeout 2400 python bench.py 2>/tmp/bench_r3f.err | tee /tmp/bench_r3f.json
+# 5400: a wedged first worker eats its 1800 s timeout, the retry needs up
+# to another 1800, and the CPU-backend e2e leg adds up to 900 before the
+# line prints — 2400 could kill a COMPLETED on-chip measurement unprinted
+timeout 5400 python bench.py 2>/tmp/bench_r3f.err | tee /tmp/bench_r3f.json
 echo "=== done $(date +%H:%M:%S) ==="
