@@ -92,6 +92,22 @@ def _build_parser() -> argparse.ArgumentParser:
     anb.add_argument("--windowed-ssim", action="store_true")
     anb.add_argument("--report", help="write the aggregate JSON report here")
 
+    cap = sub.add_parser(
+        "capacity",
+        help="usable payload capacity of an image (or volume) per strategy, "
+             "before encoding anything",
+    )
+    cap.add_argument("input", help="DICOM / PNG / .npy image or volume")
+    cap.add_argument("--beta", type=float, default=0.4,
+                     help="entropy retention target (reference default 0.4)")
+    cap.add_argument("--seed", type=int, default=42)
+    cap.add_argument("--nbits", type=int, default=None,
+                     help="bit planes to consider (default: DICOM BitsStored)")
+    cap.add_argument("--ignore-bits-stored", action="store_true")
+    cap.add_argument("--pee-threshold", type=int, default=2)
+    cap.add_argument("--json", action="store_true",
+                     help="machine-readable output")
+
     demo = sub.add_parser(
         "demo",
         help="encode-then-decode self check (the reference's main() demo, "
@@ -302,6 +318,96 @@ def cmd_decode(args: argparse.Namespace) -> int:
             "codec": result.meta.codec,
             "restored_original": result.original is not None,
         })
+    return 0
+
+
+def cmd_capacity(args: argparse.Namespace) -> int:
+    """Usable payload capacity per strategy, without encoding anything.
+
+    Reports the boundary the encoders actually accept: the quadratic
+    segment distribution's usable bits for the LSB strategies (NOT the
+    reference's s*H*W claim, codec.py:294, which oversubscribes plane 0)
+    and the saturated two-pass probe for PEE (pass-1 capacity measured on
+    the pass-0 result). Volumes (3-D inputs / multiframe DICOMs) use
+    encode-volume's semantics: one GLOBAL cut point, per-slice chunks."""
+    import json as json_mod
+
+    from .models import get_embedder
+    from .ops import decompose as decompose_ops
+    from .ops.segments import usable_capacity_bits
+
+    bits_stored = None
+    if args.input.lower().endswith(".dcm"):
+        arr, ds = dicom.load_image(args.input)
+        bits_stored = ds.bits_stored
+    else:
+        arr = _load_any(args.input)
+
+    dtype_bits = arr.dtype.itemsize * 8
+    nbits = args.nbits
+    if nbits is None:
+        nbits = (
+            bits_stored
+            if (bits_stored and not args.ignore_bits_stored)
+            else dtype_bits
+        )
+    nbits = min(nbits, dtype_bits)
+    t = max(1, args.pee_threshold)
+
+    out: dict = {
+        "input": args.input,
+        "shape": list(arr.shape),
+        "dtype": str(arr.dtype),
+        "bits_stored": bits_stored,
+        "beta": args.beta,
+        "nbits": nbits,
+        "pee_threshold": t,
+    }
+    if arr.ndim == 3:
+        from .parallel.batch_pee import probe_capacity_batch
+        from .parallel.volume import volume_cut_point
+
+        d, h, w = arr.shape
+        s, _ = volume_cut_point(arr, args.beta)
+        out["cut_point_s"] = int(s)
+        out["frames"] = d
+        out["lsb_bits"] = int(usable_capacity_bits(s, h * w, args.seed)) * d
+        max_val = (1 << nbits) - 1
+        if int(arr.max()) > max_val:
+            max_val = (1 << dtype_bits) - 1
+        out["pee_bits"] = int(
+            np.sum(probe_capacity_batch(arr, t, max_val))
+        )
+        out["reference_rule_bits"] = int(s) * h * w * d
+    else:
+        dec = decompose_ops.decompose(arr, beta=args.beta, nbits=nbits)
+        out["cut_point_s"] = int(dec.s)
+        out["lsb_bits"] = int(
+            usable_capacity_bits(dec.s, arr.size, args.seed)
+        )
+        pee = get_embedder(
+            "pee", beta=args.beta, seed=args.seed, nbits=args.nbits,
+            use_bits_stored=not args.ignore_bits_stored,
+            pee_threshold=t,
+        )
+        out["pee_bits"] = int(pee.capacity_bits(arr, bits_stored=bits_stored))
+        out["reference_rule_bits"] = int(dec.s) * arr.size
+
+    if args.json:
+        print(json_mod.dumps(out))
+        return 0
+    geom = "x".join(str(v) for v in arr.shape)
+    bs = f" (BitsStored {bits_stored})" if bits_stored else ""
+    print(f"image                : {args.input}  {geom} {arr.dtype}{bs}")
+    print(f"cut point s          : {out['cut_point_s']} "
+          f"(beta={args.beta}, nbits={nbits})")
+    print("usable payload capacity:")
+    print(f"  multi_plane/hybrid/block_adaptive : {out['lsb_bits']} bits "
+          f"({out['lsb_bits'] // 8} bytes)")
+    print(f"  pee (two-pass, T={t})               : {out['pee_bits']} bits "
+          f"({out['pee_bits'] // 8} bytes)")
+    print(f"  [reference s*H*W rule claims {out['reference_rule_bits']} "
+          f"bits but oversubscribes plane 0]")
     return 0
 
 
@@ -640,6 +746,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "decode": cmd_decode,
         "analyze": cmd_analyze,
         "analyze-batch": cmd_analyze_batch,
+        "capacity": cmd_capacity,
         "demo": cmd_demo,
         "encode-volume": cmd_encode_volume,
         "decode-volume": cmd_decode_volume,
