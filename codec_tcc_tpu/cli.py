@@ -322,19 +322,10 @@ def cmd_decode(args: argparse.Namespace) -> int:
 
 
 def cmd_capacity(args: argparse.Namespace) -> int:
-    """Usable payload capacity per strategy, without encoding anything.
-
-    Reports the boundary the encoders actually accept: the quadratic
-    segment distribution's usable bits for the LSB strategies (NOT the
-    reference's s*H*W claim, codec.py:294, which oversubscribes plane 0)
-    and the saturated two-pass probe for PEE (pass-1 capacity measured on
-    the pass-0 result). Volumes (3-D inputs / multiframe DICOMs) use
-    encode-volume's semantics: one GLOBAL cut point, per-slice chunks."""
+    """Usable payload capacity per strategy (see pipeline.capacity_report)."""
     import json as json_mod
 
-    from .models import get_embedder
-    from .ops import decompose as decompose_ops
-    from .ops.segments import usable_capacity_bits
+    from . import pipeline
 
     bits_stored = None
     if args.input.lower().endswith(".dcm"):
@@ -343,55 +334,12 @@ def cmd_capacity(args: argparse.Namespace) -> int:
     else:
         arr = _load_any(args.input)
 
-    dtype_bits = arr.dtype.itemsize * 8
-    nbits = args.nbits
-    if nbits is None:
-        nbits = (
-            bits_stored
-            if (bits_stored and not args.ignore_bits_stored)
-            else dtype_bits
-        )
-    nbits = min(nbits, dtype_bits)
-    t = max(1, args.pee_threshold)
-
-    out: dict = {
-        "input": args.input,
-        "shape": list(arr.shape),
-        "dtype": str(arr.dtype),
-        "bits_stored": bits_stored,
-        "beta": args.beta,
-        "nbits": nbits,
-        "pee_threshold": t,
-    }
-    if arr.ndim == 3:
-        from .parallel.batch_pee import probe_capacity_batch
-        from .parallel.volume import volume_cut_point
-
-        d, h, w = arr.shape
-        s, _ = volume_cut_point(arr, args.beta)
-        out["cut_point_s"] = int(s)
-        out["frames"] = d
-        out["lsb_bits"] = int(usable_capacity_bits(s, h * w, args.seed)) * d
-        max_val = (1 << nbits) - 1
-        if int(arr.max()) > max_val:
-            max_val = (1 << dtype_bits) - 1
-        out["pee_bits"] = int(
-            np.sum(probe_capacity_batch(arr, t, max_val))
-        )
-        out["reference_rule_bits"] = int(s) * h * w * d
-    else:
-        dec = decompose_ops.decompose(arr, beta=args.beta, nbits=nbits)
-        out["cut_point_s"] = int(dec.s)
-        out["lsb_bits"] = int(
-            usable_capacity_bits(dec.s, arr.size, args.seed)
-        )
-        pee = get_embedder(
-            "pee", beta=args.beta, seed=args.seed, nbits=args.nbits,
-            use_bits_stored=not args.ignore_bits_stored,
-            pee_threshold=t,
-        )
-        out["pee_bits"] = int(pee.capacity_bits(arr, bits_stored=bits_stored))
-        out["reference_rule_bits"] = int(dec.s) * arr.size
+    out = {"input": args.input}
+    out.update(pipeline.capacity_report(
+        arr, bits_stored=bits_stored, beta=args.beta, seed=args.seed,
+        nbits=args.nbits, use_bits_stored=not args.ignore_bits_stored,
+        pee_threshold=args.pee_threshold,
+    ))
 
     if args.json:
         print(json_mod.dumps(out))
@@ -400,12 +348,12 @@ def cmd_capacity(args: argparse.Namespace) -> int:
     bs = f" (BitsStored {bits_stored})" if bits_stored else ""
     print(f"image                : {args.input}  {geom} {arr.dtype}{bs}")
     print(f"cut point s          : {out['cut_point_s']} "
-          f"(beta={args.beta}, nbits={nbits})")
+          f"(beta={args.beta}, nbits={out['nbits']})")
     print("usable payload capacity:")
     print(f"  multi_plane/hybrid/block_adaptive : {out['lsb_bits']} bits "
           f"({out['lsb_bits'] // 8} bytes)")
-    print(f"  pee (two-pass, T={t})               : {out['pee_bits']} bits "
-          f"({out['pee_bits'] // 8} bytes)")
+    print(f"  pee (two-pass, T={out['pee_threshold']})               : "
+          f"{out['pee_bits']} bits ({out['pee_bits'] // 8} bytes)")
     print(f"  [reference s*H*W rule claims {out['reference_rule_bits']} "
           f"bits but oversubscribes plane 0]")
     return 0

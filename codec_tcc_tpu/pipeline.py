@@ -545,6 +545,83 @@ def decode_file(path: str, *, restore_original: bool = True) -> DecodeResult:
 
 
 # ---------------------------------------------------------------------------
+# capacity planning
+# ---------------------------------------------------------------------------
+
+
+def capacity_report(
+    arr: np.ndarray,
+    *,
+    bits_stored: Optional[int] = None,
+    beta: float = 0.4,
+    seed: int = 42,
+    nbits: Optional[int] = None,
+    use_bits_stored: bool = True,
+    pee_threshold: int = 2,
+) -> Dict:
+    """Usable payload capacity per strategy, without encoding anything.
+
+    Reports the boundary the encoders actually accept: the quadratic
+    segment distribution's usable bits for the LSB strategies (NOT the
+    reference's ``s*H*W`` claim, codec.py:294, which oversubscribes
+    plane 0 — included as ``reference_rule_bits`` for contrast) and the
+    saturated two-pass probe for PEE (pass-1 capacity measured on the
+    pass-0 result). 3-D inputs use :func:`parallel.volume.encode_volume`'s
+    semantics: one GLOBAL cut point, per-slice chunks. Shared by the CLI
+    ``capacity`` subcommand and the serve daemon's ``capacity`` op."""
+    from .models import get_embedder
+
+    arr = np.asarray(arr)
+    dtype_bits = arr.dtype.itemsize * 8
+    if nbits is None:
+        eff_nbits = (
+            bits_stored if (bits_stored and use_bits_stored) else dtype_bits
+        )
+    else:
+        eff_nbits = nbits
+    eff_nbits = min(eff_nbits, dtype_bits)
+    t = max(1, pee_threshold)
+
+    out: Dict = {
+        "shape": list(arr.shape),
+        "dtype": str(arr.dtype),
+        "bits_stored": bits_stored,
+        "beta": beta,
+        "nbits": eff_nbits,
+        "pee_threshold": t,
+    }
+    if arr.ndim == 3:
+        from .parallel.batch_pee import probe_capacity_batch
+        from .parallel.volume import volume_cut_point
+
+        d, h, w = arr.shape
+        s, _ = volume_cut_point(arr, beta)
+        out["cut_point_s"] = int(s)
+        out["frames"] = d
+        out["lsb_bits"] = int(
+            segment_ops.usable_capacity_bits(s, h * w, seed)
+        ) * d
+        max_val = (1 << eff_nbits) - 1
+        if int(arr.max()) > max_val:
+            max_val = (1 << dtype_bits) - 1
+        out["pee_bits"] = int(np.sum(probe_capacity_batch(arr, t, max_val)))
+        out["reference_rule_bits"] = int(s) * h * w * d
+    else:
+        dec = decompose_ops.decompose(arr, beta=beta, nbits=eff_nbits)
+        out["cut_point_s"] = int(dec.s)
+        out["lsb_bits"] = int(
+            segment_ops.usable_capacity_bits(dec.s, arr.size, seed)
+        )
+        pee = get_embedder(
+            "pee", beta=beta, seed=seed, nbits=nbits,
+            use_bits_stored=use_bits_stored, pee_threshold=t,
+        )
+        out["pee_bits"] = int(pee.capacity_bits(arr, bits_stored=bits_stored))
+        out["reference_rule_bits"] = int(dec.s) * arr.size
+    return out
+
+
+# ---------------------------------------------------------------------------
 # analyze
 # ---------------------------------------------------------------------------
 

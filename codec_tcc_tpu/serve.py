@@ -23,6 +23,7 @@ daemon. Operations:
      "message"|"payload_b64": ..., "config": {...}}   # fused device path
     {"op": "decode_batch", "inputs": [...], "output_dir": d}
     {"op": "analyze", "original": p, "stego": p}
+    {"op": "capacity", "input": p, "beta"|"nbits"|"pee_threshold"|...: ...}
     {"op": "shutdown"}
 
 Start:  python -m codec_tcc_tpu serve --socket /tmp/ct.sock [--warmup 512x512]
@@ -194,6 +195,28 @@ def _op_decode_batch(obj: dict, state: dict) -> dict:
     return {"items": items}
 
 
+def _op_capacity(obj: dict, state: dict) -> dict:
+    from . import pipeline
+    from .cli import _load_any
+    from .io import dicom
+
+    path = obj["input"]
+    bits_stored = None
+    if path.lower().endswith(".dcm"):
+        arr, ds = dicom.load_image(path)
+        bits_stored = ds.bits_stored
+    else:
+        arr = _load_any(path)
+    kwargs = {
+        k: obj[k]
+        for k in ("beta", "seed", "nbits", "use_bits_stored", "pee_threshold")
+        if k in obj
+    }
+    out = {"input": path}
+    out.update(pipeline.capacity_report(arr, bits_stored=bits_stored, **kwargs))
+    return out
+
+
 def _op_analyze(obj: dict, state: dict) -> dict:
     from . import pipeline
     from .analyze import _verdicts
@@ -216,6 +239,7 @@ _OPS = {
     "encode_batch": _op_encode_batch,
     "decode_batch": _op_decode_batch,
     "analyze": _op_analyze,
+    "capacity": _op_capacity,
 }
 
 

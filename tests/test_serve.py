@@ -119,6 +119,27 @@ def test_analyze_pair(daemon):
     assert r["changed_pixels"] == 1 and "verdict" in r
 
 
+def test_capacity_over_daemon(daemon):
+    work, sock = daemon["work"], daemon["sock"]
+    y, x = np.mgrid[0:32, 0:32]
+    arr = (60 * y + 40 * x).astype(np.uint16)
+    path = _dcm(work, "cap.dcm", arr)
+    r = request(sock, {"op": "capacity", "input": path})
+    assert r["ok"], r
+
+    from codec_tcc_tpu.pipeline import capacity_report
+
+    # dicom.save_image writes BitsStored for the value range; the daemon op
+    # must match the library on the same loaded pair
+    from codec_tcc_tpu.io import dicom as dicom_io
+
+    loaded, ds = dicom_io.load_image(path)
+    exp = capacity_report(loaded, bits_stored=ds.bits_stored)
+    for k in ("cut_point_s", "lsb_bits", "pee_bits", "reference_rule_bits"):
+        assert r[k] == exp[k], k
+    assert r["pee_bits"] > 0
+
+
 def test_errors_do_not_kill_daemon(daemon):
     sock = daemon["sock"]
     r = request(sock, {"op": "transmogrify"})
