@@ -22,6 +22,9 @@ daemon. Operations:
     {"op": "encode_batch", "inputs": [...], "output_dir": d,
      "message"|"payload_b64": ..., "config": {...}}   # fused device path
     {"op": "decode_batch", "inputs": [...], "output_dir": d}
+    {"op": "encode_volume", "inputs": [...], "output": p,
+     "message"|"payload_b64": ..., "config": {...}}    # STGV container
+    {"op": "decode_volume", "input": p, "output_prefix": p, "dicom": false}
     {"op": "analyze", "original": p, "stego": p}
     {"op": "capacity", "input": p, "beta"|"nbits"|"pee_threshold"|...: ...}
     {"op": "shutdown"}
@@ -195,6 +198,66 @@ def _op_decode_batch(obj: dict, state: dict) -> dict:
     return {"items": items}
 
 
+def _op_encode_volume(obj: dict, state: dict) -> dict:
+    from .cli import _load_volume
+    from .parallel import volume as volume_par
+
+    cfg = _parse_config(obj)
+    paths = obj["inputs"]
+    if not isinstance(paths, list) or not paths:
+        raise ValueError("'inputs' must be a non-empty list of paths")
+    vol = _load_volume(paths)
+    result = volume_par.encode_volume(vol, _parse_payload(obj), cfg)
+    blob = volume_par.pack_volume(vol, result, cfg)
+    with open(obj["output"], "wb") as f:
+        f.write(blob)
+    out = {
+        "output": obj["output"],
+        "slices": int(vol.shape[0]),
+        "payload_bits": int(result.slice_bits.sum()),
+        "container_bytes": len(blob),
+    }
+    if result.threshold is not None:
+        out["pee_threshold"] = result.threshold
+    else:
+        out["s"] = result.s
+    if result.metrics:
+        out["metrics"] = result.metrics
+    return out
+
+
+def _op_decode_volume(obj: dict, state: dict) -> dict:
+    from .io import dicom
+    from .parallel import volume as volume_par
+    from .utils import bits as bit_utils
+
+    with open(obj["input"], "rb") as f:
+        data = f.read()
+    payload_bits, stego, original = volume_par.unpack_volume(data)
+    prefix = obj["output_prefix"]
+    payload_path = f"{prefix}_payload.bin"
+    with open(payload_path, "wb") as f:
+        f.write(bit_utils.bits_to_bytes(payload_bits))
+    stego_path = f"{prefix}_stego.npy"
+    np.save(stego_path, stego)
+    out = {
+        "payload_bits": int(payload_bits.size),
+        "payload_path": payload_path,
+        "stego_path": stego_path,
+    }
+    if original is not None:
+        out["original_path"] = f"{prefix}_original.npy"
+        np.save(out["original_path"], original)
+    if obj.get("dicom"):
+        # multiframe secondary-capture DICOMs, like the CLI's --dicom
+        out["stego_dicom"] = f"{prefix}_stego.dcm"
+        dicom.save_image(stego, out["stego_dicom"])
+        if original is not None:
+            out["original_dicom"] = f"{prefix}_original.dcm"
+            dicom.save_image(original, out["original_dicom"])
+    return out
+
+
 def _op_capacity(obj: dict, state: dict) -> dict:
     from . import pipeline
     from .cli import _load_any
@@ -238,6 +301,8 @@ _OPS = {
     "decode": _op_decode,
     "encode_batch": _op_encode_batch,
     "decode_batch": _op_decode_batch,
+    "encode_volume": _op_encode_volume,
+    "decode_volume": _op_decode_volume,
     "analyze": _op_analyze,
     "capacity": _op_capacity,
 }

@@ -119,6 +119,37 @@ def test_analyze_pair(daemon):
     assert r["changed_pixels"] == 1 and "verdict" in r
 
 
+def test_volume_roundtrip_over_daemon(daemon):
+    work, sock = daemon["work"], daemon["sock"]
+    rng = np.random.default_rng(12)
+    vol = rng.integers(0, 4096, size=(3, 32, 32)).astype(np.uint16)
+    src = os.path.join(work, "vol.npy")
+    np.save(src, vol)
+    out = os.path.join(work, "vol.stgv")
+    r = request(sock, {
+        "op": "encode_volume", "inputs": [src], "output": out,
+        "message": "volume over the daemon",
+        "config": {"strategy": "multi_plane", "codec": "deflate"},
+    })
+    assert r["ok"], r
+    assert r["slices"] == 3 and r["s"] >= 1
+    assert r["container_bytes"] == os.path.getsize(out)
+
+    prefix = os.path.join(work, "vdec")
+    d = request(sock, {
+        "op": "decode_volume", "input": out,
+        "output_prefix": prefix, "dicom": True,
+    })
+    assert d["ok"], d
+    with open(d["payload_path"], "rb") as f:
+        assert f.read() == b"volume over the daemon"
+    np.testing.assert_array_equal(np.load(d["original_path"]), vol)
+    from codec_tcc_tpu.io import dicom
+
+    frames, _ = dicom.load_image(d["stego_dicom"])
+    np.testing.assert_array_equal(frames, np.load(d["stego_path"]))
+
+
 def test_capacity_over_daemon(daemon):
     work, sock = daemon["work"], daemon["sock"]
     y, x = np.mgrid[0:32, 0:32]
