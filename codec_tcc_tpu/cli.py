@@ -194,6 +194,9 @@ def _build_parser() -> argparse.ArgumentParser:
                           "(e.g. 512x512) so the first request is warm")
     srv.add_argument("--idle-timeout", type=float, default=None,
                      help="exit after this many seconds with no connection")
+    srv.add_argument("--conn-timeout", type=float, default=600.0,
+                     help="drop a connection silent for this many seconds "
+                          "(it blocks all other clients while open)")
     return p
 
 
@@ -682,7 +685,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     from .serve import serve
 
     return serve(args.socket, warmup=args.warmup,
-                 idle_timeout=args.idle_timeout)
+                 idle_timeout=args.idle_timeout,
+                 conn_timeout=args.conn_timeout)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

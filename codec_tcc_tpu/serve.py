@@ -85,6 +85,7 @@ def _op_ping(obj: dict, state: dict) -> dict:
         "device_count": jax.device_count(),
         "uptime_s": round(time.monotonic() - state["t0"], 1),
         "requests_served": state["served"],
+        "ops_served": dict(state["op_counts"]),
         "pid": os.getpid(),
     }
 
@@ -327,6 +328,7 @@ def _handle_line(line: bytes, state: dict) -> tuple:
             ok=True, op=op, wall_ms=round(1e3 * (time.perf_counter() - t0), 2)
         )
         state["served"] += 1
+        state["op_counts"][op] = state["op_counts"].get(op, 0) + 1
         return out, False
     except Exception as exc:  # any failure answers; the daemon survives
         logger.warning("request failed: %s: %s", type(exc).__name__, exc)
@@ -356,21 +358,33 @@ def serve(
     socket_path: str,
     warmup: Optional[str] = None,
     idle_timeout: Optional[float] = None,
+    conn_timeout: float = 600.0,
 ) -> int:
     """Run the daemon until a ``shutdown`` request (or ``idle_timeout``
     seconds without a connection). One connection is served at a time — the
     chip serializes device work anyway, and in-order responses keep the
-    protocol trivial."""
+    protocol trivial. A connection that goes silent for ``conn_timeout``
+    seconds is dropped (it would otherwise hold the daemon hostage, since
+    nothing else can be accepted while it is open); SIGTERM exits cleanly
+    (socket unlinked) so orchestrated restarts don't leave stale paths
+    behind."""
+    import signal
+
     if warmup:
         _warmup(warmup)
     if os.path.exists(socket_path):
         os.unlink(socket_path)  # stale socket from a previous daemon
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+
+    def _sigterm(signum, frame):
+        raise SystemExit(0)  # unwinds through finally: socket unlinked
+
+    prev_handler = signal.signal(signal.SIGTERM, _sigterm)
     try:
         srv.bind(socket_path)
         srv.listen(8)
         srv.settimeout(idle_timeout)
-        state = {"t0": time.monotonic(), "served": 0}
+        state = {"t0": time.monotonic(), "served": 0, "op_counts": {}}
         logger.info("serving on %s (pid %d)", socket_path, os.getpid())
         print(f"serving on {socket_path}", flush=True)  # readiness signal
         shutdown = False
@@ -380,17 +394,22 @@ def serve(
             except socket.timeout:
                 logger.info("idle timeout (%.0fs); exiting", idle_timeout)
                 break
-            with conn, conn.makefile("rwb") as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    resp, shutdown = _handle_line(line, state)
-                    f.write(json.dumps(resp).encode() + b"\n")
-                    f.flush()
-                    if shutdown:
-                        break
+            conn.settimeout(conn_timeout)
+            try:
+                with conn, conn.makefile("rwb") as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        resp, shutdown = _handle_line(line, state)
+                        f.write(json.dumps(resp).encode() + b"\n")
+                        f.flush()
+                        if shutdown:
+                            break
+            except (socket.timeout, BrokenPipeError, ConnectionError) as exc:
+                logger.warning("dropping connection: %s", exc)
         return 0
     finally:
+        signal.signal(signal.SIGTERM, prev_handler)
         srv.close()
         if os.path.exists(socket_path):
             os.unlink(socket_path)

@@ -25,7 +25,8 @@ def daemon():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
-        [sys.executable, "-m", "codec_tcc_tpu", "serve", "--socket", sock],
+        [sys.executable, "-m", "codec_tcc_tpu", "serve", "--socket", sock,
+         "--conn-timeout", "5"],
         env=env, cwd=work,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
@@ -68,6 +69,8 @@ def test_ping_reports_backend(daemon):
     assert r["ok"] and r["op"] == "ping"
     assert r["backend"] == "cpu" and r["device_count"] >= 1
     assert r["pid"] == daemon["proc"].pid
+    assert isinstance(r["ops_served"], dict)  # per-op counters
+    assert r["requests_served"] == sum(r["ops_served"].values())
 
 
 def test_encode_decode_roundtrip(daemon):
@@ -169,6 +172,57 @@ def test_capacity_over_daemon(daemon):
     for k in ("cut_point_s", "lsb_bits", "pee_bits", "reference_rule_bits"):
         assert r[k] == exp[k], k
     assert r["pee_bits"] > 0
+
+
+def test_silent_connection_does_not_wedge_daemon(daemon):
+    """A client that connects and never sends must be dropped after
+    --conn-timeout (5 s here) so the next client gets served — the daemon
+    serves one connection at a time."""
+    import socket as socket_mod
+
+    hostage = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    hostage.connect(daemon["sock"])
+    try:
+        # wake the accept loop so the daemon is blocked reading the hostage
+        time.sleep(0.2)
+        t0 = time.monotonic()
+        r = request(daemon["sock"], {"op": "ping"}, timeout=60)
+        assert r["ok"]
+        assert time.monotonic() - t0 < 30  # dropped at ~5 s, not wedged
+    finally:
+        hostage.close()
+
+
+def test_sigterm_exits_cleanly(tmp_path):
+    """SIGTERM (orchestrated restart) must unlink the socket and exit 0."""
+    import signal
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sock = str(tmp_path / "term.sock")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "codec_tcc_tpu", "serve", "--socket", sock],
+        env=env, cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not os.path.exists(sock):
+            if proc.poll() is not None:
+                out, err = proc.communicate()
+                raise RuntimeError(f"daemon died:\n{out}\n{err[-2000:]}")
+            time.sleep(0.2)
+        assert os.path.exists(sock)
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
 
 
 def test_errors_do_not_kill_daemon(daemon):
