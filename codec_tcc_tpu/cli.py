@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -197,6 +198,19 @@ def _build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--conn-timeout", type=float, default=600.0,
                      help="drop a connection silent for this many seconds "
                           "(it blocks all other clients while open)")
+
+    doc = sub.add_parser(
+        "doctor",
+        help="environment health check: backend/device reachability (in a "
+             "bounded subprocess — a dead tunnel hangs in-process), codec "
+             "round-trips, native shims, competing processes",
+    )
+    doc.add_argument("--json", action="store_true", help="machine-readable")
+    doc.add_argument("--no-device", action="store_true",
+                     help="skip the device probe (host-only checks)")
+    doc.add_argument("--device-timeout", type=float, default=180.0,
+                     help="seconds before declaring the device unreachable "
+                          "(first contact pays ~60s tunnel init)")
     return p
 
 
@@ -681,6 +695,151 @@ def cmd_decode_batch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _doctor_competing_python() -> List[str]:
+    """Other live python processes (chip contention: the chip serializes
+    concurrent processes and a wedged sibling garbles every measurement).
+    Excludes this process and its ancestors."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,etime,pcpu,args"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+    except Exception:
+        return ["probe-failed"]
+    parent = {}
+    rows = []
+    for line in out.splitlines()[1:]:
+        parts = line.split(None, 4)
+        if len(parts) < 5:
+            continue
+        pid, ppid, etime, pcpu, cmd = parts
+        parent[pid] = ppid
+        rows.append((pid, etime, pcpu, cmd))
+    skip = set()
+    pid = str(os.getpid())
+    for _ in range(12):                      # self + ancestor chain
+        skip.add(pid)
+        pid = parent.get(pid, "0")
+    return [
+        f"pid={p} etime={e} cpu={c}% {cmd[:90]}"
+        for p, e, c, cmd in rows
+        if p not in skip and "python" in cmd and ".tpu_init" not in cmd
+    ]
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """Health report for the runtime environment.
+
+    Everything the production runbook needs before trusting a measurement:
+    which backend requests will land on, whether the device answers (probed
+    in a SUBPROCESS with a deadline — on a dead/wedged tunnel the first
+    in-process device contact blocks indefinitely), whether every transport
+    codec round-trips on this host, and what else is running (the chip and
+    the single host core are both serialized resources)."""
+    import json as json_mod
+    import platform
+    import subprocess
+
+    import jax
+
+    from .io import codecs as codecs_mod
+    from .io import jxl_binding
+
+    report: dict = {
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "numpy": np.__version__,
+        "requested_platforms": os.environ.get("JAX_PLATFORMS") or None,
+        "axon_gate_set": bool(os.environ.get("PALLAS_AXON_POOL_IPS")),
+        "host_cores": os.cpu_count(),
+    }
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 4096, size=(16, 16)).astype(np.uint16)
+    codec_status = {}
+    for name in codecs_mod.names():
+        try:
+            codec = codecs_mod.get(name)
+        except ValueError:
+            codec_status[name] = "unavailable"
+            continue
+        try:
+            ok = np.array_equal(codec.decode(codec.encode(img)), img)
+            codec_status[name] = "ok" if ok else "ROUND-TRIP MISMATCH"
+        except Exception as exc:
+            codec_status[name] = f"error: {str(exc)[:120]}"
+    report["codecs"] = codec_status
+    report["jxl_in_process"] = jxl_binding.available()
+    report["competing_python"] = _doctor_competing_python()
+
+    if not args.no_device:
+        probe = (
+            "import jax, jax.numpy as jnp\n"
+            "print('BACKEND', jax.default_backend())\n"
+            "print('DEVICES', jax.device_count())\n"
+            "print('SUM', float(jnp.sum(jnp.ones((64, 64), jnp.float32))))\n"
+        )
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=args.device_timeout,
+            )
+            wall = round(time.perf_counter() - t0, 1)
+            vals = dict(
+                ln.split(None, 1) for ln in r.stdout.splitlines()
+                if ln.startswith(("BACKEND", "DEVICES", "SUM"))
+            )
+            if r.returncode == 0 and vals.get("SUM") == "4096.0":
+                report["device"] = {
+                    "ok": True,
+                    "backend": vals.get("BACKEND"),
+                    "device_count": int(vals.get("DEVICES", "0")),
+                    "first_contact_s": wall,
+                }
+            else:
+                report["device"] = {
+                    "ok": False,
+                    "error": (r.stderr.strip().splitlines() or ["no output"])[-1][:200],
+                }
+        except subprocess.TimeoutExpired:
+            report["device"] = {
+                "ok": False,
+                "error": f"no answer in {args.device_timeout:.0f}s — tunnel "
+                         "down or wedged (kill stray processes and retry)",
+            }
+
+    if args.json:
+        print(json_mod.dumps(report))
+        return 0 if report.get("device", {}).get("ok", True) else 1
+
+    print(f"python / jax / numpy : {report['python']} / {report['jax']} / "
+          f"{report['numpy']}")
+    print(f"requested platforms  : {report['requested_platforms'] or '(default)'}"
+          f"{'  [axon gate set]' if report['axon_gate_set'] else ''}")
+    print(f"host cores           : {report['host_cores']}")
+    print("transport codecs     : "
+          + ", ".join(f"{k}={v}" for k, v in report["codecs"].items()))
+    print(f"jxl in-process shim  : "
+          f"{'available' if report['jxl_in_process'] else 'no (PATH fallback)'}")
+    comp = report["competing_python"]
+    print(f"competing python     : {len(comp)}"
+          + ("" if not comp else "\n  " + "\n  ".join(comp)))
+    dev = report.get("device")
+    if dev is None:
+        print("device               : skipped (--no-device)")
+    elif dev["ok"]:
+        print(f"device               : OK — backend={dev['backend']} "
+              f"devices={dev['device_count']} "
+              f"first contact {dev['first_contact_s']}s")
+    else:
+        print(f"device               : FAIL — {dev['error']}")
+        return 1
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from .serve import serve
 
@@ -705,6 +864,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "encode-batch": cmd_encode_batch,
         "decode-batch": cmd_decode_batch,
         "serve": cmd_serve,
+        "doctor": cmd_doctor,
     }[args.command]
     try:
         return handler(args)
