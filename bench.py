@@ -23,49 +23,12 @@ import time
 import numpy as np
 
 
-def _probe_contention() -> list:
-    """Other live python processes (possible chip contention, CLAUDE.md:
-    'never run two TPU processes concurrently'). Reported into the bench
-    artifact so a deflated number is attributable instead of silent.
-    Excludes this process, its ancestors, and the axon tunnel infra
-    (`.tpu_init.py`, which always runs)."""
-    import subprocess
+def probe_contention() -> list:
+    """Shared competing-python probe (utils/env.py; lazy import keeps the
+    bench's startup free of the package->jax import chain)."""
+    from codec_tcc_tpu.utils.env import probe_contention as _probe
 
-    try:
-        out = subprocess.run(
-            ["ps", "-eo", "pid,etime,pcpu,args"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout
-    except Exception:
-        return ["probe-failed"]
-    me = os.getpid()
-    ancestors = set()
-    pid = me
-    for _ in range(10):
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                # the comm field (2nd) may itself contain spaces or ')';
-                # everything after the LAST ')' is the fixed-format tail,
-                # whose 2nd token is the ppid
-                pid = int(f.read().rsplit(")", 1)[1].split()[1])
-        except Exception:
-            break
-        if pid <= 1:
-            break
-        ancestors.add(pid)
-    rows = []
-    for line in out.splitlines()[1:]:
-        parts = line.split(None, 3)
-        if len(parts) < 4 or "python" not in parts[3]:
-            continue
-        try:
-            p = int(parts[0])
-        except ValueError:
-            continue
-        if p == me or p in ancestors or ".tpu_init.py" in parts[3]:
-            continue
-        rows.append(f"pid={p} etime={parts[1]} cpu={parts[2]} {parts[3][:80]}")
-    return rows
+    return _probe()
 
 
 def _ship_bits(msgs: np.ndarray):
@@ -266,7 +229,7 @@ def main(backend: str = "auto") -> None:
     # (`backend` field + `fallbacks` in extra): the round-2 verdict found the
     # silent stderr-only fallback made the headline number's provenance
     # invisible in the driver artifact.
-    contention = _probe_contention()
+    contention = probe_contention()
     fallbacks = []
     ran_backend = None
     cycle = None
@@ -810,7 +773,7 @@ def _cpu_e2e_main() -> None:
                  # competing processes on the single core (e.g. a tunnel
                  # probe's jax init) stall individual reps — record them so
                  # a deflated rep is attributable from the artifact
-                 "contention": _probe_contention()}
+                 "contention": probe_contention()}
     for tag, img in (("u16", u16), ("u8", u8)):
         t0 = time.perf_counter()
         # per-leg error isolation (mirrors the TPU worker's _stage): one

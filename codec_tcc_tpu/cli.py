@@ -344,13 +344,7 @@ def cmd_capacity(args: argparse.Namespace) -> int:
 
     from . import pipeline
 
-    bits_stored = None
-    if args.input.lower().endswith(".dcm"):
-        arr, ds = dicom.load_image(args.input)
-        bits_stored = ds.bits_stored
-    else:
-        arr = _load_any(args.input)
-
+    arr, bits_stored = pipeline.load_input(args.input)
     out = {"input": args.input}
     out.update(pipeline.capacity_report(
         arr, bits_stored=bits_stored, beta=args.beta, seed=args.seed,
@@ -695,40 +689,6 @@ def cmd_decode_batch(args: argparse.Namespace) -> int:
     return 0
 
 
-def _doctor_competing_python() -> List[str]:
-    """Other live python processes (chip contention: the chip serializes
-    concurrent processes and a wedged sibling garbles every measurement).
-    Excludes this process and its ancestors."""
-    import subprocess
-
-    try:
-        out = subprocess.run(
-            ["ps", "-eo", "pid,ppid,etime,pcpu,args"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout
-    except Exception:
-        return ["probe-failed"]
-    parent = {}
-    rows = []
-    for line in out.splitlines()[1:]:
-        parts = line.split(None, 4)
-        if len(parts) < 5:
-            continue
-        pid, ppid, etime, pcpu, cmd = parts
-        parent[pid] = ppid
-        rows.append((pid, etime, pcpu, cmd))
-    skip = set()
-    pid = str(os.getpid())
-    for _ in range(12):                      # self + ancestor chain
-        skip.add(pid)
-        pid = parent.get(pid, "0")
-    return [
-        f"pid={p} etime={e} cpu={c}% {cmd[:90]}"
-        for p, e, c, cmd in rows
-        if p not in skip and "python" in cmd and ".tpu_init" not in cmd
-    ]
-
-
 def cmd_doctor(args: argparse.Namespace) -> int:
     """Health report for the runtime environment.
 
@@ -746,6 +706,7 @@ def cmd_doctor(args: argparse.Namespace) -> int:
 
     from .io import codecs as codecs_mod
     from .io import jxl_binding
+    from .utils.env import probe_contention
 
     report: dict = {
         "python": platform.python_version(),
@@ -772,7 +733,7 @@ def cmd_doctor(args: argparse.Namespace) -> int:
             codec_status[name] = f"error: {str(exc)[:120]}"
     report["codecs"] = codec_status
     report["jxl_in_process"] = jxl_binding.available()
-    report["competing_python"] = _doctor_competing_python()
+    report["competing_python"] = probe_contention()
 
     if not args.no_device:
         probe = (

@@ -53,6 +53,17 @@ class EncodeConfig:
             raise ValueError("block sizes must be >= 1")
         if self.container_version not in (1, 2):
             raise ValueError("container_version must be 1 or 2")
+        if self.container_version == 1 and self.strategy in (
+            "block_adaptive", "pee",
+        ):
+            # the v1 header has no strategy/ext fields, so decode cannot
+            # learn the block plan (block_adaptive) or the PEE boundaries:
+            # the container would decode to garbage with no error
+            raise ValueError(
+                f"strategy {self.strategy!r} cannot round-trip through a v1 "
+                "container (the v1 header records no strategy); use "
+                "container_version=2"
+            )
         return self
 
     def with_overrides(self, **kwargs) -> "EncodeConfig":

@@ -88,13 +88,18 @@ def probe_capacity_batch(
 
     if jax.default_backend() == "tpu" and pp.routeable(h, w):
         tp = pp.preferred_tile_px(h, w)
-        msg2d, l2 = pp.prep_messages(np.zeros((b, lpad), np.uint8), n, tp)
-        msg2d_d = jnp.asarray(msg2d)
+        # the probe's message stream is all-zeros: build it ON DEVICE
+        # (prep_messages_device) instead of uploading ~b*l2 host bytes
+        msg2d_d, l2 = pp.prep_messages_device(
+            jnp.zeros((b, lpad), jnp.uint8), n, tp
+        )
         if pp.supports(h, w, tp):
             imgs3 = imgs_d.reshape(b, n // 128, 128)
             buf_w = None
         else:
-            imgs3 = pp.pad_batch(images, h, w, tp)
+            # pad the ALREADY-UPLOADED device batch (pad_batch(images)
+            # would re-ship the full batch over the link)
+            imgs3 = pp.pad_batch(imgs_d, h, w, tp)
             buf_w = pp.padded_geometry(h, w, tp)[1]
         zero = jnp.zeros(b, jnp.int32)
         s0, _, u0, _ = pp.embed_pass_batch(
@@ -453,7 +458,12 @@ def _decode_group_fused(conts, parsed_ext, overflow_maps, restore_original):
         max_val = (1 << (np.dtype(dtype).itemsize * 8)) - 1
     over = np.stack(overflow_maps).astype(np.uint8)
     nproc0 = jnp.asarray([e[2] for e in parsed_ext], dtype=jnp.int32)
-    nproc1 = jnp.asarray([e[3] for e in parsed_ext], dtype=jnp.int32)
+    # same guard as the single-image decoder (models/pee.py): a 1-pass
+    # container must not have a pass-1 inversion applied even if its ext
+    # carries a (foreign/corrupt) nonzero nproc1
+    nproc1 = jnp.asarray(
+        [e[3] if e[1] == 2 else 0 for e in parsed_ext], dtype=jnp.int32
+    )
 
     tp = pp.preferred_tile_px(h, w)
     if pp.supports(h, w, tp):

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import numpy as np
@@ -113,12 +113,13 @@ def _fused_block_embed_step(
     return stego, stats
 
 
-def _single_pallas_ok(n: int) -> bool:
+def _single_pallas_ok() -> bool:
     """Whether the single-image raster embed should route through the
     batch fast tiers (``parallel.batch._pick_pallas_backend``: packed ->
     preplaced -> windowed). The packed tier (round 3) takes ANY geometry
-    via pad-to-128, so on TPU the answer is simply yes; off-TPU the fused
-    XLA step keeps its one-dispatch stats advantage."""
+    via pad-to-128, so there is no geometry gate: on TPU the answer is
+    simply yes; off-TPU the fused XLA step keeps its one-dispatch stats
+    advantage."""
     return jax.default_backend() == "tpu"
 
 
@@ -246,7 +247,7 @@ def encode_array(
                 np.int32(s), kernel_bits, config.block_size,
                 config.compute_metrics,
             )
-        elif _single_pallas_ok(n):
+        elif _single_pallas_ok():
             # TPU raster route through the batch fast tiers (packed ->
             # preplaced): ships only the payload-covering message prefix
             # instead of the XLA formulation's off+N-sized buffer
@@ -549,6 +550,19 @@ def decode_file(path: str, *, restore_original: bool = True) -> DecodeResult:
 # ---------------------------------------------------------------------------
 
 
+def load_input(path: str) -> Tuple[np.ndarray, Optional[int]]:
+    """Image array + BitsStored (``None`` for non-DICOM): one shared input
+    prologue for the CLI ``capacity`` subcommand and the serve daemon's
+    ``capacity`` op, so the two entry points answer identically for the
+    same file."""
+    if path.lower().endswith(".dcm"):
+        arr, ds = dicom.load_image(path)
+        return arr, ds.bits_stored
+    from .cli import _load_any
+
+    return _load_any(path), None
+
+
 def capacity_report(
     arr: np.ndarray,
     *,
@@ -601,9 +615,11 @@ def capacity_report(
         out["lsb_bits"] = int(
             segment_ops.usable_capacity_bits(s, h * w, seed)
         ) * d
-        max_val = (1 << eff_nbits) - 1
-        if int(arr.max()) > max_val:
-            max_val = (1 << dtype_bits) - 1
+        # the volume PEE encoder embeds with the full-dtype max_val
+        # (parallel/volume._encode_volume_pee — STGV volumes carry no
+        # BitsStored), so the report must probe with the same bound to be
+        # "the boundary the encoders actually accept"
+        max_val = (1 << dtype_bits) - 1
         out["pee_bits"] = int(np.sum(probe_capacity_batch(arr, t, max_val)))
         out["reference_rule_bits"] = int(s) * h * w * d
     else:

@@ -261,16 +261,9 @@ def _op_decode_volume(obj: dict, state: dict) -> dict:
 
 def _op_capacity(obj: dict, state: dict) -> dict:
     from . import pipeline
-    from .cli import _load_any
-    from .io import dicom
 
     path = obj["input"]
-    bits_stored = None
-    if path.lower().endswith(".dcm"):
-        arr, ds = dicom.load_image(path)
-        bits_stored = ds.bits_stored
-    else:
-        arr = _load_any(path)
+    arr, bits_stored = pipeline.load_input(path)
     kwargs = {
         k: obj[k]
         for k in ("beta", "seed", "nbits", "use_bits_stored", "pee_threshold")
@@ -373,7 +366,21 @@ def serve(
     if warmup:
         _warmup(warmup)
     if os.path.exists(socket_path):
-        os.unlink(socket_path)  # stale socket from a previous daemon
+        # only remove a STALE socket: unlinking a live daemon's path would
+        # orphan it (still running, still owning the chip, unreachable)
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        probe.settimeout(2.0)
+        try:
+            probe.connect(socket_path)
+        except OSError:
+            os.unlink(socket_path)  # nothing listening: previous daemon died
+        else:
+            raise RuntimeError(
+                f"a daemon is already serving on {socket_path}; shut it "
+                "down first (one daemon per chip)"
+            )
+        finally:
+            probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
 
     def _sigterm(signum, frame):

@@ -440,9 +440,9 @@ def test_encode_array_preplaced_branch_bit_exact(rng, monkeypatch):
         payload = rng.bytes(200)
         cfg = EncodeConfig(strategy="hybrid", codec="deflate",
                           compute_metrics=True)
-        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda n: False)
+        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda: False)
         ref = pipeline.encode_array(img, payload, cfg)
-        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda n: True)
+        monkeypatch.setattr(pipeline, "_single_pallas_ok", lambda: True)
         pal = pipeline.encode_array(img, payload, cfg)
         assert pal.container == ref.container
         np.testing.assert_array_equal(pal.stego, ref.stego)

@@ -193,6 +193,17 @@ def test_silent_connection_does_not_wedge_daemon(daemon):
         hostage.close()
 
 
+def test_second_daemon_refuses_live_socket(daemon):
+    """Starting serve() on a socket a live daemon owns must raise instead
+    of unlinking it (which would orphan the running daemon)."""
+    from codec_tcc_tpu.serve import serve
+
+    with pytest.raises(RuntimeError, match="already serving"):
+        serve(daemon["sock"])
+    # the live daemon is untouched
+    assert request(daemon["sock"], {"op": "ping"})["ok"]
+
+
 def test_sigterm_exits_cleanly(tmp_path):
     """SIGTERM (orchestrated restart) must unlink the socket and exit 0."""
     import signal
