@@ -113,15 +113,27 @@ class DeflateCodec(Codec):
         return True
 
     def encode(self, image: np.ndarray) -> bytes:
-        code = _DTYPE_CODES[np.dtype(image.dtype)]
-        header = _DEFLATE_MAGIC + struct.pack(">BII", code, *image.shape)
         # Z_RLE at level 1: ~1.7x faster than the default match strategy at
         # the same level for ~6-9% larger output on stego pixel data
         # (measured pe.dcm 8.7ms/342KB vs 14.5ms/313KB, torax 4.8 vs 8.1ms);
         # the single-core host shell is the serving path's bottleneck and
         # the strategy is not part of the format — any zlib stream decodes
         co = zlib.compressobj(1, zlib.DEFLATED, 15, 9, zlib.Z_RLE)
-        raw = np.ascontiguousarray(image).tobytes()
+        if image.dtype == np.uint16:
+            # byte-plane split (code 3): all low bytes, then all high bytes.
+            # Interleaved lo,hi,lo,hi breaks the byte runs RLE feeds on; for
+            # 12-bit medical data the high plane is near-constant, so the
+            # split is strictly better on every axis (pe.dcm stego: 5.7 ->
+            # 4.5 ms encode, 3.9 -> 2.7 ms decode, 342 -> 260 KB payload)
+            code = 3
+            raw = (
+                (image & 0xFF).astype(np.uint8).tobytes()
+                + (image >> 8).astype(np.uint8).tobytes()
+            )
+        else:
+            code = _DTYPE_CODES[np.dtype(image.dtype)]
+            raw = np.ascontiguousarray(image).tobytes()
+        header = _DEFLATE_MAGIC + struct.pack(">BII", code, *image.shape)
         return header + co.compress(raw) + co.flush()
 
     def decode(self, data: bytes) -> np.ndarray:
@@ -130,7 +142,10 @@ class DeflateCodec(Codec):
         try:
             code, h, w = struct.unpack(">BII", data[4:13])
             raw = zlib.decompress(data[13:])
-            dtype = np.dtype(_CODE_DTYPES[code])
+            # code 2 (interleaved uint16) is the pre-round-3 layout: still
+            # written by nothing, still decoded forever (golden .stgc
+            # fixtures and old containers carry it)
+            dtype = np.dtype(np.uint16 if code == 3 else _CODE_DTYPES[code])
         except (struct.error, zlib.error, KeyError) as exc:
             raise ValueError(f"Invalid file: corrupt deflate payload ({exc})") from exc
         if len(raw) != h * w * dtype.itemsize:
@@ -138,6 +153,13 @@ class DeflateCodec(Codec):
                 f"Invalid file: deflate payload holds {len(raw)} bytes, "
                 f"header says {h}x{w} {dtype}"
             )
+        if code == 3:
+            planes = np.frombuffer(raw, dtype=np.uint8)
+            n = h * w
+            return (
+                planes[:n].astype(np.uint16)
+                | (planes[n:].astype(np.uint16) << 8)
+            ).reshape(h, w)
         return np.frombuffer(raw, dtype=dtype).reshape(h, w).copy()
 
 

@@ -76,6 +76,28 @@ def test_codec_symmetry(rng, name, dtype, hi):
     np.testing.assert_array_equal(out, img)
 
 
+def test_deflate_legacy_interleaved_layout_decodes(rng):
+    """Pre-round-3 SDFL payloads (code 2: interleaved uint16 bytes) must
+    decode forever — old containers and the golden .stgc fixtures carry
+    them. Round-3 encode writes code 3 (byte-plane split: the high plane of
+    12-bit data is near-constant, so splitting is faster AND ~24% smaller
+    under the same Z_RLE deflate)."""
+    import struct
+    import zlib
+
+    img = rng.integers(0, 4096, size=(32, 24)).astype(np.uint16)
+    legacy = (b"SDFL" + struct.pack(">BII", 2, 32, 24)
+              + zlib.compress(img.tobytes()))
+    np.testing.assert_array_equal(codecs.get("deflate").decode(legacy), img)
+    # and the current encoder emits the split layout for uint16
+    blob = codecs.get("deflate").encode(img)
+    assert blob[4] == 3
+    n = img.size
+    raw = zlib.decompress(blob[13:])
+    assert raw[:n] == (img & 0xFF).astype(np.uint8).tobytes()
+    assert raw[n:] == (img >> 8).astype(np.uint8).tobytes()
+
+
 def test_codec_registry():
     assert set(codecs.names()) == {"deflate", "png", "j2k", "jls", "jxl"}
     avail = codecs.available_names()
