@@ -688,6 +688,9 @@ def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4):
     breakdown["encode_total"] = round(1e3 * float(np.median(enc_t)), 2)
     breakdown["decode_total"] = round(1e3 * float(np.median(dec_t)), 2)
     breakdown["image_bytes"] = int(image.nbytes)
+    # compression visibility: the container IS the product a serving user
+    # stores/ships (split-plane deflate made it ~24% smaller in round 3)
+    breakdown["container_bytes"] = len(res.container)
     return image.size / per_image / 1e6, breakdown
 
 

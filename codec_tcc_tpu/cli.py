@@ -168,9 +168,10 @@ def _build_parser() -> argparse.ArgumentParser:
     benc.add_argument("--no-retry-failed", action="store_true",
                       help="on resume, skip items that failed before")
     benc.add_argument("--fused", action="store_true",
-                      help="same-geometry inputs: one fused device dispatch "
-                           "for the whole batch (throughput mode; no "
-                           "per-item resume)")
+                      help="one fused device dispatch per same-geometry "
+                           "input group — mixed geometries bucket "
+                           "automatically (throughput mode; no per-item "
+                           "resume)")
 
     bdec = sub.add_parser(
         "decode-batch",
@@ -597,70 +598,82 @@ def cmd_encode_batch(args: argparse.Namespace) -> int:
     return 0 if not failed else 1
 
 
-def load_fused_batch(paths: List[str]):
-    """Load + validate a same-geometry batch for the fused device paths;
-    returns ``(images (B,H,W) stack, bits_stored or None)``. Shared by the
-    CLI ``encode-batch --fused`` path and the serving daemon (serve.py) so
-    the two entries can never drift on the validation rules."""
-    images = []
-    bits_stored = set()
-    n_dicom = 0
-    for path in paths:
+def load_fused_buckets(paths: List[str]):
+    """Load inputs grouped by ``(geometry, dtype, BitsStored)`` for the
+    fused device paths; returns ``[(input_indices, images (B,H,W) stack,
+    bits_stored or None)]`` in first-seen order.
+
+    Each group satisfies the fused plan's invariants by construction — one
+    geometry, one dtype, one BitsStored cap, never DICOM (capped) and
+    non-DICOM (uncapped) in the same plan — so a mixed request runs one
+    fused dispatch per group instead of refusing (pre-round-3 contract) or
+    silently degrading to per-item encodes. Shared by the CLI
+    ``encode-batch --fused`` path and the serving daemon (serve.py) so the
+    two entries can never drift on the grouping rules."""
+    buckets: dict = {}
+    for idx, path in enumerate(paths):
         if path.lower().endswith(".dcm"):
             arr, ds = dicom.load_image(path)
             if arr.dtype == np.int16:
                 arr = arr.astype(np.uint16)
-            bits_stored.add(ds.bits_stored)
-            n_dicom += 1
+            bs = ds.bits_stored
         else:
             arr = _load_any(path)
-        images.append(arr)
-    shapes = {(im.shape, im.dtype) for im in images}
-    if len(shapes) != 1:
-        raise ValueError(
-            f"--fused needs same-geometry inputs; got {sorted(str(s) for s in shapes)} "
-            f"(drop --fused for mixed batches)"
+            bs = None
+        idxs, arrs = buckets.setdefault((arr.shape, arr.dtype.str, bs), ([], []))
+        idxs.append(idx)
+        arrs.append(arr)
+    return [
+        (idxs, np.stack(arrs), bs)
+        for (_, _, bs), (idxs, arrs) in buckets.items()
+    ]
+
+
+def encode_fused_buckets(paths: List[str], payload, cfg) -> List[dict]:
+    """Fused-batch encode over mixed inputs: one
+    :func:`parallel.batch.encode_batch_containers` dispatch per
+    ``(geometry, dtype, BitsStored)`` group. Returns one record per input,
+    in input order: ``{"input", "container", "s", "psnr"}`` (``s`` None for
+    PEE batches — their plan lives in per-container ext blocks; ``psnr``
+    None unless ``cfg.compute_metrics``)."""
+    from .parallel.batch import encode_batch_containers
+
+    records: List[Optional[dict]] = [None] * len(paths)
+    for idxs, images, bs in load_fused_buckets(paths):
+        res = encode_batch_containers(
+            images, [payload] * len(idxs), cfg, bits_stored=bs
         )
-    # the fused plan has ONE BitsStored cap; silently dropping it (mixed
-    # caps) or applying one file's cap to capless inputs would diverge from
-    # the per-item path without warning — refuse instead
-    if len(bits_stored) > 1:
-        raise ValueError(
-            f"--fused needs a uniform DICOM BitsStored; got "
-            f"{sorted(bits_stored)} (drop --fused for mixed batches)"
-        )
-    if bits_stored and n_dicom != len(paths):
-        raise ValueError(
-            "--fused cannot mix DICOM (BitsStored-capped) and non-DICOM "
-            "inputs (drop --fused for mixed batches)"
-        )
-    return np.stack(images), (bits_stored.pop() if bits_stored else None)
+        for j, i in enumerate(idxs):
+            records[i] = {
+                "input": paths[i],
+                "container": res.containers[j],
+                "s": int(res.plan.s[j]) if res.plan is not None else None,
+                "psnr": (float(res.metrics[j]["psnr"])
+                         if res.metrics is not None else None),
+            }
+    return records
 
 
 def _encode_batch_fused(args: argparse.Namespace, cfg, payload) -> int:
-    """Throughput mode for encode-batch: one fused device dispatch for the
-    whole same-geometry batch (parallel.batch.encode_batch_containers)."""
+    """Throughput mode for encode-batch: one fused device dispatch per
+    same-geometry input group (mixed geometries bucket automatically)."""
     import os as _os
 
-    from .parallel.batch import encode_batch_containers
-
-    images, bs = load_fused_batch(args.inputs)
-    res = encode_batch_containers(
-        images, [payload] * len(images), cfg, bits_stored=bs
-    )
+    records = encode_fused_buckets(args.inputs, payload, cfg)
     _os.makedirs(args.output_dir, exist_ok=True)
     print(f"{'INPUT':<32} {'s':<3} {'BYTES':<9}")
     print("-" * 48)
-    for i, (path, cont) in enumerate(zip(args.inputs, res.containers)):
+    for rec in records:
         out = _os.path.join(
             args.output_dir,
-            _os.path.splitext(_os.path.basename(path))[0] + ".stgc",
+            _os.path.splitext(_os.path.basename(rec["input"]))[0] + ".stgc",
         )
         with open(out, "wb") as f:
-            f.write(cont)
-        s = res.plan.s[i] if res.plan is not None else "-"
-        print(f"{_os.path.basename(path):<32} {s:<3} {len(cont):<9}")
-    print(f"\n{len(res.containers)} containers -> {args.output_dir} (fused)")
+            f.write(rec["container"])
+        s = rec["s"] if rec["s"] is not None else "-"
+        print(f"{_os.path.basename(rec['input']):<32} {s:<3} "
+              f"{len(rec['container']):<9}")
+    print(f"\n{len(records)} containers -> {args.output_dir} (fused)")
     return 0
 
 

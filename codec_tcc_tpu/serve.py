@@ -135,32 +135,32 @@ def _op_decode(obj: dict, state: dict) -> dict:
 
 
 def _op_encode_batch(obj: dict, state: dict) -> dict:
-    from .cli import load_fused_batch
-    from .parallel.batch import encode_batch_containers
+    from .cli import encode_fused_buckets
 
     cfg = _parse_config(obj)
     paths = obj["inputs"]
     if not isinstance(paths, list) or not paths:
         raise ValueError("'inputs' must be a non-empty list of paths")
-    images, bs = load_fused_batch(paths)
     payload = _parse_payload(obj)
-    res = encode_batch_containers(
-        images, [payload] * len(images), cfg, bits_stored=bs
-    )
+    # one fused dispatch per (geometry, dtype, BitsStored) group — same
+    # bucketing as CLI encode-batch --fused (cli.load_fused_buckets)
+    records = encode_fused_buckets(paths, payload, cfg)
     out_dir = obj["output_dir"]
     os.makedirs(out_dir, exist_ok=True)
     items = []
-    for i, (path, cont) in enumerate(zip(paths, res.containers)):
+    for rec in records:
         dst = os.path.join(
-            out_dir, os.path.splitext(os.path.basename(path))[0] + ".stgc"
+            out_dir,
+            os.path.splitext(os.path.basename(rec["input"]))[0] + ".stgc",
         )
         with open(dst, "wb") as f:
-            f.write(cont)
-        item = {"input": path, "output": dst, "container_bytes": len(cont)}
-        if res.plan is not None:
-            item["s"] = int(res.plan.s[i])
-        if res.metrics is not None:
-            item["psnr"] = float(res.metrics[i]["psnr"])
+            f.write(rec["container"])
+        item = {"input": rec["input"], "output": dst,
+                "container_bytes": len(rec["container"])}
+        if rec["s"] is not None:
+            item["s"] = rec["s"]
+        if rec["psnr"] is not None:
+            item["psnr"] = rec["psnr"]
         items.append(item)
     return {"items": items, "fused": True}
 

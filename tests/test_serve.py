@@ -260,13 +260,19 @@ def test_fused_batch_over_daemon(daemon):
              rng.integers(0, 4096, size=(64, 64)).astype(np.uint16))
         for i in range(3)
     ]
+    # mixed geometry: buckets per shape group (round-3), items in input order
+    paths.append(
+        _dcm(work, "odd.dcm",
+             rng.integers(0, 4096, size=(32, 48)).astype(np.uint16))
+    )
     enc_dir = os.path.join(work, "enc")
     r = request(sock, {
         "op": "encode_batch", "inputs": paths, "output_dir": enc_dir,
         "message": "batched", "config": {"compute_metrics": False},
     })
     assert r["ok"], r
-    assert r["fused"] and len(r["items"]) == 3
+    assert r["fused"] and len(r["items"]) == 4
+    assert [it["input"] for it in r["items"]] == paths
     assert all(os.path.getsize(it["output"]) == it["container_bytes"]
                for it in r["items"])
 
