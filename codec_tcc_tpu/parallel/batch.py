@@ -729,15 +729,14 @@ def decode_batch_containers(
     *,
     restore_original: bool = True,
 ) -> List:
-    """Batched decode: one fused device extraction for a homogeneous batch
-    of raster-strategy v2 containers (shared geometry/dtype/codec); anything
-    else falls back to the single-image decoder per item. Returns
-    ``pipeline.DecodeResult`` objects in input order."""
+    """Batched decode: containers group by ``(geometry, dtype, codec,
+    version, strategy)`` and each v2 raster or PEE group runs as one fused
+    device extraction (mirroring the encode side's bucketing); anything a
+    fused route cannot take (v1, block_adaptive) decodes through the
+    single-image path per item. Returns ``pipeline.DecodeResult`` objects
+    in input order."""
     from ..io import container as container_io
-    from ..pipeline import (
-        DecodeResult, _plane_bucket, _plane_plan_from_meta,
-        decode_container,
-    )
+    from ..pipeline import decode_container
 
     if not containers:
         raise ValueError("Invalid file: empty container batch")
@@ -745,27 +744,42 @@ def decode_batch_containers(
         c if isinstance(c, container_io.Container) else container_io.parse(c)
         for c in containers
     ]
-    keys = {
-        (c.meta.width, c.meta.height, str(np.dtype(c.meta.dtype)),
-         c.meta.codec, c.meta.version, c.meta.strategy)
-        for c in conts
-    }
+    groups: dict = {}
+    for i, c in enumerate(conts):
+        key = (c.meta.width, c.meta.height, str(np.dtype(c.meta.dtype)),
+               c.meta.codec, c.meta.version, c.meta.strategy)
+        groups.setdefault(key, []).append(i)
+    results: List = [None] * len(conts)
+    for idxs in groups.values():
+        sub = [conts[i] for i in idxs]
+        m0 = sub[0].meta
+        if m0.version == 2 and m0.strategy == "pee":
+            from .batch_pee import decode_pee_batch
+
+            outs = decode_pee_batch(sub, restore_original=restore_original)
+        elif m0.version == 2 and m0.strategy in ("multi_plane", "hybrid"):
+            outs = _decode_raster_group(sub, mesh, restore_original)
+        else:
+            outs = [
+                decode_container(c, restore_original=restore_original)
+                for c in sub
+            ]
+        for i, r in zip(idxs, outs):
+            results[i] = r
+    return results
+
+
+def _decode_raster_group(
+    conts: List,
+    mesh: Optional[Mesh],
+    restore_original: bool,
+) -> List:
+    """One fused extraction for a same-key group of v2 multi_plane/hybrid
+    containers (split out of :func:`decode_batch_containers` when decode
+    grew per-group bucketing)."""
+    from ..pipeline import DecodeResult, _plane_bucket, _plane_plan_from_meta
+
     meta0 = conts[0].meta
-    if len(keys) == 1 and meta0.version == 2 and meta0.strategy == "pee":
-        from .batch_pee import decode_pee_batch
-
-        return decode_pee_batch(conts, restore_original=restore_original)
-    homogeneous = (
-        len(keys) == 1
-        and meta0.version == 2
-        and meta0.strategy in ("multi_plane", "hybrid")
-    )
-    if not homogeneous:
-        return [
-            decode_container(c, restore_original=restore_original)
-            for c in conts
-        ]
-
     b = len(conts)
     h, w = meta0.height, meta0.width
     n = h * w

@@ -202,19 +202,31 @@ def test_batch_containers_match_single_image(rng, strategy):
     assert one.payload == payloads[2]
 
 
-def test_decode_batch_containers_mixed_falls_back(rng, mesh8):
-    """A heterogeneous container list (different strategies) decodes item by
-    item through the single-image path; sharded homogeneous decode matches."""
-    from codec_tcc_tpu import encode_array
+def test_decode_batch_containers_mixed_buckets(rng, mesh8):
+    """A heterogeneous container list decodes per (geometry, strategy, ...)
+    group — fused raster groups, fused PEE groups, per-item for strategies
+    with no fused route (block_adaptive) — with results in input order,
+    exactly equal to the single-image decoder's."""
+    from codec_tcc_tpu import decode_container, encode_array
 
-    imgs = _make_batch(rng, b=3, dtype=np.uint16, hi=837)
-    c0 = encode_array(imgs[0], b"alpha", EncodeConfig(strategy="multi_plane"))
-    c1 = encode_array(imgs[1], b"beta", EncodeConfig(strategy="block_adaptive"))
-    c2 = encode_array(imgs[2], b"gamma", EncodeConfig(strategy="hybrid"))
-    decs = batch_par.decode_batch_containers(
-        [c0.container, c1.container, c2.container]
-    )
-    assert [d.payload for d in decs] == [b"alpha", b"beta", b"gamma"]
+    imgs = _make_batch(rng, b=4, dtype=np.uint16, hi=837)
+    small = rng.integers(0, 837, size=(32, 32)).astype(np.uint16)
+    blobs = [
+        encode_array(imgs[0], b"alpha", EncodeConfig(strategy="multi_plane")).container,
+        encode_array(imgs[1], b"beta", EncodeConfig(strategy="block_adaptive")).container,
+        encode_array(imgs[2], b"gamma", EncodeConfig(strategy="hybrid")).container,
+        encode_array(imgs[3], b"delta", EncodeConfig(strategy="hybrid")).container,
+        encode_array(small, b"echo", EncodeConfig(strategy="hybrid")).container,
+        encode_array(imgs[0], b"fox", EncodeConfig(strategy="pee")).container,
+    ]
+    decs = batch_par.decode_batch_containers(blobs)
+    assert [d.payload for d in decs] == [
+        b"alpha", b"beta", b"gamma", b"delta", b"echo", b"fox",
+    ]
+    for blob, dec in zip(blobs, decs):
+        single = decode_container(blob)
+        np.testing.assert_array_equal(dec.original, single.original)
+        np.testing.assert_array_equal(dec.stego, single.stego)
 
     # homogeneous + mesh: fused path under sharding
     cfg = EncodeConfig(strategy="hybrid", codec="deflate")
