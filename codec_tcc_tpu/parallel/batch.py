@@ -84,11 +84,12 @@ def plan_batch(
     """Host-side planning for a batch: per-image decomposition (from one
     vmapped histogram pass) + segment plans, padded to a common ``Lpad``.
 
-    ``config.strategy`` selects the raster strategies: ``multi_plane`` (every
-    plane starts at raster 0) or ``hybrid`` (per-image variance-chosen start
-    offset from one vmapped tile-popcount pass, SURVEY hybrid semantics with
-    defect B4 fixed). Block-adaptive and PEE go through the single-image
-    pipeline, whose plans are not plain raster windows.
+    ``config.strategy`` selects ``multi_plane`` (every plane starts at
+    raster 0), ``hybrid`` (per-image variance-chosen start offset from one
+    vmapped tile-popcount pass, SURVEY hybrid semantics with defect B4
+    fixed), or ``block_adaptive`` (multi_plane-shaped plan; the
+    variance-ranked tile placement is per-image embed state, not plan
+    state). PEE goes through :mod:`parallel.batch_pee`.
 
     ``nbits`` caps the decomposition's plane search exactly like the
     single-image pipeline's bits_stored-derived cap (defect B6 fixed);
@@ -135,7 +136,11 @@ def plan_batch(
     if config.strategy == "hybrid":
         base_offsets = hybrid_base_offsets(images, h, w, config.search_block_size)
         align = config.align_across_planes
-    elif config.strategy == "multi_plane":
+    elif config.strategy in ("multi_plane", "block_adaptive"):
+        # block_adaptive shares the multi_plane raster plan (start 0,
+        # aligned segments — pipeline.encode_array uses the same
+        # raster_plane_plan call); its variance-ranked placement happens in
+        # the embed kernel via per-image tile bases, not in the plan
         base_offsets = [0] * b
         align = True
     else:
@@ -166,6 +171,44 @@ def plan_batch(
         base_offsets=np.asarray(base_offsets, dtype=np.int64), align=align,
         seed=config.seed,
     )
+
+
+def _batch_block_bases(
+    imgs_dev, nbits: int, s_arr: np.ndarray, block: int, h: int, w: int
+) -> np.ndarray:
+    """Per-image, per-plane variance-ranked tile base offsets for the fused
+    block_adaptive batch: one vmapped popcount dispatch for every (image,
+    plane), then the exact integer-key host ranking per plane — the batched
+    twin of ``pipeline._block_bases``. Rows for planes >= s_i stay zero
+    (their segment lengths are zero, the kernel never reads them)."""
+    from ..ops import blocks as block_ops
+
+    b = imgs_dev.shape[0]
+    max_s = max(int(s_arr.max(initial=1)), 1)
+    counts = np.asarray(jax.vmap(
+        lambda im: block_ops.block_bit_counts_all(im, max_s, block)
+    )(imgs_dev))
+    ntiles = (-(-h // block)) * (-(-w // block))
+    bases = np.zeros((b, nbits, ntiles), dtype=np.int32)
+    for i in range(b):
+        for p in range(int(s_arr[i])):
+            bases[i, p] = block_ops.block_base_offsets(
+                counts[i, p], h, w, block
+            )[0]
+    return bases
+
+
+@partial(jax.jit, static_argnames=("nbits", "block"))
+def _block_embed_batch(imgs, msgs, bases, lengths, offsets, s, nbits, block):
+    """One fused dispatch: vmapped variance-ranked block embed (the batched
+    twin of ``pipeline._fused_block_embed_step``'s embed half)."""
+    from ..ops.embed import embed_block_adaptive
+
+    return jax.vmap(
+        lambda im, mg, ba, le, of, ss: embed_block_adaptive(
+            im, mg, ba, le, of, ss, nbits, block
+        )
+    )(imgs, msgs, bases, lengths, offsets, s)
 
 
 def _preplaced_layout(n: int):
@@ -626,7 +669,20 @@ def encode_batch_containers(
     max_s = int(plan.s.max(initial=0))
     packed_dev = None
     with stage("batch_embed"):
-        if _packed_with_maps_eligible((b, h, w), plan.nbits, mesh, max_s):
+        if config.strategy == "block_adaptive":
+            # variance-ranked placement: per-image tile bases (one vmapped
+            # popcount dispatch + exact host ranking), then one vmapped
+            # embed dispatch — the packed/preplaced raster tiers don't
+            # apply to rank-compare placement
+            bases = _batch_block_bases(
+                imgs_dev, plan.nbits, plan.s, config.block_size, h, w
+            )
+            stego_dev = _block_embed_batch(
+                imgs_dev, jnp.asarray(plan.msgs), jnp.asarray(bases),
+                jnp.asarray(plan.lengths), jnp.asarray(plan.offsets),
+                jnp.asarray(plan.s), plan.nbits, config.block_size,
+            )
+        elif _packed_with_maps_eligible((b, h, w), plan.nbits, mesh, max_s):
             # packed tier + bit-packed XOR maps as one program (the
             # separate form paid three dispatches — see the single-image
             # twin encode_single_packed_with_maps)
@@ -705,7 +761,8 @@ def encode_batch_containers(
             sizes=seg.sizes, indices=seg.indices,
             eff_lengths=tuple(int(v) for v in plan.lengths[i, :s]),
             plane_starts=tuple(int(v) for v in plan.starts[i, :s]),
-            ext=b"",
+            ext=(container_io.pack_block_ext(config.block_size)
+                 if config.strategy == "block_adaptive" else b""),
         )
         if not config.store_bitmaps:
             bitmaps_blob = b""
@@ -759,6 +816,11 @@ def decode_batch_containers(
             outs = decode_pee_batch(sub, restore_original=restore_original)
         elif m0.version == 2 and m0.strategy in ("multi_plane", "hybrid"):
             outs = _decode_raster_group(sub, mesh, restore_original)
+        elif (m0.version == 2 and m0.strategy == "block_adaptive"
+              and all(c.meta.has_bitmaps for c in sub)):
+            # (missing bitmaps -> the per-item path below raises the
+            # single-image decoder's descriptive error)
+            outs = _decode_block_group(sub, restore_original)
         else:
             outs = [
                 decode_container(c, restore_original=restore_original)
@@ -767,6 +829,80 @@ def decode_batch_containers(
         for i, r in zip(idxs, outs):
             results[i] = r
     return results
+
+
+def _decode_block_group(conts: List, restore_original: bool) -> List:
+    """Fused decode for a same-key group of v2 block_adaptive containers:
+    per-image original from the XOR maps (host LUT), one vmapped popcount
+    dispatch for the tile bases, one vmapped extraction dispatch per block
+    size. Bit-identical to ``pipeline.decode_container`` per item."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io import container as container_io
+    from ..io.codecs import get as get_codec
+    from ..pipeline import DecodeResult, _next_pow2, _plane_bucket
+    from ..utils.pool import host_workers
+
+    meta0 = conts[0].meta
+    codec = get_codec(meta0.codec)
+    with ThreadPoolExecutor(max_workers=host_workers(len(conts))) as pool:
+        stegos = list(pool.map(
+            lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
+        ))
+    stego = np.stack(stegos)
+    diffs = np.stack([c.diff(stego.dtype) for c in conts])
+    original = stego ^ diffs
+
+    h, w = meta0.height, meta0.width
+    kernel_bits = _plane_bucket(
+        max(int(c.meta.s) for c in conts), np.dtype(meta0.dtype).itemsize * 8
+    )
+    s_arr = np.array([c.meta.s for c in conts], dtype=np.int32)
+    results: List = [None] * len(conts)
+    # block size lives in each container's ext block; it is a static kernel
+    # parameter, so subgroup on it (one dispatch per distinct block size)
+    by_block: dict = {}
+    for i, c in enumerate(conts):
+        by_block.setdefault(container_io.parse_block_ext(c.meta.ext), []).append(i)
+    from ..pipeline import _plane_plan_from_meta
+
+    for block, idxs in by_block.items():
+        orig_dev = jnp.asarray(original[idxs])
+        bases = _batch_block_bases(orig_dev, kernel_bits, s_arr[idxs], block, h, w)
+        lengths = np.zeros((len(idxs), kernel_bits), dtype=np.int32)
+        offsets = np.zeros((len(idxs), kernel_bits), dtype=np.int32)
+        for j, i in enumerate(idxs):
+            _, lengths[j], offsets[j] = _plane_plan_from_meta(
+                conts[i].meta, h * w, kernel_bits
+            )
+        out_len = _next_pow2(
+            max(max(int(conts[i].meta.payload_bits) for i in idxs), 1)
+        )
+        bits = np.asarray(_block_extract_batch(
+            jnp.asarray(stego[idxs]), jnp.asarray(bases),
+            jnp.asarray(lengths), jnp.asarray(offsets),
+            jnp.asarray(s_arr[idxs]), kernel_bits, block, out_len,
+        ))
+        for j, i in enumerate(idxs):
+            results[i] = DecodeResult(
+                payload_bits=np.asarray(
+                    bits[j, : int(conts[i].meta.payload_bits)], dtype=np.uint8
+                ),
+                stego=stego[i],
+                meta=conts[i].meta,
+                original=original[i] if restore_original else None,
+            )
+    return results
+
+
+@partial(jax.jit, static_argnames=("nbits", "block", "out_len"))
+def _block_extract_batch(stegos, bases, lengths, offsets, s, nbits, block, out_len):
+    """Vmapped twin of ``ops.embed.extract_block_message_device``."""
+    return jax.vmap(
+        lambda st, ba, le, of, ss: embed_ops.extract_block_message_device(
+            st, ba, le, of, ss, nbits, block, out_len
+        )
+    )(stegos, bases, lengths, offsets, s)
 
 
 def _decode_raster_group(

@@ -239,6 +239,28 @@ def test_decode_batch_containers_mixed_buckets(rng, mesh8):
         np.testing.assert_array_equal(dec.original, imgs8[i])
 
 
+def test_batch_block_adaptive_fused_bit_exact(rng):
+    """Round-3 upgrade: block_adaptive joins the fused batch matrix — one
+    vmapped popcount + one vmapped rank-compare embed dispatch for the whole
+    batch, containers byte-identical to the single-image pipeline, and the
+    grouped fused decode bit-equal to the single-image decoder."""
+    from codec_tcc_tpu import decode_container, encode_array
+
+    imgs = _make_batch(rng, b=4, dtype=np.uint16, hi=837)
+    payloads = [rng.bytes(30 + 11 * i) for i in range(4)]
+    cfg = EncodeConfig(strategy="block_adaptive", codec="deflate",
+                       compute_metrics=False)
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    for i in range(4):
+        assert res.containers[i] == encode_array(imgs[i], payloads[i], cfg).container
+    decs = batch_par.decode_batch_containers(res.containers)
+    for i, dec in enumerate(decs):
+        assert dec.payload == payloads[i]
+        np.testing.assert_array_equal(dec.original, imgs[i])
+        single = decode_container(res.containers[i])
+        np.testing.assert_array_equal(dec.payload_bits, single.payload_bits)
+
+
 def test_batch_containers_capacity_error(rng):
     imgs = _make_batch(rng, b=2, h=32, w=32, dtype=np.uint8, hi=256)
     payloads = [b"ok", bytes(4096)]  # second exceeds 32x32 capacity
