@@ -136,10 +136,13 @@ def _build_parser() -> argparse.ArgumentParser:
                       help=f"transport codec (available: {available_names()})")
     venc.add_argument("--seed", type=int, default=42)
     venc.add_argument("--strategy", default="multi_plane",
-                      choices=["multi_plane", "pee"],
-                      help="multi_plane: global cut point + per-slice LSB "
-                           "planes; pee: shared-threshold prediction-error "
-                           "expansion across slices")
+                      choices=["multi_plane", "hybrid", "block_adaptive",
+                               "pee"],
+                      help="multi_plane/hybrid/block_adaptive: global cut "
+                           "point + per-slice LSB placement (raster 0 / "
+                           "variance-chosen start / variance-ranked tiles); "
+                           "pee: per-slice-threshold prediction-error "
+                           "expansion")
     venc.add_argument("--report", help="write a JSON run report here")
 
     vdec = sub.add_parser(

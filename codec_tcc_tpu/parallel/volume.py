@@ -102,13 +102,13 @@ def encode_volume(
 
     if config.strategy == "pee":
         return _encode_volume_pee(volume, bits, config, mesh)
-    if config.strategy not in ("multi_plane", "hybrid"):
+    if config.strategy not in ("multi_plane", "hybrid", "block_adaptive"):
         # the library contract, not just the CLI guard (round-2 verdict
         # weakness #6): an unimplemented strategy must raise, not silently
         # get other semantics
         raise ValueError(
-            f"encode_volume implements strategies 'multi_plane', 'hybrid' "
-            f"and 'pee', not '{config.strategy}'"
+            f"encode_volume implements strategies 'multi_plane', 'hybrid', "
+            f"'block_adaptive' and 'pee', not '{config.strategy}'"
         )
 
     s, hist_total = volume_cut_point(volume, config.beta, mesh)
@@ -175,7 +175,25 @@ def encode_volume(
         base_offsets=np.asarray(base_offsets, dtype=np.int64), align=align,
         seed=config.seed,
     )
-    stego = batch_par.encode_batch(volume, plan, mesh)
+    if config.strategy == "block_adaptive":
+        # variance-ranked tile placement per slice at the GLOBAL cut point:
+        # the same vmapped popcount + rank-compare embed dispatches as the
+        # fused batch route (parallel.batch)
+        vol_dev = jnp.asarray(volume)
+        if mesh is not None:
+            vol_dev = jax.device_put(
+                vol_dev, NamedSharding(mesh, P("dp", None, None))
+            )
+        bases = batch_par._batch_block_bases(
+            vol_dev, nbits, plan.s, config.block_size, h, w
+        )
+        stego = batch_par._block_embed_batch(
+            vol_dev, jnp.asarray(msgs), jnp.asarray(bases),
+            jnp.asarray(lengths), jnp.asarray(offsets), jnp.asarray(plan.s),
+            nbits, config.block_size,
+        )
+    else:
+        stego = batch_par.encode_batch(volume, plan, mesh)
     stego_np = np.asarray(stego)
 
     metrics = None
@@ -372,6 +390,8 @@ def pack_volume(
             indices=plan_i.indices,
             eff_lengths=tuple(int(v) for v in result.plan.lengths[i][:s]),
             plane_starts=tuple(int(v) for v in result.plan.starts[i][:s]),
+            ext=(container_io.pack_block_ext(config.block_size)
+                 if config.strategy == "block_adaptive" else b""),
         )
         blob = (
             container_io.compress_bitmaps_packed(maps_packed[i])

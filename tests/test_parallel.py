@@ -276,12 +276,17 @@ def test_batch_rejects_nonraster_strategy(rng):
         batch_par.plan_batch(imgs, [b"x", b"y"], EncodeConfig(strategy="pee"))
 
 
-def test_volume_container_roundtrip(rng):
+@pytest.mark.parametrize(
+    "strategy", ["multi_plane", "hybrid", "block_adaptive"]
+)
+def test_volume_container_roundtrip(rng, strategy):
     """STGV serialization: per-slice self-contained containers, exact payload
-    and full original-volume restoration."""
+    and full original-volume restoration — every raster strategy at the
+    volume's GLOBAL cut point (block_adaptive joined in round 3)."""
     vol = rng.integers(0, 4096, size=(4, 64, 64)).astype(np.uint16)
     payload = rng.integers(0, 2, size=9_000).astype(np.uint8)
-    cfg = EncodeConfig(beta=0.8, codec="deflate", compute_metrics=False)
+    cfg = EncodeConfig(beta=0.8, codec="deflate", compute_metrics=False,
+                       strategy=strategy)
     res = volume_par.encode_volume(vol, payload, cfg)
     blob = volume_par.pack_volume(vol, res, cfg)
     got_bits, stego, original = volume_par.unpack_volume(blob)
