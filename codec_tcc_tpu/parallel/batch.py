@@ -674,11 +674,16 @@ def encode_batch_containers(
             # popcount dispatch + exact host ranking), then one vmapped
             # embed dispatch — the packed/preplaced raster tiers don't
             # apply to rank-compare placement
+            block_imgs = imgs_dev
+            if mesh is not None and b % int(mesh.shape.get("dp", 1)) == 0:
+                block_imgs = jax.device_put(
+                    imgs_dev, NamedSharding(mesh, P("dp", None, None))
+                )
             bases = _batch_block_bases(
-                imgs_dev, plan.nbits, plan.s, config.block_size, h, w
+                block_imgs, plan.nbits, plan.s, config.block_size, h, w
             )
             stego_dev = _block_embed_batch(
-                imgs_dev, jnp.asarray(plan.msgs), jnp.asarray(bases),
+                block_imgs, jnp.asarray(plan.msgs), jnp.asarray(bases),
                 jnp.asarray(plan.lengths), jnp.asarray(plan.offsets),
                 jnp.asarray(plan.s), plan.nbits, config.block_size,
             )
@@ -810,12 +815,18 @@ def decode_batch_containers(
     for idxs in groups.values():
         sub = [conts[i] for i in idxs]
         m0 = sub[0].meta
+        # a group whose size does not divide the dp axis cannot shard
+        # evenly; run it unsharded rather than crash in device_put (mixed
+        # batches routinely produce ragged groups, e.g. one straggler)
+        gmesh = mesh
+        if mesh is not None and len(sub) % int(mesh.shape.get("dp", 1)):
+            gmesh = None
         if m0.version == 2 and m0.strategy == "pee":
             from .batch_pee import decode_pee_batch
 
             outs = decode_pee_batch(sub, restore_original=restore_original)
         elif m0.version == 2 and m0.strategy in ("multi_plane", "hybrid"):
-            outs = _decode_raster_group(sub, mesh, restore_original)
+            outs = _decode_raster_group(sub, gmesh, restore_original)
         elif (m0.version == 2 and m0.strategy == "block_adaptive"
               and all(c.meta.has_bitmaps for c in sub)):
             # (missing bitmaps -> the per-item path below raises the
@@ -831,25 +842,46 @@ def decode_batch_containers(
     return results
 
 
+def _group_decode_stegos(conts: List) -> np.ndarray:
+    """Threaded transport-codec decode + stack for a same-key container
+    group, with the format-error contract and the ``batch_codec_decode``
+    stage both group decoders' callers rely on (serving-path breakdowns in
+    the bench artifact attribute host codec cost through this stage)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io.codecs import get as get_codec
+    from ..profiling import stage
+    from ..utils.pool import host_workers
+
+    meta0 = conts[0].meta
+    codec = get_codec(meta0.codec)
+    with stage("batch_codec_decode"):
+        with ThreadPoolExecutor(max_workers=host_workers(len(conts))) as pool:
+            stegos = list(pool.map(
+                lambda c: codec.decode(c.stego_blob).astype(meta0.dtype),
+                conts,
+            ))
+    shape = (meta0.height, meta0.width)
+    for st in stegos:
+        if st.shape != shape:
+            raise ValueError(
+                f"Invalid file: decoded stego shape {st.shape} != header "
+                f"{shape}"
+            )
+    return np.stack(stegos)
+
+
 def _decode_block_group(conts: List, restore_original: bool) -> List:
     """Fused decode for a same-key group of v2 block_adaptive containers:
     per-image original from the XOR maps (host LUT), one vmapped popcount
     dispatch for the tile bases, one vmapped extraction dispatch per block
     size. Bit-identical to ``pipeline.decode_container`` per item."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..io import container as container_io
-    from ..io.codecs import get as get_codec
     from ..pipeline import DecodeResult, _next_pow2, _plane_bucket
-    from ..utils.pool import host_workers
+    from ..profiling import stage
 
     meta0 = conts[0].meta
-    codec = get_codec(meta0.codec)
-    with ThreadPoolExecutor(max_workers=host_workers(len(conts))) as pool:
-        stegos = list(pool.map(
-            lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
-        ))
-    stego = np.stack(stegos)
+    stego = _group_decode_stegos(conts)
     diffs = np.stack([c.diff(stego.dtype) for c in conts])
     original = stego ^ diffs
 
@@ -878,11 +910,12 @@ def _decode_block_group(conts: List, restore_original: bool) -> List:
         out_len = _next_pow2(
             max(max(int(conts[i].meta.payload_bits) for i in idxs), 1)
         )
-        bits = np.asarray(_block_extract_batch(
-            jnp.asarray(stego[idxs]), jnp.asarray(bases),
-            jnp.asarray(lengths), jnp.asarray(offsets),
-            jnp.asarray(s_arr[idxs]), kernel_bits, block, out_len,
-        ))
+        with stage("batch_extract"):
+            bits = np.asarray(_block_extract_batch(
+                jnp.asarray(stego[idxs]), jnp.asarray(bases),
+                jnp.asarray(lengths), jnp.asarray(offsets),
+                jnp.asarray(s_arr[idxs]), kernel_bits, block, out_len,
+            ))
         for j, i in enumerate(idxs):
             results[i] = DecodeResult(
                 payload_bits=np.asarray(
@@ -923,23 +956,9 @@ def _decode_raster_group(
         max(int(c.meta.s) for c in conts), np.dtype(meta0.dtype).itemsize * 8
     )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..utils.pool import host_workers
-
-    from ..io.codecs import get as get_codec
-
     from ..profiling import stage
 
-    codec = get_codec(meta0.codec)
-    with stage("batch_codec_decode"):
-        with ThreadPoolExecutor(max_workers=host_workers(b)) as pool:
-            stegos = list(pool.map(
-                lambda c: codec.decode(c.stego_blob).astype(meta0.dtype), conts
-            ))
-        stego = np.stack(stegos)
-    if stego.shape != (b, h, w):
-        raise ValueError(f"decoded stego shape {stego.shape} != {(b, h, w)}")
+    stego = _group_decode_stegos(conts)
 
     starts = np.zeros((b, kernel_bits), dtype=np.int32)
     lengths = np.zeros((b, kernel_bits), dtype=np.int32)

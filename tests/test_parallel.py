@@ -261,6 +261,43 @@ def test_batch_block_adaptive_fused_bit_exact(rng):
         np.testing.assert_array_equal(dec.payload_bits, single.payload_bits)
 
 
+def test_decode_batch_ragged_groups_under_mesh(rng, mesh8):
+    """A mixed batch whose groups don't divide the dp axis must decode
+    unsharded instead of crashing in device_put (review regression: the
+    pre-bucketing code fell back per-item for mixed lists, so grouped decode
+    must not be less robust under a mesh)."""
+    from codec_tcc_tpu import encode_array
+
+    imgs = _make_batch(rng, b=3, dtype=np.uint16, hi=837)
+    blobs = [
+        encode_array(imgs[0], b"one", EncodeConfig(strategy="multi_plane")).container,
+        encode_array(imgs[1], b"two", EncodeConfig(strategy="multi_plane")).container,
+        encode_array(imgs[2], b"three", EncodeConfig(strategy="hybrid")).container,
+    ]
+    decs = batch_par.decode_batch_containers(blobs, mesh8)
+    assert [d.payload for d in decs] == [b"one", b"two", b"three"]
+
+
+def test_decode_block_group_rejects_wrong_shape_stego(rng):
+    """A block_adaptive container whose stego blob decodes to a different
+    geometry than its header must fail with the 'Invalid file' contract,
+    not a raw numpy stack/broadcast error."""
+    from codec_tcc_tpu import encode_array
+    from codec_tcc_tpu.io import container as container_io
+    from codec_tcc_tpu.io.codecs import get as get_codec
+
+    img = rng.integers(0, 837, size=(32, 32)).astype(np.uint16)
+    cfg = EncodeConfig(strategy="block_adaptive", compute_metrics=False)
+    good = encode_array(img, b"ok", cfg).container
+    cont = container_io.parse(good)
+    wrong = rng.integers(0, 837, size=(16, 16)).astype(np.uint16)
+    bad = container_io.pack(
+        cont.meta, cont.bitmaps_blob, get_codec("deflate").encode(wrong)
+    )
+    with pytest.raises(ValueError, match="Invalid file"):
+        batch_par.decode_batch_containers([good, bad])
+
+
 def test_batch_containers_capacity_error(rng):
     imgs = _make_batch(rng, b=2, h=32, w=32, dtype=np.uint8, hi=256)
     payloads = [b"ok", bytes(4096)]  # second exceeds 32x32 capacity
