@@ -329,6 +329,9 @@ def main(backend: str = "auto") -> None:
     v = _stage("pee_cycle_odd", _bench_pee_odd)
     if v is not None:
         extra["pee_cycle_odd_640x480_mpix_s"] = round(v, 1)
+    v = _stage("block_cycle", _bench_block)
+    if v is not None:
+        extra["block_cycle_mpix_s"] = round(v, 1)
     v = _stage("e2e", lambda: _bench_e2e(image))
     if v is not None:
         extra["e2e_encode_decode_mpix_s"] = round(v[0], 2)
@@ -639,6 +642,60 @@ def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * n / float(np.median(times)) / 1e6
+
+
+def _bench_block(B: int = 128) -> float:
+    """Fused block_adaptive device cycle (vmapped rank-compare embed +
+    vmapped extraction, parallel.batch round-3 routes) MPix/s at 512^2
+    uint16. The plan and the exact integer-key tile ranking are host-side
+    serving work (measured by the e2e legs); this isolates the two device
+    dispatches like the other cycle legs. Device-built inputs (CLAUDE.md:
+    large bench inputs must not ride a degraded relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codec_tcc_tpu.ops import segments as segment_ops
+    from codec_tcc_tpu.parallel.batch import (
+        _batch_block_bases, _block_embed_batch, _block_extract_batch,
+    )
+
+    h = w = 512
+    n = h * w
+    s, nbits, block = 4, 8, 16
+    payload_bits = 100_000
+    rng = np.random.default_rng(3)
+    imgs_dev = _pee_images_dev(B, h, w, 2, 400, 300, 37.0, 53.0, 836)
+    plan = segment_ops.distribute_segments(s, payload_bits, 42)
+    pp = segment_ops.raster_plane_plan(plan, n, nbits, 0, True)
+    lengths = jnp.asarray(np.tile(pp.lengths, (B, 1)))
+    offsets = jnp.asarray(np.tile(pp.offsets, (B, 1)))
+    s_d = jnp.full((B,), s, jnp.int32)
+    lpad = 1 << 17
+    msgs_d = _ship_bits(rng.integers(0, 2, size=(B, lpad)).astype(np.uint8))
+    bases = jnp.asarray(_batch_block_bases(
+        imgs_dev, nbits, np.full(B, s, np.int32), block, h, w
+    ))
+
+    @jax.jit
+    def cycle(imgs, msgs):
+        stego = _block_embed_batch(
+            imgs, msgs, bases, lengths, offsets, s_d, nbits, block
+        )
+        bits = _block_extract_batch(
+            stego, bases, lengths, offsets, s_d, nbits, block, lpad
+        )
+        return stego, jnp.sum(bits, dtype=jnp.int32)
+
+    out = cycle(imgs_dev, msgs_d)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = cycle(imgs_dev, msgs_d)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 3)
+    return B * h * w / float(np.median(times)) / 1e6
 
 
 def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4):
