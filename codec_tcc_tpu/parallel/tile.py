@@ -160,6 +160,71 @@ def _tile_sharded(image, mesh: Mesh, axis: str):
     return jax.device_put(image, NamedSharding(mesh, P(axis, None)))
 
 
+def _block_embed_band(band, msg, bases, seg_len, moffs, s, row0, nbits, block):
+    """Variance-ranked block embed on one shard's row band: the same dense
+    per-pixel rank compare as :func:`ops.embed.embed_block_adaptive`, with
+    the rank formula evaluated at GLOBAL row coordinates (``row0`` = the
+    shard's first global row). ``bases`` (per-plane tile base offsets) and
+    ``msg`` are replicated — the rank of a band pixel depends only on its
+    own tile's base, so no cross-shard communication is compiled in (same
+    claim as the raster tile kernels)."""
+    from ..ops.embed import _dtype_keep_mask
+
+    hh, ww = band.shape
+    lpad = msg.shape[0]
+    y = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0) + row0
+    x = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    nw = -(-ww // block)
+    ty = y // block
+    tx = x // block
+    tile_id = ty * nw + tx
+    x0 = tx * block
+    bw_real = jnp.minimum(block, ww - x0)
+    r = (y - ty * block) * bw_real + (x - x0)
+    acc = band
+    for p in range(nbits):
+        rank = bases[p][tile_id] + r
+        active = (rank < seg_len[p]) & (p < s)
+        midx = jnp.clip(moffs[p] + rank, 0, lpad - 1)
+        bits = jnp.take(msg, midx, mode="clip")
+        newv = (acc & _dtype_keep_mask(band.dtype, p)) | (
+            bits.astype(band.dtype) << p
+        )
+        acc = jnp.where(active, newv, acc)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("nbits", "block", "mesh", "axis"))
+def _block_embed_tiled_jit(image, msg, bases, seg_len, moffs, s, *,
+                           nbits, block, mesh, axis):
+    def f(band, msg_, ba, sl, mo, ss):
+        hh = band.shape[0]
+        row0 = jax.lax.axis_index(axis) * hh
+        return _block_embed_band(
+            band, msg_, ba, sl, mo, ss, row0, nbits, block
+        )
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+    )(image, msg, bases, seg_len, moffs, s)
+
+
+def _host_block_rank(h: int, w: int, block: int, base: np.ndarray) -> np.ndarray:
+    """NumPy twin of ``ops.embed._block_fill_rank`` — the decode side
+    recomputes ranks on host (they are a pure function of the restored
+    original's tile bases), so shards only return raw plane bits."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    nw = -(-w // block)
+    ty, tx = yy // block, xx // block
+    x0 = tx * block
+    bw = np.minimum(block, w - x0)
+    r = (yy - ty * block) * bw + (xx - x0)
+    return base[ty * nw + tx] + r
+
+
 @partial(jax.jit, static_argnames=("mesh", "axis"))
 def _embed_tiled_jit(image, msg, plane_id, starts, lens, moffs, *, mesh, axis):
     def f(blk, msg_, pid, st, ln, mo):
@@ -291,9 +356,10 @@ def encode_array_tiled(
     from ..pipeline import EncodeResult, _as_payload_bits, _plane_bucket
 
     config = config.validate()
-    if config.strategy not in ("multi_plane", "hybrid"):
+    if config.strategy not in ("multi_plane", "hybrid", "block_adaptive"):
         raise ValueError(
-            f"tiled encoding supports multi_plane/hybrid, not {config.strategy}"
+            f"tiled encoding supports multi_plane/hybrid/block_adaptive, "
+            f"not {config.strategy}"
         )
     if mesh is None:
         raise ValueError("encode_array_tiled requires a mesh with a tile axis")
@@ -342,11 +408,31 @@ def encode_array_tiled(
     else:
         pp = segment_ops.raster_plane_plan(plan, n, kernel_bits, 0, True)
 
-    tp = shard_windows(pp, n, n_shards)
-    msg_pad = embed_ops.pad_message(
-        msg_bits, tp.local_n, int(tp.moffs.max(initial=0))
-    )
-    stego_d = embed_tiled(image, msg_pad, tp, mesh, axis)
+    if config.strategy == "block_adaptive":
+        # variance-ranked placement: bases from one unsharded popcount pass
+        # (plan-time host work, same as the hybrid start search above), then
+        # the sharded band rank-compare embed — still zero collectives
+        from ..pipeline import _block_bases
+
+        bases = _block_bases(
+            jnp.asarray(image), kernel_bits, s, config.block_size, h, w
+        )
+        msg_pad = embed_ops.pad_message(
+            msg_bits, n, int(pp.offsets.max(initial=0))
+        )
+        img_d = _tile_sharded(jnp.asarray(image), mesh, axis)
+        msg_d = jax.device_put(jnp.asarray(msg_pad), NamedSharding(mesh, P()))
+        stego_d = _block_embed_tiled_jit(
+            img_d, msg_d, jnp.asarray(bases), jnp.asarray(pp.lengths),
+            jnp.asarray(pp.offsets), jnp.int32(s),
+            nbits=kernel_bits, block=config.block_size, mesh=mesh, axis=axis,
+        )
+    else:
+        tp = shard_windows(pp, n, n_shards)
+        msg_pad = embed_ops.pad_message(
+            msg_bits, tp.local_n, int(tp.moffs.max(initial=0))
+        )
+        stego_d = embed_tiled(image, msg_pad, tp, mesh, axis)
 
     metrics = None
     if config.compute_metrics:
@@ -387,7 +473,8 @@ def encode_array_tiled(
         indices=plan.indices,
         eff_lengths=tuple(int(v) for v in pp.lengths[:s]),
         plane_starts=tuple(int(v) for v in pp.starts[:s]),
-        ext=b"",
+        ext=(container_io.pack_block_ext(config.block_size)
+             if config.strategy == "block_adaptive" else b""),
     )
     blob = container_io.pack(meta, bitmaps_blob, stego_blob)
     logger.info(
@@ -413,7 +500,8 @@ def decode_container_tiled(
 
     cont = container_io.parse(data) if isinstance(data, (bytes, bytearray)) else data
     meta = cont.meta
-    if meta.strategy not in ("multi_plane", "hybrid", "unknown"):
+    if meta.strategy not in ("multi_plane", "hybrid", "block_adaptive",
+                             "unknown"):
         raise ValueError(f"tiled decode does not support {meta.strategy}")
     stego = get_codec(meta.codec).decode(cont.stego_blob)
     if meta.version == 1:
@@ -424,6 +512,12 @@ def decode_container_tiled(
     n = h * w
     kernel_bits = _plane_bucket(meta.s, stego.dtype.itemsize * 8)
     starts, lengths, offsets = _plane_plan_from_meta(meta, n, kernel_bits)
+
+    if meta.strategy == "block_adaptive":
+        return _decode_block_tiled(
+            cont, stego, lengths, offsets, kernel_bits, mesh, axis,
+            restore_original,
+        )
     pp = segment_ops.PlanePlan(
         nbits=kernel_bits, s=meta.s, total_bits=meta.payload_bits,
         starts=starts, lengths=lengths, offsets=offsets,
@@ -443,3 +537,66 @@ def decode_container_tiled(
         if diff is not None:
             original = stego ^ diff
     return DecodeResult(bits, stego, meta, original)
+
+
+def _decode_block_tiled(
+    cont, stego: np.ndarray, lengths: np.ndarray, offsets: np.ndarray,
+    kernel_bits: int, mesh: Mesh, axis: str, restore_original: bool,
+):
+    """Tiled decode of a block_adaptive container: each shard returns its
+    band's raw plane bits (the same dense extraction kernel as the raster
+    path, with full-band windows), and the host places them at message
+    positions via the rank permutation — ranks are a pure function of the
+    restored original's tile bases, so nothing but plane bits crosses the
+    link and no device argsort/scatter is compiled."""
+    from ..ops import blocks as block_ops
+    from ..pipeline import DecodeResult
+
+    meta = cont.meta
+    h, w = meta.height, meta.width
+    n = h * w
+    diff = cont.diff(stego.dtype)
+    if diff is None:
+        raise ValueError(
+            "block_adaptive extraction requires the XOR location maps"
+        )
+    original = stego ^ diff
+    block = container_io.parse_block_ext(meta.ext)
+
+    # bases from the restored original (must match the encoder's ranking)
+    counts = np.asarray(block_ops.block_bit_counts_all(
+        jnp.asarray(original), max(meta.s, 1), block
+    ))
+
+    # full-band "windows": plane p over the whole local range — reuses the
+    # raster extraction kernel with trivial windows, so the sharded device
+    # pass is identical machinery
+    n_shards = mesh.shape[axis]
+    local_n = n // n_shards
+    nplanes = min(meta.s, kernel_bits)  # only embedded planes cross the link
+    plane_id = np.tile(np.arange(nplanes, dtype=np.int32), (n_shards, 1))
+    zeros = np.zeros((n_shards, nplanes), dtype=np.int32)
+    full = np.full((n_shards, nplanes), local_n, dtype=np.int32)
+    stego_d = _tile_sharded(jnp.asarray(stego), mesh, axis)
+    aligned = np.asarray(_extract_tiled_jit(
+        stego_d, jnp.asarray(plane_id), jnp.asarray(zeros),
+        jnp.asarray(full), mesh=mesh, axis=axis,
+    ))  # (n_shards, nplanes, local_n): raw plane bits, band order
+    planes = aligned.transpose(1, 0, 2).reshape(nplanes, n)
+
+    out = np.zeros(max(int(meta.payload_bits), 1), dtype=np.uint8)
+    for p in range(nplanes):
+        ln = int(lengths[p])
+        if ln <= 0:
+            continue
+        base, _ = block_ops.block_base_offsets(counts[p], h, w, block)
+        rank = _host_block_rank(h, w, block, base).reshape(n)
+        order = np.argsort(rank, kind="stable")
+        mo = int(offsets[p])
+        take = min(ln, out.size - mo)
+        if take > 0:
+            out[mo : mo + take] = planes[p][order[:take]]
+    bits = out[: meta.payload_bits]
+    return DecodeResult(
+        bits, stego, meta, original if restore_original else None
+    )

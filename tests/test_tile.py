@@ -151,6 +151,57 @@ def test_tiled_pipeline_matches_single_device(tile_mesh, big_image):
     assert dec_single.payload == payload
 
 
+def test_tiled_block_adaptive_matches_single_device(tile_mesh, big_image):
+    """Round-3: block_adaptive joins the tile layer. The sharded band
+    rank-compare embed must write the byte-identical container the
+    single-device pipeline writes (replicated bases + message, global-row
+    rank formula), and the tiled decode (sharded plane extraction + host
+    rank placement) must round-trip payload and original, cross-decoding
+    with the single-device decoder both ways."""
+    from codec_tcc_tpu import pipeline
+
+    rng = np.random.default_rng(7)
+    payload = rng.bytes(40_000)
+    cfg = EncodeConfig(strategy="block_adaptive", codec="deflate", beta=0.4)
+
+    res_ref = pipeline.encode_array(big_image, payload, cfg)
+    res_tiled = tile_par.encode_array_tiled(big_image, payload, cfg, tile_mesh)
+    assert res_tiled.container == res_ref.container
+
+    dec = tile_par.decode_container_tiled(res_tiled.container, tile_mesh)
+    assert dec.payload == payload
+    np.testing.assert_array_equal(dec.original, big_image)
+
+    dec_single = pipeline.decode_container(res_tiled.container)
+    assert dec_single.payload == payload
+    np.testing.assert_array_equal(
+        dec.payload_bits, dec_single.payload_bits
+    )
+
+
+def test_tiled_block_embed_compiles_without_collectives(tile_mesh, big_image):
+    """The sharded band rank-compare embed, like the raster tile kernels,
+    must compile with no collectives (bases and message replicated; each
+    pixel's rank depends only on its own tile's base)."""
+    h, w = big_image.shape
+    pp = _plan(big_image, 9000, 4, 8, start=0, align=True)
+    from codec_tcc_tpu.pipeline import _block_bases
+
+    bases = _block_bases(jnp.asarray(big_image), 8, 4, 16, h, w)
+    msg = np.zeros(big_image.size, np.uint8)
+    lowered = tile_par._block_embed_tiled_jit.lower(
+        jax.device_put(jnp.asarray(big_image),
+                       NamedSharding(tile_mesh, P("tile", None))),
+        jnp.asarray(msg), jnp.asarray(bases), jnp.asarray(pp.lengths),
+        jnp.asarray(pp.offsets), jnp.int32(4),
+        nbits=8, block=16, mesh=tile_mesh, axis="tile",
+    )
+    hlo = lowered.compile().as_text()
+    assert not re.search(
+        r"all-reduce|all-gather|collective-permute|all-to-all", hlo
+    ), "unexpected collective in tiled block embed"
+
+
 def test_tiled_volume_slice_plane(tile_mesh):
     """One slice-plane of a synthetic volume sharded spatially over the mesh
     (the SURVEY §5 volume formulation at the slice level)."""
