@@ -77,7 +77,47 @@ BATCH_CASES = [
 ]
 
 
-@pytest.mark.parametrize("strategy,dtype,hi,shape,beta,codec", BATCH_CASES)
+def test_random_mixed_bucket_sweep(rng):
+    """Round-3 bucketing under the property contract: a shuffled pile of
+    containers spanning every strategy, two geometries and both dtypes
+    decodes through the grouped batch decoder with per-item results exactly
+    equal to the single-image decoder's, in input order."""
+    from codec_tcc_tpu.parallel.batch import decode_batch_containers
+
+    specs = [
+        ("multi_plane", np.uint8, 256, (40, 64)),
+        ("hybrid", np.uint16, 837, (40, 64)),
+        ("hybrid", np.uint16, 837, (40, 64)),
+        ("block_adaptive", np.uint16, 4096, (48, 48)),
+        ("block_adaptive", np.uint16, 4096, (48, 48)),
+        ("pee", np.uint16, 700, (48, 48)),
+        ("multi_plane", np.uint8, 256, (48, 48)),
+        ("pee", np.uint16, 700, (48, 48)),
+    ]
+    order = rng.permutation(len(specs))
+    blobs, payloads = [], []
+    for k in order:
+        strategy, dtype, hi, shape = specs[k]
+        img = _smooth(rng, *shape, hi, dtype)
+        payload = rng.bytes(int(rng.integers(4, 30)))
+        cfg = EncodeConfig(strategy=strategy, compute_metrics=False)
+        blobs.append(encode_array(img, payload, cfg).container)
+        payloads.append(payload)
+    decs = decode_batch_containers(blobs)
+    for i, dec in enumerate(decs):
+        single = decode_container(blobs[i])
+        assert dec.payload == payloads[i], f"payload {i}"
+        np.testing.assert_array_equal(dec.payload_bits, single.payload_bits)
+        np.testing.assert_array_equal(dec.original, single.original)
+        np.testing.assert_array_equal(dec.stego, single.stego)
+
+
+BATCH_CASES_EXT = BATCH_CASES + [
+    ("block_adaptive", np.uint16, 4096, (48, 48), 0.4, "deflate"),
+]
+
+
+@pytest.mark.parametrize("strategy,dtype,hi,shape,beta,codec", BATCH_CASES_EXT)
 def test_random_fused_batch_roundtrip(rng, strategy, dtype, hi, shape, beta, codec):
     """The fused batch serving path under the same property contract: random
     mixed-size payloads, exact payload + original back per item, containers
