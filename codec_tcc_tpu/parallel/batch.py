@@ -792,11 +792,11 @@ def decode_batch_containers(
     restore_original: bool = True,
 ) -> List:
     """Batched decode: containers group by ``(geometry, dtype, codec,
-    version, strategy)`` and each v2 raster or PEE group runs as one fused
-    device extraction (mirroring the encode side's bucketing); anything a
-    fused route cannot take (v1, block_adaptive) decodes through the
-    single-image path per item. Returns ``pipeline.DecodeResult`` objects
-    in input order."""
+    version, strategy)`` and each v2 group runs fused — raster and PEE as
+    one device extraction, block_adaptive as vmapped bases + extraction per
+    block size (``_decode_block_group``); only v1 containers and
+    bitmap-less block_adaptive fall back to the single-image path per item.
+    Returns ``pipeline.DecodeResult`` objects in input order."""
     from ..io import container as container_io
     from ..pipeline import decode_container
 

@@ -212,17 +212,18 @@ def _block_embed_tiled_jit(image, msg, bases, seg_len, moffs, s, *,
     )(image, msg, bases, seg_len, moffs, s)
 
 
-def _host_block_rank(h: int, w: int, block: int, base: np.ndarray) -> np.ndarray:
-    """NumPy twin of ``ops.embed._block_fill_rank`` — the decode side
-    recomputes ranks on host (they are a pure function of the restored
-    original's tile bases), so shards only return raw plane bits."""
+def _host_block_geometry(h: int, w: int, block: int):
+    """Plane-invariant half of ``ops.embed._block_fill_rank`` on host:
+    ``(tile_id, r)`` flat arrays — per plane, ``rank = base[tile_id] + r``.
+    Computed once per decode (the geometry does not depend on the plane),
+    so the per-plane cost is one gather + one O(n) inverse permutation."""
     yy, xx = np.mgrid[0:h, 0:w]
     nw = -(-w // block)
     ty, tx = yy // block, xx // block
     x0 = tx * block
     bw = np.minimum(block, w - x0)
     r = (yy - ty * block) * bw + (xx - x0)
-    return base[ty * nw + tx] + r
+    return (ty * nw + tx).reshape(h * w), r.reshape(h * w)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -508,6 +509,14 @@ def decode_container_tiled(
         meta.dtype = stego.dtype   # v1 records no dtype; trust the payload
     elif stego.dtype != meta.dtype:
         stego = stego.astype(meta.dtype)
+    if stego.shape != (meta.height, meta.width):
+        # same format-error contract as pipeline.decode_container and the
+        # batch group decoder: a tampered/corrupt blob must not surface as
+        # a raw numpy broadcast error (or silently truncated payload bits)
+        raise ValueError(
+            f"Invalid file: decoded stego shape {stego.shape} != header "
+            f"{(meta.height, meta.width)}"
+        )
     h, w = meta.height, meta.width
     n = h * w
     kernel_bits = _plane_bucket(meta.s, stego.dtype.itemsize * 8)
@@ -549,8 +558,7 @@ def _decode_block_tiled(
     positions via the rank permutation — ranks are a pure function of the
     restored original's tile bases, so nothing but plane bits crosses the
     link and no device argsort/scatter is compiled."""
-    from ..ops import blocks as block_ops
-    from ..pipeline import DecodeResult
+    from ..pipeline import DecodeResult, _block_bases
 
     meta = cont.meta
     h, w = meta.height, meta.width
@@ -563,10 +571,11 @@ def _decode_block_tiled(
     original = stego ^ diff
     block = container_io.parse_block_ext(meta.ext)
 
-    # bases from the restored original (must match the encoder's ranking)
-    counts = np.asarray(block_ops.block_bit_counts_all(
-        jnp.asarray(original), max(meta.s, 1), block
-    ))
+    # bases from the restored original — the SAME helper the encoder and
+    # single-image decoder use, so the ranking can never drift
+    bases = _block_bases(
+        jnp.asarray(original), kernel_bits, meta.s, block, h, w
+    )
 
     # full-band "windows": plane p over the whole local range — reuses the
     # raster extraction kernel with trivial windows, so the sharded device
@@ -585,13 +594,17 @@ def _decode_block_tiled(
     planes = aligned.transpose(1, 0, 2).reshape(nplanes, n)
 
     out = np.zeros(max(int(meta.payload_bits), 1), dtype=np.uint8)
+    tile_id, r = _host_block_geometry(h, w, block)
+    order = np.empty(n, dtype=np.intp)
     for p in range(nplanes):
         ln = int(lengths[p])
         if ln <= 0:
             continue
-        base, _ = block_ops.block_base_offsets(counts[p], h, w, block)
-        rank = _host_block_rank(h, w, block, base).reshape(n)
-        order = np.argsort(rank, kind="stable")
+        rank = bases[p][tile_id] + r
+        # rank is a bijection onto 0..n-1, so its inverse is an O(n)
+        # assignment, not an argsort (the tile layer exists for images
+        # where n log n host sorts are seconds on the serving core)
+        order[rank] = np.arange(n, dtype=np.intp)
         mo = int(offsets[p])
         take = min(ln, out.size - mo)
         if take > 0:

@@ -202,6 +202,26 @@ def test_tiled_block_embed_compiles_without_collectives(tile_mesh, big_image):
     ), "unexpected collective in tiled block embed"
 
 
+def test_tiled_decode_rejects_wrong_shape_stego(tile_mesh):
+    """A container whose stego blob decodes to a different geometry than its
+    header must fail with the 'Invalid file' contract in the tiled decoder
+    too (review regression)."""
+    from codec_tcc_tpu import pipeline
+    from codec_tcc_tpu.io import container as container_io
+    from codec_tcc_tpu.io.codecs import get as get_codec
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, size=(64, 64)).astype(np.uint16)
+    cfg = EncodeConfig(strategy="block_adaptive", compute_metrics=False)
+    cont = container_io.parse(pipeline.encode_array(img, b"x", cfg).container)
+    wrong = rng.integers(0, 4096, size=(16, 64)).astype(np.uint16)
+    bad = container_io.pack(
+        cont.meta, cont.bitmaps_blob, get_codec("deflate").encode(wrong)
+    )
+    with pytest.raises(ValueError, match="Invalid file"):
+        tile_par.decode_container_tiled(bad, tile_mesh)
+
+
 def test_tiled_volume_slice_plane(tile_mesh):
     """One slice-plane of a synthetic volume sharded spatially over the mesh
     (the SURVEY §5 volume formulation at the slice level)."""
