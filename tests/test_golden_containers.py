@@ -54,3 +54,22 @@ def test_golden_pee_container_decodes():
     assert dec.meta.strategy == "pee"
     assert dec.payload == _payload()
     np.testing.assert_array_equal(dec.original, img)
+
+
+def test_golden_block_volume_decodes():
+    """Round-3 fixture: STGV volume written with strategy=block_adaptive
+    (volume-level strategy id + per-slice block ext) committed the day the
+    strategy joined volumes — future drift in the STGV header, the block
+    ext, or the rank-placement semantics breaks this, not just fresh
+    round-trips."""
+    import numpy as np
+
+    from codec_tcc_tpu.parallel import volume as volume_par
+
+    vol = np.load(os.path.join(DATA, "golden_block_volume.npy"))
+    with open(os.path.join(DATA, "golden_block_volume.stgv"), "rb") as f:
+        blob = f.read()
+    bits, stego, original = volume_par.unpack_volume(blob)
+    want = np.unpackbits(np.frombuffer(_payload(), np.uint8))[:1200]
+    np.testing.assert_array_equal(bits, want)
+    np.testing.assert_array_equal(original, vol)
