@@ -194,9 +194,10 @@ def _build_parser() -> argparse.ArgumentParser:
              "the warm cache; one daemon per chip)",
     )
     srv.add_argument("--socket", required=True, help="Unix socket path")
-    srv.add_argument("--warmup", default=None, metavar="HxW",
-                     help="encode+decode a synthetic HxW image at startup "
-                          "(e.g. 512x512) so the first request is warm")
+    srv.add_argument("--warmup", default=None, metavar="HxW[,HxW...]",
+                     help="encode+decode a synthetic image per geometry at "
+                          "startup (e.g. 512x512,640x480) so the first "
+                          "request of each size is warm")
     srv.add_argument("--idle-timeout", type=float, default=None,
                      help="exit after this many seconds with no connection")
     srv.add_argument("--conn-timeout", type=float, default=600.0,

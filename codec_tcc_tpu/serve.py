@@ -334,17 +334,23 @@ def _handle_line(line: bytes, state: dict) -> tuple:
 
 def _warmup(spec: str) -> None:
     """Pay backend init + the hot-path jit compiles before the first real
-    request: encode+decode a synthetic image of the given HxW geometry
-    (requests for the same geometry then hit the warm jit cache)."""
+    request: encode+decode a synthetic image per requested HxW geometry
+    (comma-separated for mixed-size production traffic, e.g.
+    ``512x512,640x480``) — requests for those geometries then hit the warm
+    jit cache."""
     from . import pipeline
 
-    h, w = (int(x) for x in spec.lower().split("x"))
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 4096, size=(h, w)).astype(np.uint16)
-    t0 = time.perf_counter()
-    res = pipeline.encode_array(img, b"warmup", EncodeConfig())
-    pipeline.decode_container(res.container)
-    logger.info("warmup %s done in %.1fs", spec, time.perf_counter() - t0)
+    for one in spec.lower().split(","):
+        one = one.strip()
+        if not one:
+            continue
+        h, w = (int(x) for x in one.split("x"))
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 4096, size=(h, w)).astype(np.uint16)
+        t0 = time.perf_counter()
+        res = pipeline.encode_array(img, b"warmup", EncodeConfig())
+        pipeline.decode_container(res.container)
+        logger.info("warmup %s done in %.1fs", one, time.perf_counter() - t0)
 
 
 def serve(
