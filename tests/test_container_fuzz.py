@@ -105,3 +105,32 @@ def test_batch_and_volume_decode_fail_cleanly(rng):
             volume_par.unpack_volume(bytes(mutated))
         except _OK:
             pass
+
+
+def test_stgv_mutations_fail_cleanly():
+    """STGV volume blobs under truncation and random byte flips: decode
+    either succeeds (mutation hit a don't-care byte) or fails with the
+    'Invalid file' contract — never a raw struct/zlib/reshape error."""
+    import os
+
+    from codec_tcc_tpu.parallel import volume as volume_par
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "golden_block_volume.stgv")
+    with open(path, "rb") as f:
+        blob = f.read()
+    for cut in (0, 3, 4, 20, 21 + 8, len(blob) // 2, len(blob) - 5):
+        try:
+            volume_par.unpack_volume(blob[:cut])
+        except _OK:
+            pass
+    rng = np.random.default_rng(8)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    for _ in range(40):
+        mutated = arr.copy()
+        idx = rng.integers(0, arr.size, size=int(rng.integers(1, 4)))
+        mutated[idx] ^= rng.integers(1, 256, size=idx.size).astype(np.uint8)
+        try:
+            volume_par.unpack_volume(mutated.tobytes())
+        except _OK:
+            pass
