@@ -141,13 +141,32 @@ class DeflateCodec(Codec):
             raise ValueError("Not a deflate codec payload")
         try:
             code, h, w = struct.unpack(">BII", data[4:13])
-            raw = zlib.decompress(data[13:])
             # code 2 (interleaved uint16) is the pre-round-3 layout: still
             # written by nothing, still decoded forever (golden .stgc
             # fixtures and old containers carry it)
             dtype = np.dtype(np.uint16 if code == 3 else _CODE_DTYPES[code])
-        except (struct.error, zlib.error, KeyError) as exc:
+        except (struct.error, KeyError) as exc:
             raise ValueError(f"Invalid file: corrupt deflate payload ({exc})") from exc
+        from ..jpegls_binding import MAX_DECODE_PIXELS
+
+        if not (0 < h and 0 < w and h * w <= MAX_DECODE_PIXELS):
+            raise ValueError(
+                f"Invalid file: deflate header claims {h}x{w} pixels "
+                f"(cap {MAX_DECODE_PIXELS})"
+            )
+        # bounded inflate: the header fixes the exact byte count, so an
+        # untrusted stream must never decompress past it (zip bomb); one
+        # extra byte exposes too-long streams to the length check below
+        want = h * w * dtype.itemsize
+        try:
+            dobj = zlib.decompressobj()
+            raw = dobj.decompress(data[13:], want + 1)
+        except zlib.error as exc:
+            raise ValueError(f"Invalid file: corrupt deflate payload ({exc})") from exc
+        if dobj.unconsumed_tail or not dobj.eof:
+            raise ValueError(
+                "Invalid file: deflate payload longer or shorter than its header"
+            )
         if len(raw) != h * w * dtype.itemsize:
             raise ValueError(
                 f"Invalid file: deflate payload holds {len(raw)} bytes, "

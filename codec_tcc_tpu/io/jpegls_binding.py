@@ -22,6 +22,13 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegls.so")
 
+# Decode-side allocation bound: the output buffer is sized from the PROBED
+# header of an untrusted stream, so dimensions must be capped before
+# allocating (a single flipped SOF byte can otherwise claim 65535x65535 —
+# an 8.6 GB uint16 buffer). 2^28 pixels (512 MB) is ~64x the largest
+# supported medical image while keeping corrupt headers cheap to reject.
+MAX_DECODE_PIXELS = 1 << 28
+
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed: Optional[str] = None
@@ -126,6 +133,14 @@ def decode(data: bytes) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError("not a JPEG-LS stream")
+    if not (0 < h.value and 0 < w.value
+            and h.value * w.value <= MAX_DECODE_PIXELS):
+        # a flipped header byte must not demand an 8.6 GB buffer
+        # (65535 x 65535 x uint16): reject before allocating
+        raise ValueError(
+            f"Invalid file: JPEG-LS header claims {h.value}x{w.value} pixels "
+            f"(cap {MAX_DECODE_PIXELS})"
+        )
     dst = np.empty(h.value * w.value, dtype=np.uint16)
     rc = lib.jls_decode(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,

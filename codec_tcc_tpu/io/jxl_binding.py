@@ -165,9 +165,18 @@ def probe(data: bytes) -> Tuple[int, int, int]:
 
 def decode(data: bytes) -> np.ndarray:
     """Decode a JXL stream; dtype follows the codestream bit depth."""
+    from .jpegls_binding import MAX_DECODE_PIXELS
+
     lib = load_library()
     src = np.frombuffer(data, dtype=np.uint8)
     ph, pw, pbits = probe(data)           # exact output size from the stream
+    if not (0 < ph and 0 < pw and ph * pw <= MAX_DECODE_PIXELS):
+        # JXL headers encode dimensions up to 2^30 each; an untrusted
+        # stream's probed size must be capped before allocating
+        raise ValueError(
+            f"Invalid file: JXL header claims {ph}x{pw} pixels "
+            f"(cap {MAX_DECODE_PIXELS})"
+        )
     dst = np.empty(max(ph * pw, 1), dtype=np.uint16)
     h = ctypes.c_int(0)
     w = ctypes.c_int(0)
