@@ -155,18 +155,12 @@ class DeflateCodec(Codec):
                 f"(cap {MAX_DECODE_PIXELS})"
             )
         # bounded inflate: the header fixes the exact byte count, so an
-        # untrusted stream must never decompress past it (zip bomb); one
-        # extra byte exposes too-long streams to the length check below
-        want = h * w * dtype.itemsize
-        try:
-            dobj = zlib.decompressobj()
-            raw = dobj.decompress(data[13:], want + 1)
-        except zlib.error as exc:
-            raise ValueError(f"Invalid file: corrupt deflate payload ({exc})") from exc
-        if dobj.unconsumed_tail or not dobj.eof:
-            raise ValueError(
-                "Invalid file: deflate payload longer or shorter than its header"
-            )
+        # untrusted stream must never decompress past it (zip bomb)
+        from ...utils.bits import bounded_inflate
+
+        raw = bounded_inflate(
+            data[13:], h * w * dtype.itemsize, "deflate payload"
+        )
         if len(raw) != h * w * dtype.itemsize:
             raise ValueError(
                 f"Invalid file: deflate payload holds {len(raw)} bytes, "

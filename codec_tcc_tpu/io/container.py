@@ -112,11 +112,11 @@ class Container:
         if not self.meta.has_bitmaps:
             return None
         m = self.meta
-        try:
-            raw = zlib.decompress(self.bitmaps_blob)
-        except zlib.error as exc:
-            raise ValueError(f"Invalid file: corrupt bitmap blob ({exc})") from exc
         n = m.height * m.width
+        from ..utils.bits import bounded_inflate
+
+        want = m.s * n // 8 if m.bitmaps_packed else m.s * n
+        raw = bounded_inflate(self.bitmaps_blob, want, "bitmap blob")
         if m.bitmaps_packed:
             if n % 8 or len(raw) != m.s * n // 8:
                 raise ValueError(

@@ -239,11 +239,13 @@ def parse_pee_container_parts(cont: container_io.Container):
             f"Invalid file: payload_bits {meta.payload_bits} exceeds the "
             f"recorded pass totals ({bits0} + {bits1})"
         )
-    try:
-        raw = zlib.decompress(cont.bitmaps_blob)
-    except zlib.error as exc:
-        raise ValueError(f"Invalid file: corrupt PEE overflow map blob ({exc})") from exc
-    from ..utils.bits import expand_bits
+    from ..utils.bits import bounded_inflate, expand_bits
+
+    # the map is pack_bits of n pixels (device packing may lane-pad the
+    # tail); bound the untrusted inflate at that size plus the padding slack
+    raw = bounded_inflate(
+        cont.bitmaps_blob, (n + 7) // 8 + 4096, "PEE overflow map blob"
+    )
 
     overflow = expand_bits(np.frombuffer(raw, dtype=np.uint8))
     if overflow.size < h * w:

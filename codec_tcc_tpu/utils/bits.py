@@ -23,7 +23,34 @@ __all__ = [
     "unpack_bits",
     "expand_bits",
     "packed_planes_to_diff",
+    "bounded_inflate",
 ]
+
+
+def bounded_inflate(blob: bytes, want: int, what: str) -> bytes:
+    """zlib-inflate an UNTRUSTED blob whose exact decompressed size the
+    surrounding format's header commits to.
+
+    Plain ``zlib.decompress`` inflates fully before any caller-side length
+    check, so a crafted container could expand a few KB into GBs (zip bomb).
+    Inflating with ``max_length = want + 1`` bounds the allocation: one extra
+    byte distinguishes over-long streams, and a stream that ends early
+    (``eof`` unset) is rejected as truncated. Raises ``ValueError`` with an
+    ``Invalid file:`` message (the shared corrupt-input contract) on any
+    mismatch; the caller still performs its own exact-length validation."""
+    import zlib
+
+    try:
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(blob, max(want, 0) + 1)
+    except zlib.error as exc:
+        raise ValueError(f"Invalid file: corrupt {what} ({exc})") from exc
+    if dobj.unconsumed_tail or not dobj.eof:
+        raise ValueError(
+            f"Invalid file: {what} inflates past or short of the "
+            f"{want} bytes its header commits to"
+        )
+    return raw
 
 
 def bytes_to_bits(payload: bytes) -> np.ndarray:

@@ -92,13 +92,47 @@ def test_deflate_header_bomb_and_overlong_stream_rejected():
         codec.decode(bytes(bomb))
     # stream inflating past the header's byte count stops at the bound
     overlong = blob[:13] + zlib.compress(b"\x00" * (64 * 48 * 2 + 999))
-    with pytest.raises(ValueError, match="longer or shorter"):
+    with pytest.raises(ValueError, match="inflates past or short"):
         codec.decode(overlong)
     # truncated stream (no eof) is rejected by the same bound
     with pytest.raises(ValueError):
         codec.decode(blob[:-6])
     # and the unmutated blob still round-trips
     np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_container_bitmap_blob_bomb_rejected():
+    """A container whose bitmap blob inflates past the size its header
+    commits to must fail at the bound, not after a full zip-bomb inflate."""
+    from codec_tcc_tpu import EncodeConfig, decode_container, encode_array
+    from codec_tcc_tpu.io import container as container_io
+
+    img = (np.arange(64 * 64, dtype=np.uint16) & 0xFFF).reshape(64, 64)
+    blob = encode_array(img, b"pp", EncodeConfig(compute_metrics=False)).container
+    cont = container_io.parse(blob)
+    assert cont.meta.has_bitmaps
+    cont.bitmaps_blob = zlib.compress(b"\x00" * (4 << 20))  # 4 MB of zeros
+    with pytest.raises(ValueError, match="Invalid file"):
+        cont.bitmaps()
+    # unmutated container still decodes
+    assert decode_container(blob).payload.startswith(b"pp")
+
+
+def test_pee_overflow_map_bomb_rejected():
+    """Same bound on the PEE overflow-map blob."""
+    from codec_tcc_tpu import EncodeConfig, decode_container, encode_array
+    from codec_tcc_tpu.io import container as container_io
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(100, 160, (64, 64)).astype(np.uint16)
+    blob = encode_array(
+        img, b"qq", EncodeConfig(strategy="pee", compute_metrics=False)
+    ).container
+    cont = container_io.parse(blob)
+    cont.bitmaps_blob = zlib.compress(b"\x00" * (4 << 20))
+    with pytest.raises(ValueError, match="Invalid file"):
+        decode_container(cont)
+    assert decode_container(blob).payload.startswith(b"qq")
 
 
 def test_jls_decode_still_roundtrips_at_cap_guard():
