@@ -240,6 +240,31 @@ def pack(meta: ContainerMeta, bitmaps_blob: bytes, stego_blob: bytes) -> bytes:
     return MAGIC + struct.pack(">I", len(header)) + header + bitmaps_blob + stego_blob
 
 
+def _check_dims(width: int, height: int, s: int) -> None:
+    """Reject untrusted header geometry before any size derived from it
+    feeds an allocation bound.
+
+    ``bounded_inflate`` caps (the bitmap blob's ``s*H*W`` in
+    :meth:`Container._raw_maps_blob`, the PEE overflow map's ``(H*W+7)//8``
+    in ``models/pee.parse_pee_container_parts``) are computed FROM these
+    fields — without this guard a ~10 MB upload claiming huge dims can still
+    drive multi-GB inflations. Mirrors the transport codecs' own header
+    guard (``io/codecs/__init__.py`` deflate path): no image past
+    ``MAX_DECODE_PIXELS`` can decode anyway, so no honest container needs a
+    larger bound. ``s`` caps at 32 (nbits of any supported dtype is <= 16;
+    32 leaves headroom without letting a stray byte multiply the bound 255x).
+    """
+    from .jpegls_binding import MAX_DECODE_PIXELS
+
+    if not (0 < width and 0 < height and width * height <= MAX_DECODE_PIXELS):
+        raise ValueError(
+            f"Invalid file: header claims {width}x{height} pixels "
+            f"(cap {MAX_DECODE_PIXELS})"
+        )
+    if s > 32:
+        raise ValueError(f"Invalid file: header claims s={s} planes (cap 32)")
+
+
 def parse(data: bytes) -> Container:
     if len(data) < 9 or data[:4] != MAGIC:
         raise ValueError("Invalid file: bad STGC signature")
@@ -287,6 +312,7 @@ def _parse_v2(header: bytes, body: bytes) -> Container:
     # extraction lengths derive from it (a huge value aborts the process
     # inside XLA on allocation, not in Python). The loosest legitimate
     # bound is every plane of every pixel carrying payload.
+    _check_dims(width, height, s)
     max_payload = 32 * int(width) * int(height)
     if payload_bits > max_payload:
         raise ValueError(
@@ -368,6 +394,7 @@ def _parse_v1(header: bytes, body: bytes) -> Container:
     seg_indices = struct.unpack_from(f">{s}B", header, off)
     off += s
     (bitmaps_size,) = struct.unpack_from(">I", header, off)
+    _check_dims(width, height, s)
     meta = ContainerMeta(
         version=1,
         codec=_V1_CODEC_NAMES.get(codec_id, "unknown"),

@@ -222,6 +222,11 @@ def parse_pee_container_parts(cont: container_io.Container):
         )
     ext = _parse_ext(meta.ext)
     h, w = meta.height, meta.width
+    # defense in depth: container.parse already rejects oversized dims, but
+    # n below feeds the overflow-map inflate bound, so never trust a meta
+    # that arrived by another route (the bound would scale with h*w and
+    # expand_bits multiplies the inflated bytes 8x)
+    container_io._check_dims(w, h, meta.s)
     t_val, passes, nproc0, nproc1, bits0, bits1 = ext
     n = h * w
     if not (1 <= t_val <= _MAX_T) or passes not in (1, 2):

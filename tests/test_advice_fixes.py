@@ -92,6 +92,84 @@ def test_pee_corrupt_map_blob_is_valueerror(pee_container):
         decode_container(blob)
 
 
+# ---------------------------------------------------------------------------
+# round-3 advisor findings: untrusted header dims must not scale inflate
+# bounds (container bitmap blob and PEE overflow map)
+# ---------------------------------------------------------------------------
+
+
+def _huge_dims_blob(cont, width, height):
+    from dataclasses import replace
+
+    meta = replace(cont.meta, width=width, height=height)
+    return container_io.pack(meta, cont.bitmaps_blob, cont.stego_blob)
+
+
+def test_v2_huge_dims_rejected_at_parse(pee_container):
+    """round-3 ADVICE #1/#2: a crafted header claiming huge dims used to set
+    a multi-GB bounded_inflate cap for the bitmap / overflow-map blobs; the
+    dims must be rejected at parse time (cap MAX_DECODE_PIXELS)."""
+    blob = _huge_dims_blob(pee_container, 0xFFFF_FFF0, 0xFFFF_FFF0)
+    with pytest.raises(ValueError, match="Invalid file"):
+        container_io.parse(blob)
+    # zero dims are equally invalid
+    blob = _huge_dims_blob(pee_container, 0, 64)
+    with pytest.raises(ValueError, match="Invalid file"):
+        container_io.parse(blob)
+
+
+def test_v2_oversize_s_rejected_at_parse(torax_image):
+    """A stray s byte (<=255) must not multiply the bitmap inflate bound
+    255x; parse caps s at 32 (any supported dtype has nbits <= 16)."""
+    cfg = EncodeConfig(strategy="multi_plane", codec="deflate",
+                       compute_metrics=False)
+    res = encode_array(torax_image, b"hi", cfg)
+    blob = bytearray(res.container)
+    # header layout: MAGIC(4) + >I len(4) + >BBBBBBBB -> s is header byte 3
+    assert blob[8] == 2  # version
+    blob[8 + 3] = 200
+    with pytest.raises(ValueError, match="Invalid file"):
+        container_io.parse(bytes(blob))
+
+
+def test_v1_huge_dims_rejected_at_parse():
+    """The v1 parser shares the dims guard (>H fields still allow 65535^2
+    ~ 4.3 GPix, 16x past MAX_DECODE_PIXELS)."""
+    header = struct.pack(">BBBBHHH", 1, 1, 3, 0, 65535, 65535, 0)
+    header += struct.pack(">3H", 8, 8, 8) + struct.pack(">3B", 0, 1, 2)
+    header += struct.pack(">I", 0)
+    blob = container_io.MAGIC + struct.pack(">I", len(header)) + header
+    with pytest.raises(ValueError, match="Invalid file"):
+        container_io.parse(blob)
+
+
+def test_pee_parts_check_dims_even_without_parse(pee_container):
+    """Defense in depth: parse_pee_container_parts re-checks dims (its n =
+    h*w feeds the overflow-map inflate bound and expand_bits multiplies the
+    inflated bytes 8x)."""
+    from dataclasses import replace
+
+    from codec_tcc_tpu.models.pee import parse_pee_container_parts
+
+    meta = replace(pee_container.meta, width=1 << 20, height=1 << 20)
+    cont = container_io.Container(meta, pee_container.bitmaps_blob,
+                                  pee_container.stego_blob)
+    with pytest.raises(ValueError, match="Invalid file"):
+        parse_pee_container_parts(cont)
+
+
+def test_max_pixel_dims_still_parse(pee_container):
+    """The guard must not reject legitimate geometry: dims at exactly the
+    cap parse fine (decode then fails later on blob size, not on dims)."""
+    from codec_tcc_tpu.io.jpegls_binding import MAX_DECODE_PIXELS
+
+    side = 1 << 14
+    assert side * side <= MAX_DECODE_PIXELS
+    blob = _huge_dims_blob(pee_container, side, side)
+    cont = container_io.parse(blob)
+    assert cont.meta.width == side
+
+
 def test_pee_short_map_blob_is_valueerror(pee_container):
     """A valid-zlib blob holding fewer bits than the image must also fail
     with a clear ValueError, not a reshape error."""
