@@ -47,17 +47,27 @@ class PairResult:
     ssim_windowed: Optional[float] = None
 
 
-def load_image(path_or_array: ImageLike) -> Tuple[np.ndarray, float, int]:
+def load_image(
+    path_or_array: ImageLike, bits: Optional[int] = None
+) -> Tuple[np.ndarray, float, int]:
     """Return (float-compatible integer array, max_value, bits_stored).
 
     DICOM branch mirrors mse.py:18-37 (first frame of multiframe, int16 cast
     to uint16, ``max = 2^BitsStored - 1``); the PIL branch mirrors
     mse.py:39-72 (16-bit ``I;16``, grayscale conversion for RGB).
+
+    For ndarray inputs there is no BitsStored to consult, so ``bits`` may be
+    passed explicitly; otherwise it derives from the dtype width — never from
+    the data maximum (a uint16 array whose values happen to stay <= 255 is
+    still a 16-bit image). ``max_value`` for arrays stays the data max: the
+    metric range policy for array inputs is range=None (data-derived), which
+    matches how :meth:`QualityAnalyzer.analyze_pair` calls the kernels.
     """
     if isinstance(path_or_array, np.ndarray):
         arr = path_or_array
-        max_v = float(arr.max())
-        bits = 16 if max_v > 255 else 8
+        max_v = float(arr.max()) if arr.size else 0.0
+        if bits is None:
+            bits = arr.dtype.itemsize * 8 if arr.dtype.kind in "ui" else 16
         return arr, max_v, bits
 
     path = path_or_array

@@ -31,6 +31,22 @@ def test_load_image_png_16bit(tmp_path, rng):
     assert (max_v, bits) == (65535.0, 16)
 
 
+def test_load_image_array_bits_from_dtype(rng):
+    """round-3 VERDICT weak #4: a uint16 array with max <= 255 must report
+    16-bit, not guess 8-bit from the data max; explicit bits override wins."""
+    lowmax = rng.integers(0, 200, size=(16, 16)).astype(np.uint16)
+    arr, max_v, bits = load_image(lowmax)
+    assert bits == 16 and max_v == float(lowmax.max())
+    arr, _, bits = load_image(lowmax.astype(np.uint8))
+    assert bits == 8
+    # explicit override (e.g. a 12-bit modality carried in uint16)
+    _, _, bits = load_image(lowmax, bits=12)
+    assert bits == 12
+    # empty arrays don't crash on .max()
+    _, max_v, bits = load_image(np.zeros((0,), np.uint16))
+    assert (max_v, bits) == (0.0, 16)
+
+
 def test_analyzer_pair_matches_oracle(pe_image, rng):
     stego = pe_image.copy()
     idx = rng.integers(0, pe_image.size, size=300)
