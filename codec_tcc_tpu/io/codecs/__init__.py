@@ -242,6 +242,22 @@ class PngCodec(Codec):
             raise ValueError(f"Invalid file: not a decodable image ({exc})") from exc
 
 
+def _maybe_decode_dicom_payload(data: bytes):
+    """The reference's ``compress_image`` returns **whole compressed DICOM
+    file bytes** for j2k/jls (it runs ``gdcmconv`` on a temp DICOM and reads
+    the output file back, ``/root/reference/src/codec.py:132-149``), so a
+    reference-written v1 container with codec id 2/3 carries a Part-10 DICOM
+    in its stego slot, not a bare codestream. Sniff the ``DICM`` magic (same
+    rule :class:`PngCodec` uses for the reference's deflated-DICOM 'png'
+    payloads) and decode through the encapsulated-frame path; return None
+    for bare codestreams."""
+    if len(data) > 132 and data[128:132] == b"DICM":
+        from ..dicom import read_bytes
+
+        return read_bytes(data).pixel_array
+    return None
+
+
 class J2kCodec(Codec):
     """Reversible (lossless) JPEG 2000 via PIL/OpenJPEG — symmetric
     replacement for the reference's ``gdcmconv --j2k`` round (defect B3)."""
@@ -268,6 +284,9 @@ class J2kCodec(Codec):
 
         from PIL import Image
 
+        arr = _maybe_decode_dicom_payload(data)
+        if arr is not None:
+            return arr
         return _from_pil(Image.open(io.BytesIO(data)))
 
 
@@ -299,6 +318,9 @@ class JlsCodec(Codec):
     def decode(self, data: bytes) -> np.ndarray:
         from ..jpegls_binding import decode as jls_decode
 
+        arr = _maybe_decode_dicom_payload(data)
+        if arr is not None:
+            return arr
         return jls_decode(data)
 
 
