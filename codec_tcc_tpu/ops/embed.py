@@ -371,18 +371,54 @@ def extract_block_aligned(
     recomputed from the *restored original* planes (stego ^ XOR map) so the
     ranking matches the encoder's.
 
-    The fill rank is a permutation of ``0..N-1`` per plane, so the reorder is
-    one ``argsort`` (sort-based, scatter-free — a direct ``msg.at[rank].set``
-    is the scatter family that takes minutes to compile on this TPU)."""
+    The fill rank ``base[tile] + within_tile_raster`` is a structured
+    permutation of ``0..N-1``, so its inverse never needs the N-element
+    ``argsort`` this kernel once paid per plane per image (the round-3
+    bench's 10.6 MPix/s block cycle — ~900x under the raster tier on the
+    same chip): sorting the (ntiles,) base array recovers the fill ORDER of
+    tiles, and each message position then maps to its source pixel with
+    pure index arithmetic plus two gathers — one from the tiny order table,
+    one from the plane. When the geometry tiles evenly (the common case)
+    the fill-rank -> tile step is a static division; edge tiles take a
+    log2(ntiles) unrolled binary search over the sorted bases instead."""
     h, w = stego.shape
     n = h * w
     flat = stego.reshape(n)
     iota = jnp.arange(n, dtype=jnp.int32)
+    nh = -(-h // block)
+    nw = -(-w // block)
+    uniform = (h % block == 0) and (w % block == 0)
+    bs = block * block
     rows = []
     for p in range(nbits):
-        rank = _block_fill_rank(h, w, block, base_offsets[p]).reshape(n)
+        base = base_offsets[p].astype(jnp.int32)       # (ntiles,)
+        order = jnp.argsort(base).astype(jnp.int32)    # fill rank k -> tile id
+        if uniform:
+            k = iota // bs
+            r = iota - k * bs
+        else:
+            starts_sorted = jnp.take(base, order)      # fill start of rank-k tile
+            k = jnp.searchsorted(
+                starts_sorted, iota, side="right", method="scan_unrolled"
+            ).astype(jnp.int32) - 1
+            k = jnp.clip(k, 0, nh * nw - 1)
+            r = iota - jnp.take(starts_sorted, k)
+        t = jnp.take(order, k)                         # (n,) from (ntiles,) table
+        ty = t // nw
+        tx = t - ty * nw
+        if uniform:
+            dy = r // block
+            dx = r - dy * block
+        else:
+            bw_real = jnp.minimum(block, w - tx * block)
+            dy = r // bw_real
+            dx = r - dy * bw_real
+        pix = (ty * block + dy) * w + (tx * block + dx)
         plane = ((flat >> p) & 1).astype(jnp.uint8)
-        aligned = jnp.take(plane, jnp.argsort(rank))
+        # mode="clip": planes past the cut point carry all-zero base rows
+        # whose arithmetic can stray out of range — their rows are fully
+        # masked below, the gather just has to stay in bounds
+        aligned = jnp.take(plane, pix, mode="clip")
         valid = (iota < seg_len[p]) & (p < s)
         rows.append(jnp.where(valid, aligned, 0))
     return jnp.stack(rows)

@@ -872,12 +872,18 @@ def _group_decode_stegos(conts: List) -> np.ndarray:
 
 
 def _decode_block_group(conts: List, restore_original: bool) -> List:
-    """Fused decode for a same-key group of v2 block_adaptive containers:
-    per-image original from the XOR maps (host LUT), one vmapped popcount
-    dispatch for the tile bases, one vmapped extraction dispatch per block
-    size. Bit-identical to ``pipeline.decode_container`` per item."""
+    """Batched decode for a same-key group of v2 block_adaptive containers:
+    per-image original from the XOR maps (host LUT), then HOST extraction —
+    tile popcounts + exact integer ranking + O(payload) fill-position
+    gathers (``ops.host_extract``). The round-3 device formulation uploaded
+    both the originals (for the vmapped popcount bases) and the stegos (for
+    the vmapped extraction) — 2 x B x N x itemsize bytes over the link to
+    read back B x payload bits. Bit-identical to
+    ``pipeline.decode_container`` per item."""
     from ..io import container as container_io
-    from ..pipeline import DecodeResult, _next_pow2, _plane_bucket
+    from ..ops import host_extract
+    from ..ops import blocks as block_ops
+    from ..pipeline import DecodeResult, _plane_plan_from_meta
     from ..profiling import stage
 
     meta0 = conts[0].meta
@@ -886,43 +892,26 @@ def _decode_block_group(conts: List, restore_original: bool) -> List:
     original = stego ^ diffs
 
     h, w = meta0.height, meta0.width
-    kernel_bits = _plane_bucket(
-        max(int(c.meta.s) for c in conts), np.dtype(meta0.dtype).itemsize * 8
-    )
-    s_arr = np.array([c.meta.s for c in conts], dtype=np.int32)
     results: List = [None] * len(conts)
-    # block size lives in each container's ext block; it is a static kernel
-    # parameter, so subgroup on it (one dispatch per distinct block size)
-    by_block: dict = {}
-    for i, c in enumerate(conts):
-        by_block.setdefault(container_io.parse_block_ext(c.meta.ext), []).append(i)
-    from ..pipeline import _plane_plan_from_meta
-
-    for block, idxs in by_block.items():
-        orig_dev = jnp.asarray(original[idxs])
-        bases = _batch_block_bases(orig_dev, kernel_bits, s_arr[idxs], block, h, w)
-        lengths = np.zeros((len(idxs), kernel_bits), dtype=np.int32)
-        offsets = np.zeros((len(idxs), kernel_bits), dtype=np.int32)
-        for j, i in enumerate(idxs):
-            _, lengths[j], offsets[j] = _plane_plan_from_meta(
-                conts[i].meta, h * w, kernel_bits
-            )
-        out_len = _next_pow2(
-            max(max(int(conts[i].meta.payload_bits) for i in idxs), 1)
-        )
-        with stage("batch_extract"):
-            bits = np.asarray(_block_extract_batch(
-                jnp.asarray(stego[idxs]), jnp.asarray(bases),
-                jnp.asarray(lengths), jnp.asarray(offsets),
-                jnp.asarray(s_arr[idxs]), kernel_bits, block, out_len,
-            ))
-        for j, i in enumerate(idxs):
+    with stage("batch_extract"):
+        for i, c in enumerate(conts):
+            meta = c.meta
+            s = int(meta.s)
+            block = container_io.parse_block_ext(meta.ext)
+            _, lengths, offsets = _plane_plan_from_meta(meta, h * w, max(s, 1))
+            counts = host_extract.block_counts_host(original[i], s, block)
+            rankings = [
+                block_ops.ranking_from_counts(counts[p], h, w, block)
+                for p in range(s)
+            ]
+            bits = host_extract.extract_block_host(
+                stego[i], rankings, lengths, offsets, s, block,
+                max(int(meta.payload_bits), 1),
+            )[: int(meta.payload_bits)]
             results[i] = DecodeResult(
-                payload_bits=np.asarray(
-                    bits[j, : int(conts[i].meta.payload_bits)], dtype=np.uint8
-                ),
+                payload_bits=bits,
                 stego=stego[i],
-                meta=conts[i].meta,
+                meta=meta,
                 original=original[i] if restore_original else None,
             )
     return results
@@ -943,40 +932,36 @@ def _decode_raster_group(
     mesh: Optional[Mesh],
     restore_original: bool,
 ) -> List:
-    """One fused extraction for a same-key group of v2 multi_plane/hybrid
-    containers (split out of :func:`decode_batch_containers` when decode
-    grew per-group bucketing)."""
-    from ..pipeline import DecodeResult, _plane_bucket, _plane_plan_from_meta
+    """Batched decode for a same-key group of v2 multi_plane/hybrid
+    containers. Extraction is HOST numpy window slices
+    (``ops.host_extract.extract_raster_host``, O(payload) per image): the
+    stego batch is host-resident straight out of the transport codecs, and
+    the round-3 device route shipped B x N x itemsize bytes over the link
+    (346.66 ms measured at 32x512^2) to read back B x payload bits."""
+    from ..ops import host_extract
+    from ..pipeline import _plane_plan_from_meta
+    from ..pipeline import DecodeResult
 
-    meta0 = conts[0].meta
     b = len(conts)
+    meta0 = conts[0].meta
     h, w = meta0.height, meta0.width
     n = h * w
-    kernel_bits = _plane_bucket(
-        max(int(c.meta.s) for c in conts), np.dtype(meta0.dtype).itemsize * 8
-    )
 
     from ..profiling import stage
 
     stego = _group_decode_stegos(conts)
 
-    starts = np.zeros((b, kernel_bits), dtype=np.int32)
-    lengths = np.zeros((b, kernel_bits), dtype=np.int32)
-    offsets = np.zeros((b, kernel_bits), dtype=np.int32)
-    for i, c in enumerate(conts):
-        starts[i], lengths[i], offsets[i] = _plane_plan_from_meta(
-            c.meta, n, kernel_bits
-        )
     out_len = max(max(int(c.meta.payload_bits) for c in conts), 1)
-    plan = BatchPlan(
-        s=np.array([c.meta.s for c in conts], dtype=np.int32),
-        starts=starts, lengths=lengths, offsets=offsets,
-        msgs=np.zeros((b, 1), dtype=np.uint8),
-        payload_bits=np.array([c.meta.payload_bits for c in conts]),
-        nbits=kernel_bits, lpad=out_len,
-    )
+    bits = np.zeros((b, out_len), dtype=np.uint8)
     with stage("batch_extract"):
-        bits = extract_batch(stego, plan, mesh, out_len=out_len)
+        for i, c in enumerate(conts):
+            s = int(c.meta.s)
+            starts, lengths, offsets = _plane_plan_from_meta(
+                c.meta, n, max(s, 1)
+            )
+            bits[i] = host_extract.extract_raster_host(
+                stego[i], starts, lengths, offsets, s, out_len
+            )
 
     results = []
     for i, c in enumerate(conts):

@@ -500,9 +500,17 @@ def decode_container(
     kernel_bits = _plane_bucket(meta.s, stego.dtype.itemsize * 8)
 
     starts, lengths, offsets = _plane_plan_from_meta(meta, n, kernel_bits)
-    # host-side assembly needs no shape bucketing; the jitted block-adaptive
-    # extractor (static out_len) buckets below
     out_len = max(int(meta.payload_bits), 1)
+
+    # Extraction runs ON HOST: the stego just came out of a host transport
+    # codec, and reading payload_bits of it is O(payload) numpy slice work —
+    # the device formulation is O(N) and must ship the whole image over the
+    # link first (round-3 bench: 346.66 ms batch_extract on TPU vs 67.57 ms
+    # CPU backend for identical 32x512^2 work; the host windows are
+    # microseconds). ops.embed's device kernels stay the path for
+    # device-resident data (encode, volume, tile, cycle benches) and are
+    # property-tested bit-equal to ops.host_extract.
+    from .ops import host_extract
 
     if meta.strategy == "block_adaptive":
         diff = cont.diff(stego.dtype)
@@ -512,25 +520,21 @@ def decode_container(
             )
         block = container_io.parse_block_ext(meta.ext)
         original = stego ^ diff
-        bases = _block_bases(original, kernel_bits, meta.s, block, h, w)
-        # extraction + device assembly in one dispatch (planes >= s
-        # contribute nothing: zero lengths); only the payload bits cross
-        # the host link, not s x N rows; bucket the static out_len to
-        # bound jit specializations
-        bits = np.asarray(embed_ops.extract_block_message_device(
-            stego, bases, lengths, offsets, np.int32(meta.s), kernel_bits,
-            block, _next_pow2(out_len),
-        ))[: meta.payload_bits]
+        with stage("extract"):
+            counts = host_extract.block_counts_host(original, meta.s, block)
+            rankings = [
+                block_ops.ranking_from_counts(counts[p], h, w, block)
+                for p in range(meta.s)
+            ]
+            bits = host_extract.extract_block_host(
+                stego, rankings, lengths, offsets, meta.s, block, out_len,
+            )[: meta.payload_bits]
         return DecodeResult(bits, stego, meta, original if restore_original else None)
 
     with stage("extract"):
-        # one fused dispatch for extraction + device assembly (the two-call
-        # form paid the tunnel's fixed per-dispatch cost twice); see the
-        # block_adaptive branch note above for why assembly stays on device
-        bits = np.asarray(embed_ops.extract_message_device(
-            stego, starts, lengths, offsets, np.int32(meta.s), kernel_bits,
-            _next_pow2(out_len),
-        ))[: meta.payload_bits]
+        bits = host_extract.extract_raster_host(
+            stego, starts, lengths, offsets, meta.s, out_len
+        )[: meta.payload_bits]
 
     original = None
     if restore_original and meta.has_bitmaps:
