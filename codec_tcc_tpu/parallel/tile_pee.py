@@ -108,9 +108,13 @@ def _embed_pass_tiled_jit(
     mesh: Mesh, axis: str,
 ):
     n_shards = mesh.shape[axis]
-    lh = h // n_shards
 
     def f(blk, msg, base, wnt):
+        # rows per shard come from the (possibly row-padded) block itself;
+        # the geometry is evaluated against the REAL static h, so pad rows
+        # are never in_set/eligible/processed — they ride along unmodified
+        # and the caller slices them away (pad-and-mask)
+        lh = blk.shape[0]
         k = jax.lax.axis_index(axis)
         r0 = k * lh
         top, bot = _halo_rows(blk, axis, n_shards)
@@ -161,18 +165,23 @@ def _embed_pass_tiled_jit(
 
 def embed_pass_tiled(
     image, msg_pad, msg_base, want, parity: int, t: int, max_val: int,
-    mesh: Mesh, axis: str = "tile",
+    mesh: Mesh, axis: str = "tile", h: Optional[int] = None,
 ):
     """One PEE pass over a row-sharded image. Returns
-    ``(stego, overflow_bool, used, n_proc)`` — stego/overflow stay sharded."""
-    h, w = image.shape
-    if h % mesh.shape[axis]:
-        raise ValueError(
-            f"image rows {h} not divisible by {mesh.shape[axis]} shards"
-        )
-    img_d = jax.device_put(
-        jnp.asarray(image), NamedSharding(mesh, P(axis, None))
-    )
+    ``(stego, overflow_bool, used, n_proc)`` — stego/overflow stay sharded
+    (row-PADDED when ``h`` does not divide the axis: the geometry masks pad
+    rows out of every set/rank/collective, and processed pixels sit at
+    ``y <= h-2`` so their rhombus neighbors never read a pad row — callers
+    slice results back to ``h`` rows). Pass the REAL ``h`` explicitly when
+    chaining a second pass over an already-padded sharded stego."""
+    ph, w = np.shape(image)
+    n_shards = mesh.shape[axis]
+    h = min(int(h), ph) if h else ph
+    h_pad = -(-h // n_shards) * n_shards
+    img = jnp.asarray(image)
+    if ph != h_pad:
+        img = jnp.pad(img[:h], ((0, h_pad - h), (0, 0)))
+    img_d = jax.device_put(img, NamedSharding(mesh, P(axis, None)))
     msg_d = jax.device_put(jnp.asarray(msg_pad), NamedSharding(mesh, P()))
     stego, over, used, n_proc = _embed_pass_tiled_jit(
         img_d, msg_d, jnp.int32(msg_base), jnp.int32(want),
@@ -189,9 +198,9 @@ def _extract_pass_tiled_jit(
     mesh: Mesh, axis: str,
 ):
     n_shards = mesh.shape[axis]
-    lh = h // n_shards
 
     def f(blk, ov, npv):
+        lh = blk.shape[0]       # padded rows per shard (see embed pass)
         k = jax.lax.axis_index(axis)
         r0 = k * lh
         top, bot = _halo_rows(blk, axis, n_shards)
@@ -233,18 +242,25 @@ def _extract_pass_tiled_jit(
 
 def extract_pass_tiled(
     stego, overflow, n_proc, parity: int, t: int, max_val: int, out_len: int,
-    mesh: Mesh, axis: str = "tile",
+    mesh: Mesh, axis: str = "tile", h: Optional[int] = None,
 ):
     """Invert one PEE pass over a row-sharded stego image. Returns
     ``(restored_sharded, bits (out_len,), n_bits)`` — bits assembled on host
-    from per-shard runs placed at their global rank prefix."""
-    h, w = np.shape(stego)
-    stego_d = jax.device_put(
-        jnp.asarray(stego), NamedSharding(mesh, P(axis, None))
-    )
-    over_d = jax.device_put(
-        jnp.asarray(overflow), NamedSharding(mesh, P(axis, None))
-    )
+    from per-shard runs placed at their global rank prefix. ``h`` is the
+    REAL image height (defaults to the input's); inputs taller than it are
+    already row-padded (a sharded stego straight off
+    :func:`embed_pass_tiled`), shorter-than-pad inputs are padded here (see
+    the embed pass for why pad rows are inert)."""
+    ph, w = np.shape(stego)
+    n_shards = mesh.shape[axis]
+    h = min(int(h), ph) if h else ph
+    h_pad = -(-h // n_shards) * n_shards
+    stego_j, over_j = jnp.asarray(stego), jnp.asarray(overflow)
+    if ph != h_pad:
+        stego_j = jnp.pad(stego_j[:h], ((0, h_pad - h), (0, 0)))
+        over_j = jnp.pad(over_j[:h], ((0, h_pad - h), (0, 0)))
+    stego_d = jax.device_put(stego_j, NamedSharding(mesh, P(axis, None)))
+    over_d = jax.device_put(over_j, NamedSharding(mesh, P(axis, None)))
     restored, bits_k, counts, prefixes = _extract_pass_tiled_jit(
         stego_d, over_d, jnp.int32(n_proc),
         parity=parity, t=t, max_val=max_val, h=h, w=w, out_len=out_len,
@@ -477,8 +493,10 @@ def encode_array_tiled_pee(
             return stego, over, used_k[0], nproc_k[0]
     else:
         def run_pass(img, base, wnt, parity, t):
+            # real h threaded explicitly: pass 2 receives pass 1's sharded
+            # (possibly row-padded) stego, whose shape no longer tells it
             return embed_pass_tiled(
-                img, msg_pad, base, wnt, parity, t, max_val, mesh, axis
+                img, msg_pad, base, wnt, parity, t, max_val, mesh, axis, h=h
             )
 
     img0 = (
@@ -522,7 +540,7 @@ def encode_array_tiled_pee(
             f"T={_MAX_T}"
         )
     t, stego_d, over0, used0, nproc0, over1, used1, nproc1, passes = result
-    stego_np = np.asarray(stego_d)
+    stego_np = np.asarray(stego_d)[:h]   # drop pad-and-mask rows
     # pack the overflow map ON DEVICE (8x less traffic off the mesh, no
     # single-core np.packbits; same blob bytes as before)
     from ..ops import embed as embed_ops
@@ -530,8 +548,10 @@ def encode_array_tiled_pee(
     over_d = jnp.asarray(over0) if over1 is None else (
         jnp.asarray(over0) | jnp.asarray(over1)
     )
+    # drop pad-and-mask rows BEFORE packing: the blob must be byte-identical
+    # to the single-device encoder's h*w-bit map
     map_blob = zlib.compress(
-        np.asarray(embed_ops.pack_bits_batch(over_d[None]))[0].tobytes()
+        np.asarray(embed_ops.pack_bits_batch(over_d[:h][None]))[0].tobytes()
     )
 
     metrics = None
@@ -635,9 +655,17 @@ def decode_container_tiled_pee(
             else "xla"
         )
 
-    # shard the stego/overflow once; the inter-pass image stays on device
+    # shard the stego/overflow once; the inter-pass image stays on device.
+    # Odd row counts are zero-padded per shard (pad-and-mask — the geometry
+    # masks pad rows out of every pass; see embed_pass_tiled)
     sharding = NamedSharding(mesh, P(axis, None))
-    img = jax.device_put(jnp.asarray(stego), sharding)
+    h_pad = -(-h // n_shards) * n_shards
+    stego_j = jnp.asarray(stego)
+    overflow_j = jnp.asarray(overflow)
+    if h_pad != h:
+        stego_j = jnp.pad(stego_j, ((0, h_pad - h), (0, 0)))
+        overflow_j = jnp.pad(overflow_j, ((0, h_pad - h), (0, 0)))
+    img = jax.device_put(stego_j, sharding)
     bits1_arr = np.zeros(0, dtype=np.uint8)
     if backend == "pallas":
         if not pallas_supported(h, w, n_shards):
@@ -664,19 +692,19 @@ def decode_container_tiled_pee(
         bits0_arr = _collect_shard_bits(segs0, cnts0, out_len)
         bits0_arr = bits0_arr[: int(np.asarray(cnts0).sum())]
     else:
-        over_d = jax.device_put(jnp.asarray(overflow), sharding)
+        over_d = jax.device_put(overflow_j, sharding)
         if passes == 2:
             img, b1, n1 = extract_pass_tiled(
-                img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis
+                img, over_d, nproc1, 1, t, max_val, out_len, mesh, axis, h=h
             )
             bits1_arr = b1[:n1]
         img, b0, n0 = extract_pass_tiled(
-            img, over_d, nproc0, 0, t, max_val, out_len, mesh, axis
+            img, over_d, nproc0, 0, t, max_val, out_len, mesh, axis, h=h
         )
         bits0_arr = b0[:n0]
 
     payload_bits = np.concatenate([bits0_arr, bits1_arr])[: meta.payload_bits]
-    original = np.asarray(img) if restore_original else None
+    original = np.asarray(img)[:h] if restore_original else None
     return DecodeResult(
         payload_bits=payload_bits.astype(np.uint8),
         stego=stego,

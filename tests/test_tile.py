@@ -202,6 +202,74 @@ def test_tiled_block_embed_compiles_without_collectives(tile_mesh, big_image):
     ), "unexpected collective in tiled block embed"
 
 
+@pytest.mark.parametrize("strategy", ["hybrid", "multi_plane", "block_adaptive"])
+def test_tiled_odd_geometry_matches_single_device(tile_mesh, strategy):
+    """round-3 VERDICT missing #3 / next-step #6: a PRIME-row image must
+    tile over 8 shards (zero-padded last band, sliced away), with containers
+    still byte-identical to the single-device pipeline and payload +
+    original round-tripping through both decoders."""
+    from codec_tcc_tpu import pipeline
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 4096, size=(509, 512)).astype(np.uint16)  # 509 prime
+    payload = rng.bytes(4_000)
+    cfg = EncodeConfig(strategy=strategy, codec="deflate", beta=0.4)
+
+    res_ref = pipeline.encode_array(img, payload, cfg)
+    res_tiled = tile_par.encode_array_tiled(img, payload, cfg, tile_mesh)
+    assert res_tiled.container == res_ref.container
+    assert res_tiled.stego.shape == img.shape
+    assert res_tiled.metrics["mse"] == pytest.approx(
+        res_ref.metrics["mse"], rel=1e-5)
+
+    dec = tile_par.decode_container_tiled(res_tiled.container, tile_mesh)
+    assert dec.payload == payload
+    np.testing.assert_array_equal(dec.original, img)
+    dec_single = pipeline.decode_container(res_tiled.container)
+    assert dec_single.payload == payload
+
+
+def test_tiled_pee_odd_geometry_matches_single_device(tile_mesh):
+    """PEE tile sharding on a prime-row image: pad rows are outside the
+    interior geometry set, so containers stay byte-identical to the
+    single-device encoder and both decoders round-trip."""
+    from codec_tcc_tpu.models.pee import encode_pee_array
+    from codec_tcc_tpu.parallel import tile_pee
+    from codec_tcc_tpu import pipeline
+
+    rng = np.random.default_rng(17)
+    img = np.clip(
+        400 + 40 * np.sin(np.arange(509)[:, None] / 23.0)
+        + 40 * np.cos(np.arange(512)[None, :] / 31.0)
+        + rng.integers(-2, 3, size=(509, 512)),
+        0, 4095,
+    ).astype(np.uint16)
+    payload = rng.bytes(900)
+    cfg = EncodeConfig(strategy="pee", codec="deflate", compute_metrics=False)
+
+    ref = encode_pee_array(img, payload, cfg)
+    res = tile_pee.encode_array_tiled_pee(img, payload, cfg, tile_mesh,
+                                          backend="xla")
+    assert res.container == ref.container
+    assert res.stego.shape == img.shape
+
+    dec = tile_pee.decode_container_tiled_pee(res.container, tile_mesh,
+                                              backend="xla")
+    assert dec.payload == payload
+    np.testing.assert_array_equal(dec.original, img)
+    dec_single = pipeline.decode_container(res.container)
+    assert dec_single.payload == payload
+
+
+def test_tiled_odd_geometry_histogram_exact(tile_mesh):
+    """Pad rows land in bin 0 and must be subtracted exactly."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(101, 64)).astype(np.uint8)
+    counts = tile_par.histogram_tiled(img, 256, tile_mesh)
+    want = np.bincount(img.ravel(), minlength=256)
+    np.testing.assert_array_equal(counts, want)
+
+
 def test_tiled_decode_rejects_wrong_shape_stego(tile_mesh):
     """A container whose stego blob decodes to a different geometry than its
     header must fail with the 'Invalid file' contract in the tiled decoder
