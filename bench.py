@@ -332,6 +332,10 @@ def main(backend: str = "auto") -> None:
     v = _stage("block_cycle", _bench_block)
     if v is not None:
         extra["block_cycle_mpix_s"] = round(v, 1)
+    v = _stage("volume_cycle", _bench_volume)
+    if v is not None:
+        extra["volume_cycle_mpix_s"] = round(v[0], 1)
+        extra["volume_stage_s"] = v[1]
     v = _stage("e2e", lambda: _bench_e2e(image))
     if v is not None:
         extra["e2e_encode_decode_mpix_s"] = round(v[0], 2)
@@ -341,15 +345,19 @@ def main(backend: str = "auto") -> None:
         extra["e2e_batch_mpix_s"] = round(v[0], 1)
         extra["e2e_batch_stage_ms"] = v[1]
     extra["stage_wall_s"] = stage_wall
+    # headline fields LAST: the driver records only a 2,000-char tail of
+    # stdout, and the round-3 artifact lost its "value" field to that
+    # truncation (VERDICT weak #5) — the one number the artifact exists to
+    # carry must sit at the end of the line
     print(
         json.dumps(
             {
+                "extra": extra,
                 "metric": "embed+extract throughput (512x512 uint16, batch 256)",
-                "value": round(mpix_per_s, 1),
+                "backend": ran_backend,
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(mpix_per_s / baseline, 2),
-                "backend": ran_backend,
-                "extra": extra,
+                "value": round(mpix_per_s, 1),
             }
         )
     )
@@ -452,6 +460,102 @@ def _bench_big(B: int = 32) -> float:
     images (16x the headline's pixel count per image; 1 Mbit payloads).
     B=32 = 134 MPix per dispatch, matching the headline's amortization."""
     return _bench_lsb(B, "packed", 2048, 2048, payload_bits=1_000_000)
+
+
+def _bench_volume(D: int = 64):
+    """BASELINE config[3]: the 64x512x512 uint16 volume. Runs the volume
+    pipeline's own path — global cut point from summed per-slice histograms,
+    capacity-aware per-slice plans, fused batch embed — once end-to-end with
+    a bit-exact round-trip assert (including the STGV pack/unpack host
+    shell), then isolates the repeated device cycle (packed-tier embed +
+    extract over all 64 slices) like the other cycle legs. Device-built
+    volume (CLAUDE.md: large bench inputs never ride the relay).
+
+    Returns ``(cycle_mpix_s, breakdown)`` where breakdown carries one-shot
+    stage walls: cut point, planning, device encode, STGV pack (transport
+    codec + container, threaded host), unpack (codec + O(payload) host
+    extraction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codec_tcc_tpu.config import EncodeConfig
+    from codec_tcc_tpu.io import dicom
+    from codec_tcc_tpu.ops import pallas_embed as pe
+    from codec_tcc_tpu.parallel import batch as batch_par
+    from codec_tcc_tpu.parallel import volume as vol_par
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError("TPU only")
+    h = w = 512
+    n = h * w
+    bd: dict = {}
+    base, _ = dicom.load_image("/root/reference/images/pe.dcm")
+    base_d = jax.device_put(jnp.asarray(base))
+    noise = jax.jit(
+        lambda k: jax.random.bits(k, (D, h, w), dtype=jnp.uint16) & 1
+    )(jax.random.PRNGKey(11))
+    vol_d = jax.jit(lambda b, nz: b[None] ^ nz)(base_d, noise)
+    jax.block_until_ready(vol_d)
+
+    cfg = EncodeConfig(strategy="multi_plane", codec="deflate",
+                       compute_metrics=False, beta=0.4)
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, size=D * 100_000).astype(np.uint8)
+
+    # full volume encode via the pipeline's own entry point (cut point +
+    # plans + device embed + stego download), with round-trip asserts
+    t0 = time.perf_counter()
+    result = vol_par.encode_volume(vol_d, payload, cfg)
+    bd["encode_volume_s"] = round(time.perf_counter() - t0, 2)
+    bd["cut_point_s_value"] = int(result.s)
+
+    t0 = time.perf_counter()
+    got = vol_par.extract_volume(result.stego, result.plan)
+    bd["extract_volume_s"] = round(time.perf_counter() - t0, 2)
+    if not np.array_equal(got, payload):
+        raise AssertionError("volume payload round-trip mismatch")
+
+    vol_np = np.asarray(vol_d)
+    t0 = time.perf_counter()
+    blob = vol_par.pack_volume(vol_np, result, cfg)
+    bd["pack_stgv_s"] = round(time.perf_counter() - t0, 2)
+    bd["stgv_bytes"] = len(blob)
+    t0 = time.perf_counter()
+    bits2, stego2, orig2 = vol_par.unpack_volume(blob)
+    bd["unpack_stgv_s"] = round(time.perf_counter() - t0, 2)
+    if not (np.array_equal(bits2, payload)
+            and np.array_equal(stego2, result.stego)
+            and orig2 is not None and np.array_equal(orig2, vol_np)):
+        raise AssertionError("STGV round-trip mismatch")
+
+    # repeated device cycle at the volume's own plan (packed tier, same
+    # methodology as the LSB legs: relayout outside, big buffers as args)
+    plan = result.plan
+    imgs3 = vol_d.reshape(D, n // 128, 128)
+    msgs_dev = _ship_bits(batch_par._msg_prefix(plan))
+    cl_d, vl_d = pe.preplace_packed_device(
+        msgs_dev,
+        jnp.asarray(plan.starts), jnp.asarray(plan.lengths),
+        jnp.asarray(plan.offsets), n, plan.nbits,
+    )
+
+    @jax.jit
+    def cycle(im, cl, vl):
+        stego = pe.embed_batch_packed(im, cl, vl)
+        packed = pe.extract_packed_batch(stego, plan.nbits)
+        return stego, jnp.sum(packed, dtype=jnp.int32)
+
+    out = cycle(imgs3, cl_d, vl_d)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = cycle(imgs3, cl_d, vl_d)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 2)
+    bd["cycle_rep_ms"] = [round(1e3 * t, 2) for t in times]
+    return D * n / float(np.median(times)) / 1e6, bd
 
 
 def _pee_images_dev(B: int, h: int, w: int, seed: int,
@@ -661,7 +765,11 @@ def _bench_block(B: int = 128) -> float:
 
     h = w = 512
     n = h * w
-    s, nbits, block = 4, 8, 16
+    # nbits=4: the production routes bucket the static plane unroll to the
+    # smallest power of two >= s (pipeline._plane_bucket), so the leg
+    # measures what serving actually dispatches (the round-3 leg unrolled 8
+    # planes for an s=4 cut — half the matmul work masked off)
+    s, nbits, block = 4, 4, 16
     payload_bits = 100_000
     rng = np.random.default_rng(3)
     imgs_dev = _pee_images_dev(B, h, w, 2, 400, 300, 37.0, 53.0, 836)

@@ -51,11 +51,11 @@ def block_bit_counts_all(image: jax.Array, nplanes: int, block: int) -> jax.Arra
     bits = ((image.astype(jnp.int32)[None] >> shifts) & 1)
     nh = -(-h // block)
     nw = -(-w // block)
-    padded = (
-        jnp.zeros((nplanes, nh * block, nw * block), jnp.int32)
-        .at[:, :h, :w]
-        .set(bits)
-    )
+    # zero-pad with an XLA Pad op — the previous zeros().at[...].set(bits)
+    # form is a dynamic_update_slice that becomes a SCATTER under vmap, and
+    # the batched popcount dispatch then took minutes of remote compile
+    # (measured 207-413 s in round-4 probes; CLAUDE.md's scatter rule)
+    padded = jnp.pad(bits, ((0, 0), (0, nh * block - h), (0, nw * block - w)))
     return padded.reshape(nplanes, nh, block, nw, block).sum(axis=(2, 4))
 
 

@@ -291,6 +291,48 @@ def _block_fill_rank(h: int, w: int, block: int, base: jax.Array) -> jax.Array:
     return base[tile_id] + r
 
 
+def _uniform_tiling(h: int, w: int, block: int) -> bool:
+    """True when every tile is full-size — the geometry where the one-hot
+    MXU permutation route applies (base offsets are then multiples of
+    ``block^2`` and message chunks map 1:1 onto tiles)."""
+    return h % block == 0 and w % block == 0
+
+
+def _tiles_of(plane2d: jax.Array, block: int) -> jax.Array:
+    """(H, W) -> (ntiles, block^2): raster tile rows, raster-within-tile."""
+    h, w = plane2d.shape
+    nh, nw = h // block, w // block
+    return (
+        plane2d.reshape(nh, block, nw, block)
+        .transpose(0, 2, 1, 3)
+        .reshape(nh * nw, block * block)
+    )
+
+
+def _untile(tiles: jax.Array, h: int, w: int, block: int) -> jax.Array:
+    """Inverse of :func:`_tiles_of`."""
+    nh, nw = h // block, w // block
+    return (
+        tiles.reshape(nh, nw, block, block)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _permute_rows_mxu(rows: jax.Array, onehot: jax.Array) -> jax.Array:
+    """Permute (ntiles, bs) 0/1 rows by a bf16 one-hot matrix on the MXU.
+
+    XLA lowers arbitrary-index row gathers on this hardware to a serialized
+    per-row loop (~mu-s each: measured 2.4 s for a 128x8-plane batch of
+    1024-row permutations — tools/probe_block_variants2.py), while the same
+    permutation as a (ntiles x ntiles) @ (ntiles x bs) bf16 matmul runs the
+    whole batch in ~30 ms. Exact: each output element is a dot product with
+    exactly one nonzero 0/1 term, so the f32 accumulation is 0.0 or 1.0."""
+    out = jnp.dot(onehot, rows.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return (out > 0.5).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("nbits", "block"))
 def embed_block_adaptive(
     image: jax.Array,         # (H, W)
@@ -303,11 +345,45 @@ def embed_block_adaptive(
     block: int,
 ) -> jax.Array:
     """Strategy 2 (intended semantics of src/codec.py:320-410, defect B2
-    fixed): variance-ranked block fill, formulated as a dense per-pixel rank
-    compare + one message gather per plane — no data-dependent shapes."""
+    fixed): variance-ranked block fill with no data-dependent shapes.
+
+    Uniform tilings ride the MXU: the message window reshapes into fill-rank
+    chunks of ``block^2`` bits and a per-plane one-hot permutation places
+    chunk ``base[t]/bs`` onto tile ``t`` (:func:`_permute_rows_mxu`); the
+    active mask is the same dense rank compare as before, with the rank
+    built from a broadcast of the (ntiles,) base map — no gathers anywhere.
+    Edge-tile geometries keep the elementwise formulation (a per-pixel
+    message gather), which XLA serializes but stays correct for any shape."""
     h, w = image.shape
     lpad = msg_bits.shape[0]
     acc = image
+    if _uniform_tiling(h, w, block):
+        n = h * w
+        nh, nw = h // block, w // block
+        ntiles, bs = nh * nw, block * block
+        karange = jnp.arange(ntiles, dtype=jnp.int32)
+        y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        r2d = (y % block) * block + (x % block)
+        # +n zero tail so the per-plane window slice is always in bounds
+        # (offsets <= lpad by construction; bits past seg_len are masked)
+        msg_ext = jnp.concatenate([msg_bits, jnp.zeros(n, msg_bits.dtype)])
+        for p in range(nbits):
+            seg = jax.lax.dynamic_slice(msg_ext, (msg_off[p],), (n,))
+            chunks = seg.reshape(ntiles, bs)
+            k = base_offsets[p].astype(jnp.int32) // bs
+            onehot = (k[:, None] == karange[None, :]).astype(jnp.bfloat16)
+            bits2d = _untile(_permute_rows_mxu(chunks, onehot), h, w, block)
+            base2d = jnp.broadcast_to(
+                base_offsets[p].astype(jnp.int32).reshape(nh, 1, nw, 1),
+                (nh, block, nw, block),
+            ).reshape(h, w)
+            active = (base2d + r2d < seg_len[p]) & (p < s)
+            newv = (acc & _dtype_keep_mask(image.dtype, p)) | (
+                bits2d.astype(image.dtype) << p
+            )
+            acc = jnp.where(active, newv, acc)
+        return acc
     for p in range(nbits):
         rank = _block_fill_rank(h, w, block, base_offsets[p])
         active = (rank < seg_len[p]) & (p < s)
@@ -387,32 +463,37 @@ def extract_block_aligned(
     iota = jnp.arange(n, dtype=jnp.int32)
     nh = -(-h // block)
     nw = -(-w // block)
-    uniform = (h % block == 0) and (w % block == 0)
     bs = block * block
     rows = []
+    if _uniform_tiling(h, w, block):
+        # MXU route (see embed_block_adaptive): tile rows permuted to fill
+        # order by the inverse one-hot — onehot[chunk, tile] = 1 iff tile t
+        # holds fill chunk k[t]. No gathers, no argsort.
+        ntiles = nh * nw
+        karange = jnp.arange(ntiles, dtype=jnp.int32)
+        for p in range(nbits):
+            k = base_offsets[p].astype(jnp.int32) // bs
+            onehot = (k[None, :] == karange[:, None]).astype(jnp.bfloat16)
+            plane = ((stego >> p) & 1).astype(jnp.uint8)
+            fill = _permute_rows_mxu(_tiles_of(plane, block), onehot).reshape(n)
+            valid = (iota < seg_len[p]) & (p < s)
+            rows.append(jnp.where(valid, fill, 0))
+        return jnp.stack(rows)
     for p in range(nbits):
         base = base_offsets[p].astype(jnp.int32)       # (ntiles,)
         order = jnp.argsort(base).astype(jnp.int32)    # fill rank k -> tile id
-        if uniform:
-            k = iota // bs
-            r = iota - k * bs
-        else:
-            starts_sorted = jnp.take(base, order)      # fill start of rank-k tile
-            k = jnp.searchsorted(
-                starts_sorted, iota, side="right", method="scan_unrolled"
-            ).astype(jnp.int32) - 1
-            k = jnp.clip(k, 0, nh * nw - 1)
-            r = iota - jnp.take(starts_sorted, k)
+        starts_sorted = jnp.take(base, order)          # fill start of rank-k tile
+        k = jnp.searchsorted(
+            starts_sorted, iota, side="right", method="scan_unrolled"
+        ).astype(jnp.int32) - 1
+        k = jnp.clip(k, 0, nh * nw - 1)
+        r = iota - jnp.take(starts_sorted, k)
         t = jnp.take(order, k)                         # (n,) from (ntiles,) table
         ty = t // nw
         tx = t - ty * nw
-        if uniform:
-            dy = r // block
-            dx = r - dy * block
-        else:
-            bw_real = jnp.minimum(block, w - tx * block)
-            dy = r // bw_real
-            dx = r - dy * bw_real
+        bw_real = jnp.minimum(block, w - tx * block)
+        dy = r // bw_real
+        dx = r - dy * bw_real
         pix = (ty * block + dy) * w + (tx * block + dx)
         plane = ((flat >> p) & 1).astype(jnp.uint8)
         # mode="clip": planes past the cut point carry all-zero base rows

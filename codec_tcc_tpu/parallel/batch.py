@@ -173,6 +173,20 @@ def plan_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("nplanes", "block"))
+def _batch_block_counts_jit(imgs, nplanes: int, block: int):
+    """Module-level jit of the vmapped tile popcounts: a fresh eager
+    ``jax.vmap(lambda ...)`` per call re-traces every time and executes the
+    batch op-by-op (each op a separate dispatch over the dev link — the
+    round-4 probes measured this stage in the hundreds of seconds); one
+    compiled program runs it in under a second."""
+    from ..ops import blocks as block_ops
+
+    return jax.vmap(
+        lambda im: block_ops.block_bit_counts_all(im, nplanes, block)
+    )(imgs)
+
+
 def _batch_block_bases(
     imgs_dev, nbits: int, s_arr: np.ndarray, block: int, h: int, w: int
 ) -> np.ndarray:
@@ -185,9 +199,7 @@ def _batch_block_bases(
 
     b = imgs_dev.shape[0]
     max_s = max(int(s_arr.max(initial=1)), 1)
-    counts = np.asarray(jax.vmap(
-        lambda im: block_ops.block_bit_counts_all(im, max_s, block)
-    )(imgs_dev))
+    counts = np.asarray(_batch_block_counts_jit(imgs_dev, max_s, block))
     ntiles = (-(-h // block)) * (-(-w // block))
     bases = np.zeros((b, nbits, ntiles), dtype=np.int32)
     for i in range(b):
@@ -553,13 +565,20 @@ def extract_batch(
 # ---------------------------------------------------------------------------
 
 
-def _batch_quality_reports(images, stego) -> list:
-    """Per-image quality reports from one fused vmapped stats pass."""
+@jax.jit
+def _pair_stats_batch_jit(images, stego):
     from ..ops import metrics as metric_ops
 
-    stats = jax.jit(jax.vmap(metric_ops.pair_stats))(
-        jnp.asarray(images), jnp.asarray(stego)
-    )
+    return jax.vmap(metric_ops.pair_stats)(images, stego)
+
+
+def _batch_quality_reports(images, stego) -> list:
+    """Per-image quality reports from one fused vmapped stats pass (the jit
+    lives at module level — a fresh ``jax.jit(...)`` object per call keys a
+    new compile cache entry and recompiles every request)."""
+    from ..ops import metrics as metric_ops
+
+    stats = _pair_stats_batch_jit(jnp.asarray(images), jnp.asarray(stego))
     stats_np = {k: np.asarray(v) for k, v in stats.items()}
     return [
         metric_ops.quality_report({k: v[i] for k, v in stats_np.items()})
@@ -573,11 +592,12 @@ def hybrid_base_offsets(images, h: int, w: int, search_block: int) -> list:
     (they must never drift: both write the offset into container metadata)."""
     from ..ops import blocks as block_ops
 
+    # plane 0 only: _batch_block_counts_jit with nplanes=1 (module-level jit
+    # — the eager per-call vmap this replaces re-traced and dispatched
+    # op-by-op over the dev link)
     counts = np.asarray(
-        jax.vmap(lambda im: block_ops.block_bit_counts(im, 0, search_block))(
-            jnp.asarray(images)
-        )
-    )
+        _batch_block_counts_jit(jnp.asarray(images), 1, search_block)
+    )[:, 0]
     return [
         block_ops.best_offset_from_counts(counts[i], h, w, search_block)
         for i in range(counts.shape[0])

@@ -73,8 +73,9 @@ def volume_cut_point(
 
 def _aggregate_volume_metrics(volume, stego) -> dict:
     """One fused per-slice stats pass, summed (maxed for the max_* keys)
-    across slices — the volume-wide quality report."""
-    stats = jax.vmap(metric_ops.pair_stats)(
+    across slices — the volume-wide quality report. Module-level jit: an
+    eager vmap dispatches op-by-op over the dev link."""
+    stats = batch_par._pair_stats_batch_jit(
         jnp.asarray(volume), jnp.asarray(stego)
     )
     agg = {k: float(jnp.sum(v)) for k, v in stats.items()
@@ -233,12 +234,7 @@ def _encode_volume_pee(
     vol_d = jnp.asarray(volume)
     if mesh is not None:
         vol_d = jax.device_put(vol_d, NamedSharding(mesh, P("dp", None, None)))
-    hist0 = jax.vmap(
-        lambda im: pee_ops.capacity_histogram(im, 0, _MAX_T, max_val)
-    )(vol_d)
-    hist1 = jax.vmap(
-        lambda im: pee_ops.capacity_histogram(im, 1, _MAX_T, max_val)
-    )(vol_d)
+    hist0, hist1 = _cap_hists_jit(vol_d, _MAX_T, max_val)
     caps = (
         pee_ops.capacities_by_threshold(np.asarray(hist0)).astype(np.int64)
         + pee_ops.capacities_by_threshold(np.asarray(hist1)).astype(np.int64)
@@ -322,6 +318,32 @@ def _encode_volume_pee(
 VOLUME_MAGIC = b"STGV"
 
 
+from functools import partial as _partial
+
+
+@jax.jit
+def _xor_maps_batch_jit(volume, stego):
+    from ..ops import embed as embed_ops
+
+    return jax.vmap(embed_ops.xor_maps)(volume, stego)
+
+
+@_partial(jax.jit, static_argnames=("t_max", "max_val"))
+def _cap_hists_jit(vol, t_max: int, max_val: int):
+    """Both parities' per-slice PEE capacity histograms in ONE compiled
+    program (fresh eager vmaps re-trace per call and execute op-by-op, each
+    op a separate dispatch over the dev link)."""
+    from ..ops import pee as pee_ops
+
+    h0 = jax.vmap(
+        lambda im: pee_ops.capacity_histogram(im, 0, t_max, max_val)
+    )(vol)
+    h1 = jax.vmap(
+        lambda im: pee_ops.capacity_histogram(im, 1, t_max, max_val)
+    )(vol)
+    return h0, h1
+
+
 def pack_volume(
     volume: np.ndarray,
     result: VolumeResult,
@@ -361,7 +383,7 @@ def pack_volume(
         maps = None
     else:
         maps_packed = None
-        maps = np.asarray(jax.vmap(embed_ops.xor_maps)(
+        maps = np.asarray(_xor_maps_batch_jit(
             jnp.asarray(volume), jnp.asarray(result.stego)
         ))
 
