@@ -193,8 +193,11 @@ def test_v2_negative_planned_size():
 
 
 def test_v2_wide_fields():
-    """Defect B5 fixed: fields the v1 >H format cannot hold."""
-    meta = _meta(width=70_000, height=70_000, start_offset=1_000_000,
+    """Defect B5 fixed: fields the v1 >H format cannot hold. Dims exceed
+    65535 (the v1 struct cap) while the pixel count stays inside the parse
+    guard (`_check_dims` caps H*W at MAX_DECODE_PIXELS — test_advice_fixes
+    covers the rejection side)."""
+    meta = _meta(width=70_000, height=3_000, start_offset=1_000_000,
                  eff_lengths=(300_000, 200_000, 100_000), payload_bits=600_000)
     cont = container_io.parse(container_io.pack(meta, b"", b""))
     assert cont.meta.width == 70_000
