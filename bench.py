@@ -72,6 +72,22 @@ def _tile_plan(plan1, payloads, B: int):
     )
 
 
+def _sync(out) -> float:
+    """Force TRUE device completion after a timed call.
+
+    jax.block_until_ready can resolve on dispatch ACK over the dev tunnel
+    rather than on device completion (measured on chip: a 128 MB XOR sweep
+    "repped" 0.0 ms through it, and 26.9 ms minutes earlier for identical
+    work — tools/probe_block_b.py). Pulling one device SCALAR to host cannot
+    complete before the compute that produced it, and the in-order stream
+    means everything enqueued earlier finished too (CLAUDE.md's recipe).
+    Every timed cycle in this file therefore returns a reduction scalar as
+    its last element, and timing loops end here instead of block_until_ready.
+    """
+    leaf = out[-1] if isinstance(out, (tuple, list)) else out
+    return float(leaf)
+
+
 def main(backend: str = "auto") -> None:
     t_start = time.perf_counter()
     import sys as _sys
@@ -237,7 +253,7 @@ def main(backend: str = "auto") -> None:
         try:
             cycle, args = build_packed()
             stego, chk = cycle(*args)
-            jax.block_until_ready((stego, chk))
+            _sync(chk)
             ran_backend = "packed"
         except Exception as exc:
             fallbacks.append(f"packed: {type(exc).__name__}: {exc}"[:200])
@@ -248,7 +264,7 @@ def main(backend: str = "auto") -> None:
         try:
             cycle, args = build_preplaced()
             stego, chk = cycle(*args)
-            jax.block_until_ready((stego, chk))
+            _sync(chk)
             ran_backend = "preplaced"
         except Exception as exc:
             fallbacks.append(f"preplaced: {type(exc).__name__}: {exc}"[:200])
@@ -259,7 +275,7 @@ def main(backend: str = "auto") -> None:
         try:
             cycle, args = build_pallas()
             stego, chk = cycle(*args)
-            jax.block_until_ready((stego, chk))
+            _sync(chk)
             ran_backend = "pallas"
         except Exception as exc:
             fallbacks.append(f"pallas: {type(exc).__name__}: {exc}"[:200])
@@ -269,18 +285,37 @@ def main(backend: str = "auto") -> None:
     if cycle is None:
         cycle, args = build_xla()
         stego, chk = cycle(*args)
-        jax.block_until_ready((stego, chk))
+        _sync(chk)
         ran_backend = "xla"
     _hl("tier_warmup")
+
+    # Tunnel sync floor THIS RUN: a jitted scalar reduction over the already
+    # device-resident batch is pure dispatch + 4-byte result round-trip
+    # (device work < 1 ms). Measured 7-28 ms across days for identical work
+    # (tools/probe_block_b.py) — the artifact carries it so every cycle
+    # number can be read against the run's tunnel health.
+    floor_fn = jax.jit(lambda im: jnp.sum(im, dtype=jnp.float32))
+    _sync(floor_fn(imgs_dev3))
+    floor_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(floor_fn(imgs_dev3))
+        floor_times.append(time.perf_counter() - t0)
+    sync_floor_ms = round(1e3 * float(np.median(floor_times)), 2)
+    _hl("sync_floor")
 
     times = []
     reps = 5
     inner = 4
+    # inner=4 measures PIPELINED dispatch throughput (enqueues overlap the
+    # previous call's device work — the serving daemon's steady state); the
+    # final _sync pulls a scalar produced by the last call, which the
+    # in-order device stream can only deliver after all four completed.
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(inner):
             stego, chk = cycle(*args)
-        jax.block_until_ready((stego, chk))
+        _sync(chk)
         times.append((time.perf_counter() - t0) / inner)
 
     sec = float(np.median(times))
@@ -288,6 +323,7 @@ def main(backend: str = "auto") -> None:
     baseline = 10.3  # MPix/s, reference CPU embed+merge (BASELINE.md)
     extra = {
         "rep_times_ms": [round(1e3 * t, 2) for t in times],
+        "sync_floor_ms": sync_floor_ms,
     }
     if fallbacks:
         extra["fallbacks"] = fallbacks
@@ -444,13 +480,13 @@ def _bench_lsb(B: int = 256, tier: str = "packed", h: int = 512,
         raise ValueError(f"unknown tier {tier!r}")
 
     out = cycle(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
             out = cycle(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * n / float(np.median(times)) / 1e6
 
@@ -546,13 +582,13 @@ def _bench_volume(D: int = 64):
         return stego, jnp.sum(packed, dtype=jnp.int32)
 
     out = cycle(imgs3, cl_d, vl_d)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
             out = cycle(imgs3, cl_d, vl_d)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 2)
     bd["cycle_rep_ms"] = [round(1e3 * t, 2) for t in times]
     return D * n / float(np.median(times)) / 1e6, bd
@@ -599,17 +635,20 @@ def _bench_pee(B: int = 256) -> float:
         imgs3 = _pee_images_dev(
             B, h, w, 1, 400, 300, 37.0, 53.0, 836
         ).reshape(B, n // 128, 128)
-        msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
+        tp = pp.preferred_tile_px(h, w)   # production tile size (round 4)
+        msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n, tp)
         zero = jnp.zeros(B, jnp.int32)
 
         def cycle(im3, ms):
             s0, o0, u0, n0 = pp.embed_pass_batch(
-                im3, ms, zero, want, h, w, 0, t, max_val, l2)
+                im3, ms, zero, want, h, w, 0, t, max_val, l2, tile_px=tp)
             s1, o1, u1, n1 = pp.embed_pass_batch(
-                s0, ms, u0, want - u0, h, w, 1, t, max_val, l2)
+                s0, ms, u0, want - u0, h, w, 1, t, max_val, l2, tile_px=tp)
             over = o0 | o1
-            r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val)
-            r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val)
+            r1, g1, c1 = pp.extract_pass_batch(
+                s1, over, n1, h, w, 1, t, max_val, tile_px=tp)
+            r0, g0, c0 = pp.extract_pass_batch(
+                r1, over, n0, h, w, 0, t, max_val, tile_px=tp)
             return r0, jnp.sum(c0) + jnp.sum(c1)
 
         args = (imgs3, msg2d_d)
@@ -635,13 +674,13 @@ def _bench_pee(B: int = 256) -> float:
 
     cyc = jax.jit(cycle)
     out = cyc(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(3):
             out = cyc(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 3)
     return B * h * w / float(np.median(times)) / 1e6
 
@@ -669,28 +708,31 @@ def _bench_pee_big(B: int = 32) -> float:
     imgs3 = _pee_images_dev(
         B, h, w, 5, 800, 700, 61.0, 97.0, 4095
     ).reshape(B, n // 128, 128)
-    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
+    tp = pp.preferred_tile_px(h, w)       # production tile size (round 4)
+    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n, tp)
     zero = jnp.zeros(B, jnp.int32)
 
     @jax.jit
     def cycle(im3, ms):
         s0, o0, u0, n0 = pp.embed_pass_batch(
-            im3, ms, zero, want, h, w, 0, t, max_val, l2)
+            im3, ms, zero, want, h, w, 0, t, max_val, l2, tile_px=tp)
         s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2)
+            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2, tile_px=tp)
         over = o0 | o1
-        r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val)
-        r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val)
+        r1, g1, c1 = pp.extract_pass_batch(
+            s1, over, n1, h, w, 1, t, max_val, tile_px=tp)
+        r0, g0, c0 = pp.extract_pass_batch(
+            r1, over, n0, h, w, 0, t, max_val, tile_px=tp)
         return r0, jnp.sum(c0) + jnp.sum(c1)
 
     out = cycle(imgs3, msg2d_d)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
             out = cycle(imgs3, msg2d_d)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * h * w / float(np.median(times)) / 1e6
 
@@ -716,45 +758,51 @@ def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
     msgs = rng.integers(0, 2, size=(B, 1 << 17)).astype(np.uint8)
     want = jnp.full((B,), 100_000, jnp.int32)
 
-    wb = pp.padded_geometry(h, w)[1]
+    tp = pp.preferred_tile_px(h, w)       # production tile size (round 4)
+    wb = pp.padded_geometry(h, w, tp)[1]
     imgs3 = pp.pad_batch(
-        _pee_images_dev(B, h, w, 7, 400, 300, 37.0, 53.0, 836), h, w
+        _pee_images_dev(B, h, w, 7, 400, 300, 37.0, 53.0, 836), h, w, tp
     )
-    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n)
+    msg2d_d, l2 = pp.prep_messages_device(_ship_bits(msgs), n, tp)
     zero = jnp.zeros(B, jnp.int32)
 
     @jax.jit
     def cycle(im3, ms):
         s0, o0, u0, n0 = pp.embed_pass_batch(
-            im3, ms, zero, want, h, w, 0, t, max_val, l2, buf_w=wb)
+            im3, ms, zero, want, h, w, 0, t, max_val, l2, buf_w=wb,
+            tile_px=tp)
         s1, o1, u1, n1 = pp.embed_pass_batch(
-            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2, buf_w=wb)
+            s0, ms, u0, want - u0, h, w, 1, t, max_val, l2, buf_w=wb,
+            tile_px=tp)
         over = o0 | o1
         r1, g1, c1 = pp.extract_pass_batch(
-            s1, over, n1, h, w, 1, t, max_val, buf_w=wb)
+            s1, over, n1, h, w, 1, t, max_val, buf_w=wb, tile_px=tp)
         r0, g0, c0 = pp.extract_pass_batch(
-            r1, over, n0, h, w, 0, t, max_val, buf_w=wb)
+            r1, over, n0, h, w, 0, t, max_val, buf_w=wb, tile_px=tp)
         return r0, jnp.sum(c0) + jnp.sum(c1)
 
     out = cycle(imgs3, msg2d_d)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(2):
             out = cycle(imgs3, msg2d_d)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 2)
     return B * n / float(np.median(times)) / 1e6
 
 
-def _bench_block(B: int = 128) -> float:
-    """Fused block_adaptive device cycle (vmapped rank-compare embed +
-    vmapped extraction, parallel.batch round-3 routes) MPix/s at 512^2
-    uint16. The plan and the exact integer-key tile ranking are host-side
-    serving work (measured by the e2e legs); this isolates the two device
-    dispatches like the other cycle legs. Device-built inputs (CLAUDE.md:
-    large bench inputs must not ride a degraded relay)."""
+def _bench_block(B: int = 256) -> float:
+    """Fused block_adaptive device cycle (MXU one-hot permutation embed +
+    extraction, parallel.batch routes) MPix/s at 512^2 uint16. The plan and
+    the exact integer-key tile ranking are host-side serving work (measured
+    by the e2e legs); this isolates the fused device dispatch like the
+    other cycle legs. Device-built inputs (CLAUDE.md: large bench inputs
+    must not ride a degraded relay). B=256 matches the LSB tier — the
+    forced-sync sweep (tools/probe_block_b.py) measured the cycle's DEVICE
+    time B-linear at ~1.2 GPix/s (27.6 ms at B=128, 56.4 at B=256), so
+    pixels-per-dispatch is what amortizes the tunnel's 7-28 ms sync floor."""
     import jax
     import jax.numpy as jnp
 
@@ -795,13 +843,13 @@ def _bench_block(B: int = 128) -> float:
         return stego, jnp.sum(bits, dtype=jnp.int32)
 
     out = cycle(imgs_dev, msgs_d)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(3):
             out = cycle(imgs_dev, msgs_d)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / 3)
     return B * h * w / float(np.median(times)) / 1e6
 

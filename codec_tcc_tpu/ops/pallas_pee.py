@@ -122,11 +122,15 @@ def _halo(w: int) -> int:
     return max(8, ((w // _LANE + 7) // 8) * 8)
 
 
-# Production tile-size preference, largest first. 65536-only until the
-# on-chip sweep (tools/pee_profile.py) certifies the larger sizes under the
-# remote compiler's VMEM block limits — every size is already proven
-# bit-identical in interpret mode (tests/test_pallas_pee.py).
-_TILE_CHOICES = (65536,)
+# Production tile-size preference, largest first. On-chip certification
+# (tools/pee_profile.py, B=256 512^2): 131072 restores bit-exactly and runs
+# the full cycle at 30.97 ms vs 33.64 at 65536 (~9% — the per-grid-step
+# floor is NOT the cycle's bound, see docs/KERNELS.md round-4 roofline);
+# 262144's VMEM block is rejected by the remote compiler (HTTP 500), so it
+# stays unoffered. Every size here is proven bit-identical in interpret
+# mode (tests/test_pallas_pee.py) and the padded route re-validated on chip
+# (tools/check_padded_onchip.py).
+_TILE_CHOICES = (131072, 65536)
 
 
 def preferred_tile_px(h: int, w: int) -> int:

@@ -49,16 +49,19 @@ def check_pee() -> None:
             max_val)
         ref.append((np.asarray(s1), int(u0), int(n0), int(u1), int(n1)))
 
-    wb = pp.padded_geometry(h, w)[1]
-    msg2d, l2 = pp.prep_messages(msgs, n)
-    imgs3 = jax.device_put(pp.pad_batch(imgs, h, w))
+    # certify at the PRODUCTION tile size (preferred_tile_px), not the
+    # module default — flipping _TILE_CHOICES must re-run this tool
+    tp = pp.preferred_tile_px(h, w)
+    wb = pp.padded_geometry(h, w, tp)[1]
+    msg2d, l2 = pp.prep_messages(msgs, n, tp)
+    imgs3 = jax.device_put(pp.pad_batch(imgs, h, w, tp))
     s0, o0, u0, n0 = pp.embed_pass_batch(
         imgs3, jnp.asarray(msg2d), jnp.zeros(b, jnp.int32), jnp.asarray(want),
-        h, w, 0, t, max_val, l2, buf_w=wb)
+        h, w, 0, t, max_val, l2, buf_w=wb, tile_px=tp)
     s1, o1, u1, n1 = pp.embed_pass_batch(
         s0, jnp.asarray(msg2d), u0, jnp.asarray(want) - u0,
-        h, w, 1, t, max_val, l2, buf_w=wb)
-    stego = np.asarray(pp.unpad_batch(s1, h, w))
+        h, w, 1, t, max_val, l2, buf_w=wb, tile_px=tp)
+    stego = np.asarray(pp.unpad_batch(s1, h, w, tp))
     for i in range(b):
         st_ref, u0_r, n0_r, u1_r, n1_r = ref[i]
         assert (stego[i] == st_ref).all(), f"pee stego mismatch img {i}"
@@ -67,17 +70,17 @@ def check_pee() -> None:
 
     over = jnp.asarray(o0) | jnp.asarray(o1)
     r1, g1, c1 = pp.extract_pass_batch(s1, over, n1, h, w, 1, t, max_val,
-                                       buf_w=wb)
+                                       buf_w=wb, tile_px=tp)
     r0, g0, c0 = pp.extract_pass_batch(r1, over, n0, h, w, 0, t, max_val,
-                                       buf_w=wb)
-    restored = np.asarray(pp.unpad_batch(r0, h, w))
+                                       buf_w=wb, tile_px=tp)
+    restored = np.asarray(pp.unpad_batch(r0, h, w, tp))
     assert (restored == imgs).all(), "pee restore mismatch"
     bits0 = pp.collect_bits(g0, c0, lpad)
     bits1 = pp.collect_bits(g1, c1, lpad)
     for i in range(b):
         got = np.concatenate([bits0[i, : int(u0[i])], bits1[i, : int(u1[i])]])
         assert (got == msgs[i, : int(want[i])]).all(), f"pee bits mismatch {i}"
-    print(f"PEE padded route OK on {jax.default_backend()}: 640x480 exact")
+    print(f"PEE padded route OK on {jax.default_backend()}: 640x480 exact at tile_px={tp}")
 
 
 def check_lsb() -> None:
