@@ -367,7 +367,8 @@ def main(backend: str = "auto") -> None:
         extra["pee_cycle_odd_640x480_mpix_s"] = round(v, 1)
     v = _stage("block_cycle", _bench_block)
     if v is not None:
-        extra["block_cycle_mpix_s"] = round(v, 1)
+        extra["block_cycle_mpix_s"] = round(v[0], 1)
+        extra["block_cycle_detail"] = v[1]
     v = _stage("volume_cycle", _bench_volume)
     if v is not None:
         extra["volume_cycle_mpix_s"] = round(v[0], 1)
@@ -793,7 +794,7 @@ def _bench_pee_odd(B: int = 256, h: int = 640, w: int = 480) -> float:
     return B * n / float(np.median(times)) / 1e6
 
 
-def _bench_block(B: int = 256) -> float:
+def _bench_block(B: int = 256):
     """Fused block_adaptive device cycle (MXU one-hot permutation embed +
     extraction, parallel.batch routes) MPix/s at 512^2 uint16. The plan and
     the exact integer-key tile ranking are host-side serving work (measured
@@ -844,14 +845,35 @@ def _bench_block(B: int = 256) -> float:
 
     out = cycle(imgs_dev, msgs_d)
     _sync(out)
+    # leg-local sync floor: the raw number carries a fixed dev-tunnel RTT
+    # (7-28 ms across days for IDENTICAL device work) that a co-located
+    # production host never pays; measuring it here lets the artifact carry
+    # the floor-corrected DEVICE rate next to the raw wall number
+    floor_fn = jax.jit(lambda im: jnp.sum(im, dtype=jnp.float32))
+    _sync(floor_fn(imgs_dev))
+    ftimes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(floor_fn(imgs_dev))
+        ftimes.append(time.perf_counter() - t0)
+    floor = float(np.median(ftimes))
+    inner = 3
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(inner):
             out = cycle(imgs_dev, msgs_d)
         _sync(out)
-        times.append((time.perf_counter() - t0) / 3)
-    return B * h * w / float(np.median(times)) / 1e6
+        times.append((time.perf_counter() - t0) / inner)
+    med = float(np.median(times))
+    # inner pipelined calls amortize one RTT across `inner` dispatches
+    dev = max(med - floor / inner, 1e-9)
+    detail = {
+        "rep_ms": [round(1e3 * t, 2) for t in times],
+        "floor_ms": round(1e3 * floor, 2),
+        "device_mpix_s": round(B * h * w / dev / 1e6, 1),
+    }
+    return B * h * w / med / 1e6, detail
 
 
 def _bench_e2e(image: np.ndarray, reps: int = 3, batch: int = 4):
@@ -953,6 +975,23 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     breakdown["batch_total"] = round(1e3 * float(np.median(times)), 2)
     breakdown["batch_rep_totals_ms"] = [round(1e3 * t, 1) for t in times]
     breakdown["batch_bytes_up"] = int(imgs.nbytes)
+    # decompose the total for the artifact: `tunnel` is pure link bytes a
+    # co-located production host never pays; `host_shell` stages run the
+    # IDENTICAL single-core numpy/zlib code on every backend (compare them
+    # 1:1 against extra.cpu_backend_e2e.u16_batch_stage_ms); the residual is
+    # device dispatch work + the per-dispatch sync floor recorded in
+    # extra.sync_floor_ms
+    tunnel = sum(breakdown.get(k, 0.0)
+                 for k in ("batch_upload", "batch_download"))
+    host_shell = sum(breakdown.get(k, 0.0)
+                     for k in ("batch_plan", "batch_unpack", "batch_pack",
+                               "batch_codec_decode", "batch_extract",
+                               "batch_restore"))
+    breakdown["split_tunnel_ms"] = round(tunnel, 1)
+    breakdown["split_host_shell_ms"] = round(host_shell, 1)
+    breakdown["split_device_residual_ms"] = round(
+        max(breakdown["batch_total"] - tunnel - host_shell, 0.0), 1
+    )
     return B * h * w / float(np.median(times)) / 1e6, breakdown
 
 

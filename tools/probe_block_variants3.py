@@ -28,21 +28,22 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench(name, fn, *args):
-    import jax
-
+def bench(name, fn, *args, reps=5):
+    """Forced host sync: every fn returns a tuple ending in a device scalar
+    (block_until_ready ACKs on dispatch over the dev tunnel — bench._sync)."""
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(out[-1] if isinstance(out, tuple) else out)
     compile_s = time.perf_counter() - t0
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        float(out[-1] if isinstance(out, tuple) else out)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
-    print(f"{name}: compile {compile_s:.1f}s, rep {med*1e3:.1f} ms", flush=True)
+    print(f"{name}: compile {compile_s:.1f}s, rep {med*1e3:.1f} ms "
+          f"(all {[round(t*1e3, 1) for t in times]})", flush=True)
     return med
 
 
@@ -135,6 +136,20 @@ def main():
     ex_w = jax.jit(jax.vmap(extract_word))
 
     @jax.jit
+    def floor_fn(imgs_):
+        return jnp.sum(imgs_, dtype=jnp.float32)
+
+    @jax.jit
+    def em_w_t(imgs_, msgs_):
+        st = jax.vmap(embed_word)(imgs_, msgs_, bases, lengths, offsets)
+        return st, jnp.sum(st, dtype=jnp.int32)
+
+    @jax.jit
+    def ex_w_t(st_):
+        rows = jax.vmap(extract_word)(st_, bases, lengths)
+        return rows, jnp.sum(rows, dtype=jnp.int32)
+
+    @jax.jit
     def cyc_w(imgs_, msgs_):
         st = jax.vmap(embed_word)(imgs_, msgs_, bases, lengths, offsets)
         rows = jax.vmap(extract_word)(st, bases, lengths)
@@ -160,12 +175,17 @@ def main():
     al_word = ex_w(st_word, bases[:2], lengths[:2])
     print(f"extract word==prod: {bool(jnp.all(al_prod == al_word))}", flush=True)
 
-    bench("embed_word", em_w, imgs, msgs, bases, lengths, offsets)
-    bench("extract_word", ex_w, imgs, bases, lengths)
+    tf = bench("floor", floor_fn, imgs)
+    bench("embed_word", em_w_t, imgs, msgs)
+    bench("extract_word", ex_w_t, imgs.astype(jnp.uint16))
     tw = bench("cycle_word", cyc_w, imgs, msgs)
-    print(f"cycle_word: {B*n/tw/1e6:.0f} MPix/s", flush=True)
+    print(f"cycle_word: {B*n/tw/1e6:.0f} MPix/s raw, device "
+          f"{B*n/max(tw-tf, 1e-9)/1e6:.0f} MPix/s "
+          f"({1e3*(tw-tf):.1f} ms)", flush=True)
     tp = bench("cycle_prod", cyc_prod, imgs, msgs)
-    print(f"cycle_prod: {B*n/tp/1e6:.0f} MPix/s", flush=True)
+    print(f"cycle_prod: {B*n/tp/1e6:.0f} MPix/s raw, device "
+          f"{B*n/max(tp-tf, 1e-9)/1e6:.0f} MPix/s "
+          f"({1e3*(tp-tf):.1f} ms)", flush=True)
 
 
 if __name__ == "__main__":
