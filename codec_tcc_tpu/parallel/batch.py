@@ -118,9 +118,15 @@ def plan_batch(
     s_arr = np.zeros(b, dtype=np.int32)
     payload_bits = np.array([int(x.size) for x in bit_arrays], dtype=np.int64)
     plans = []
+    # decompose only reads dtype/size once histogram_counts is supplied —
+    # hand it a zero-alloc host proxy instead of images[i]: indexing a
+    # device-resident batch dispatches one gather per image (32 stray
+    # device round-trips inside the plan stage when the caller passed
+    # imgs_dev, as the serving path does)
+    img_proxy = np.broadcast_to(np.zeros((), dtype=images.dtype), (h, w))
     for i in range(b):
         dec = decompose_ops.decompose(
-            images[i], beta=config.beta, nbits=dec_nbits,
+            img_proxy, beta=config.beta, nbits=dec_nbits,
             histogram_counts=histograms[i], full_curve=False,
         )
         s_arr[i] = dec.s
@@ -659,8 +665,14 @@ def encode_batch_containers(
     # embed kernels (three separate uploads otherwise — the link is the
     # bottleneck of the serving path, not the kernels)
     with stage("batch_upload"):
+        # async enqueue only — no block_until_ready. The host half of the
+        # plan (bincounts + exact decompose replay) overlaps the DMA; the
+        # first device consumer (the hybrid scan inside plan_batch, or the
+        # embed dispatch) absorbs any transfer tail. On a degraded relay
+        # the old sync here alone measured 331 ms for 16 MB that a healthy
+        # tunnel moves in ~15 ms (tools/probe_host_stages.py) — the bench
+        # leg's tunnel_ref_ms carries the pure-link cost for attribution.
         imgs_dev = jnp.asarray(images)
-        jax.block_until_ready(imgs_dev)
     with stage("batch_plan"):
         # host bincount histograms: the images are host-resident anyway, and
         # the device histogram path shipped B x 65536 x 4 bytes back over
@@ -740,11 +752,23 @@ def encode_batch_containers(
                 else xor_maps_packed_batch(imgs_dev, stego_dev, max_s)
             )
         with stage("batch_unpack"):
-            # cached LUT gather per plane (utils.bits): the unpackbits +
-            # shift/OR form this replaces was the batch path's single
-            # largest host cost (round-3 batch_unpack: 2.7 s of 3.7 s)
-            diff = bit_utils.packed_planes_to_diff(packed, images.dtype)
-            stego = images ^ diff.reshape(b, h, w)
+            # cached LUT gather per plane (utils.bits), expanded PER IMAGE
+            # into a preallocated output: the whole-batch form allocated
+            # fresh B x N x itemsize temporaries per plane (16 MB each at
+            # 32 x 512^2 u16) and measured 641 ms inside the TPU-runtime
+            # process vs 69.5 ms on the CPU backend for identical numpy
+            # work (round-4 healthy artifact) — >mmap-threshold allocation
+            # churn, the same reason the per-image batch_restore path was
+            # already 10x faster in the same process.
+            stego = np.empty_like(images)
+            max_s_i = packed.shape[1]
+            for i in range(b):
+                diff_i = bit_utils.packed_planes_to_diff(
+                    packed[i, :max_s_i], images.dtype
+                )
+                np.bitwise_xor(
+                    images[i], diff_i.reshape(h, w), out=stego[i]
+                )
     else:
         packed = None
         with stage("batch_download"):

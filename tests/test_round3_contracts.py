@@ -150,7 +150,11 @@ def test_pee_batch_metrics_delegation(rng):
 def test_packed_planes_to_diff_matches_unpackbits(rng):
     from codec_tcc_tpu.utils.bits import packed_planes_to_diff
 
-    for dtype, s in ((np.uint8, 3), (np.uint16, 6), (np.uint16, 1)):
+    # every s exercises the round-4 pair-LUT split (two planes per gather
+    # plus an odd single-plane tail) for both dtypes
+    cases = [(np.uint8, s) for s in range(1, 9)]
+    cases += [(np.uint16, s) for s in range(1, 17)]
+    for dtype, s in cases:
         b, n = 3, 512
         packed = rng.integers(0, 256, size=(b, s, n // 8), dtype=np.uint8)
         got = packed_planes_to_diff(packed, dtype)
