@@ -20,7 +20,29 @@ from typing import Optional, Tuple
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libjpegls.so")
+
+
+def _asan_enabled() -> bool:
+    """CODEC_TCC_ASAN=1 selects the ASan+UBSan-instrumented native build —
+    the fuzz campaign under sanitizers (tools/fuzz_asan.sh) catches
+    out-of-bounds reads that don't segfault, which the plain -O3 campaign
+    passes silently. The runner must LD_PRELOAD libasan before the
+    interpreter starts (a sanitized .so cannot be dlopen'd into an
+    uninstrumented process otherwise)."""
+    return os.environ.get("CODEC_TCC_ASAN") == "1"
+
+
+def _lib_path() -> str:
+    name = "libjpegls_asan.so" if _asan_enabled() else "libjpegls.so"
+    return os.path.join(_NATIVE_DIR, "build", name)
+
+
+_LIB_PATH = _lib_path()
+
+_SANITIZE_FLAGS = [
+    "-O1", "-g", "-fno-omit-frame-pointer",
+    "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+]
 
 # Decode-side allocation bound: the output buffer is sized from the PROBED
 # header of an untrusted stream, so dimensions must be capped before
@@ -37,8 +59,9 @@ _build_failed: Optional[str] = None
 def _build() -> None:
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "jpegls.cpp")
+    opt = _SANITIZE_FLAGS if _asan_enabled() else ["-O3"]
     cmd = [
-        "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-Wall",
+        "g++", *opt, "-std=c++17", "-fPIC", "-shared", "-Wall",
         "-o", _LIB_PATH, src,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

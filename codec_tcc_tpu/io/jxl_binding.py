@@ -24,7 +24,19 @@ import numpy as np
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libjxlshim.so")
+
+
+def _asan_enabled() -> bool:
+    """See jpegls_binding._asan_enabled: CODEC_TCC_ASAN=1 selects a
+    sanitizer-instrumented shim build for the fuzz campaign (the shim's own
+    buffer handling is the audited surface; system libjxl stays as-is)."""
+    return os.environ.get("CODEC_TCC_ASAN") == "1"
+
+
+_LIB_PATH = os.path.join(
+    _NATIVE_DIR, "build",
+    "libjxlshim_asan.so" if _asan_enabled() else "libjxlshim.so",
+)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -50,7 +62,10 @@ def _build(libjxl: str) -> None:
     base = os.path.basename(libjxl)
     link = ["-l:" + base] if base.startswith("lib") else ["-l" + base]
     libdir = os.path.dirname(libjxl) if "/" in libjxl else None
-    cmd = ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-Wall",
+    opt = (["-O1", "-g", "-fno-omit-frame-pointer",
+            "-fsanitize=address,undefined", "-fno-sanitize-recover=all"]
+           if _asan_enabled() else ["-O2"])
+    cmd = ["g++", *opt, "-std=c++17", "-fPIC", "-shared", "-Wall",
            "-o", _LIB_PATH, src]
     if libdir:
         cmd += ["-L" + libdir]

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -35,8 +36,18 @@ import numpy as np
 # Outcomes that are NOT acceptable on corrupt input.
 _FORBIDDEN = (MemoryError, SystemExit, KeyboardInterrupt)
 
+# Under sanitizers (tools/fuzz_asan.sh sets CODEC_TCC_ASAN=1 and preloads
+# libasan) the RLIMIT_AS cap must stay off: ASan reserves ~20 TB of virtual
+# address space for shadow memory at startup, so any address-space cap
+# aborts the interpreter before the first decode. The allocation-bomb
+# defense is the plain -O3 campaign's job; the ASan campaign hunts memory
+# errors instead.
+_ASAN = os.environ.get("CODEC_TCC_ASAN") == "1"
+
 
 def _limit_memory(gb: float = 2.0) -> None:
+    if _ASAN:
+        return
     try:
         import resource
 
@@ -115,7 +126,7 @@ def run_target(target: str, iters: int, seed: int) -> dict:
     rng = np.random.default_rng(seed)
     blobs = _seed_blobs(target)
     stats: dict = {"target": target, "blobs": len(blobs), "decoded_ok": 0,
-                   "clean_errors": 0, "failures": []}
+                   "clean_errors": 0, "failures": [], "asan": _ASAN}
     for bi, blob in enumerate(blobs):
         _decode(target, blob)  # the unmutated blob must decode
         for mi, mut in enumerate(_mutations(blob, rng, iters)):
