@@ -171,6 +171,64 @@ class Container:
             diff |= maps[k].astype(dt) << k
         return diff.reshape(m.height, m.width)
 
+    def restore_original(self, stego: np.ndarray) -> Optional[np.ndarray]:
+        """``original = stego ^ diff`` — O(payload) for raster v2.1
+        containers, full :meth:`diff` expansion otherwise.
+
+        The raster strategies only flip bits inside each plane's stored
+        window (``plane_starts[p] .. + eff_lengths[p] mod N``), so for a
+        well-formed container the packed map is all-zero outside the
+        window-covering bytes and restoration is one memcpy + a few LUT
+        gathers (:func:`~codec_tcc_tpu.utils.bits.xor_packed_windows`) —
+        the full (s, N) expansion measured 43-69 ms per 32-image batch in
+        the round-4 breakdowns for bytes that are ~97% zeros. A cheap
+        byte-scan guard proves the all-zero-outside assumption first and
+        falls back to the exact full form when it doesn't hold (corrupt or
+        adversarial blobs), so the result is bit-identical to
+        ``stego ^ self.diff(dtype)`` for EVERY input."""
+        m = self.meta
+        if not (m.has_bitmaps and m.bitmaps_packed
+                and m.strategy in ("multi_plane", "hybrid")):
+            diff = self.diff(stego.dtype)
+            return None if diff is None else stego ^ diff
+        raw = self._raw_maps_blob()
+        if raw is None:
+            return None
+        n = m.height * m.width
+        nb = n // 8
+        packed = np.frombuffer(raw, dtype=np.uint8).reshape(m.s, nb)
+        for p in range(m.s):
+            ln = min(int(m.eff_lengths[p]), n)
+            if ln <= 0:
+                covered = [(0, 0)]
+            else:
+                start = int(m.plane_starts[p]) % n
+                end = start + ln
+                covered = (
+                    [(start // 8, (min(end, n) + 7) // 8)]
+                    if end <= n
+                    else [(0, (end - n + 7) // 8), (start // 8, nb)]
+                )
+            # complement byte ranges must be zero, else exact fallback
+            pos = 0
+            outside_clean = True
+            for b0, b1 in sorted(covered):
+                if b0 > pos and packed[p, pos:b0].any():
+                    outside_clean = False
+                    break
+                pos = max(pos, b1)
+            if outside_clean and pos < nb and packed[p, pos:].any():
+                outside_clean = False
+            if not outside_clean:
+                diff = self.diff(stego.dtype)
+                return None if diff is None else stego ^ diff
+        from ..utils.bits import xor_packed_windows
+
+        return xor_packed_windows(
+            stego.reshape(m.height, m.width), packed,
+            m.plane_starts, m.eff_lengths,
+        )
+
 
 def compress_bitmaps(maps: np.ndarray) -> bytes:
     """zlib the stacked maps exactly like the reference

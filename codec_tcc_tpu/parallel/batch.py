@@ -80,6 +80,7 @@ def plan_batch(
     *,
     histograms: Optional[np.ndarray] = None,
     nbits: Optional[int] = None,
+    base_offsets: Optional[Sequence[int]] = None,
 ) -> BatchPlan:
     """Host-side planning for a batch: per-image decomposition (from one
     vmapped histogram pass) + segment plans, padded to a common ``Lpad``.
@@ -93,7 +94,14 @@ def plan_batch(
 
     ``nbits`` caps the decomposition's plane search exactly like the
     single-image pipeline's bits_stored-derived cap (defect B6 fixed);
-    leaving it None decomposes over the full dtype width."""
+    leaving it None decomposes over the full dtype width.
+
+    ``base_offsets`` (hybrid only) supplies precomputed per-image start
+    offsets so planning never touches the device: the serving path computes
+    them from the host-resident batch (:func:`hybrid_base_offsets_host`),
+    which keeps the whole plan stage off the upload DMA's critical path
+    (round-5; the device scan's ``np.asarray`` used to absorb the entire
+    image-upload tail into the plan stage)."""
     b, h, w = images.shape
     n = h * w
     itemsize = np.dtype(images.dtype).itemsize
@@ -140,7 +148,10 @@ def plan_batch(
     nbits = _plane_bucket(int(s_arr.max(initial=1)), dtype_bits)
 
     if config.strategy == "hybrid":
-        base_offsets = hybrid_base_offsets(images, h, w, config.search_block_size)
+        if base_offsets is None:
+            base_offsets = hybrid_base_offsets(
+                images, h, w, config.search_block_size
+            )
         align = config.align_across_planes
     elif config.strategy in ("multi_plane", "block_adaptive"):
         # block_adaptive shares the multi_plane raster plan (start 0,
@@ -592,6 +603,33 @@ def _batch_quality_reports(images, stego) -> list:
     ]
 
 
+def hybrid_base_offsets_host(
+    images: np.ndarray, h: int, w: int, search_block: int
+) -> list:
+    """Pure-numpy twin of :func:`hybrid_base_offsets`: plane-0 tile
+    popcounts (zero-padded reshape-sum, same zeros-contribute-nothing
+    convention as ``ops.blocks.block_bit_counts_all``) + the exact
+    integer-key ranking. Popcounts are integers, so the chosen offsets are
+    identical to the device scan's — but nothing here can block on the
+    image upload DMA, which the serving path's plan stage must never do
+    (round-5: the device scan's ``np.asarray`` absorbed the whole 16 MB
+    upload tail into ``batch_plan`` — 300+ ms of pure link time on a
+    degraded relay, misattributed as host planning work)."""
+    from ..ops import blocks as block_ops
+
+    b = images.shape[0]
+    bs = search_block
+    nh, nw = -(-h // bs), -(-w // bs)
+    bits = (images & 1).astype(np.uint8)
+    if (nh * bs, nw * bs) != (h, w):
+        bits = np.pad(bits, ((0, 0), (0, nh * bs - h), (0, nw * bs - w)))
+    counts = bits.reshape(b, nh, bs, nw, bs).sum(axis=(2, 4), dtype=np.int64)
+    return [
+        block_ops.best_offset_from_counts(counts[i], h, w, bs)
+        for i in range(b)
+    ]
+
+
 def hybrid_base_offsets(images, h: int, w: int, search_block: int) -> list:
     """Per-image variance-chosen hybrid start offsets from one vmapped
     tile-popcount pass — shared by the batch planner and the volume encoder
@@ -665,27 +703,37 @@ def encode_batch_containers(
     # embed kernels (three separate uploads otherwise — the link is the
     # bottleneck of the serving path, not the kernels)
     with stage("batch_upload"):
-        # async enqueue only — no block_until_ready. The host half of the
-        # plan (bincounts + exact decompose replay) overlaps the DMA; the
-        # first device consumer (the hybrid scan inside plan_batch, or the
-        # embed dispatch) absorbs any transfer tail. On a degraded relay
-        # the old sync here alone measured 331 ms for 16 MB that a healthy
-        # tunnel moves in ~15 ms (tools/probe_host_stages.py) — the bench
-        # leg's tunnel_ref_ms carries the pure-link cost for attribution.
+        # async enqueue only — no block_until_ready. The whole plan stage
+        # is pure host work (bincounts + host hybrid scan + exact decompose
+        # replay) and overlaps the DMA; batch_upload_wait below blocks just
+        # before the embed dispatch so the artifact attributes any transfer
+        # tail to the link, not to planning. On a degraded relay the sync
+        # upload alone measured 331 ms for 16 MB that a healthy tunnel
+        # moves in ~15 ms (tools/probe_host_stages.py).
         imgs_dev = jnp.asarray(images)
     with stage("batch_plan"):
-        # host bincount histograms: the images are host-resident anyway, and
-        # the device histogram path shipped B x 65536 x 4 bytes back over
-        # the link (~8 MB for a 32-image uint16 batch — 1.1 s of the round-3
-        # bench's batch_plan stage). The hybrid block scan still runs on
-        # imgs_dev, which is already uploaded.
+        # DEVICE-FREE planning (round 5). Host bincount histograms: the
+        # images are host-resident anyway, and the device histogram path
+        # shipped B x 65536 x 4 bytes back over the link (~8 MB for a
+        # 32-image uint16 batch — 1.1 s of the round-3 bench's batch_plan
+        # stage). The hybrid start-offset scan is the numpy twin
+        # (hybrid_base_offsets_host) for the same reason: its device
+        # np.asarray read used to absorb the whole upload DMA tail into
+        # this stage. These stages run IDENTICAL single-core numpy on every
+        # backend — the bench compares them 1:1 against the CPU-backend
+        # leg.
         max_val = 255 if images.dtype.itemsize == 1 else 65535
         hists = np.stack([
             np.bincount(im.reshape(-1), minlength=max_val + 1)
             for im in images
         ])
+        host_offsets = (
+            hybrid_base_offsets_host(images, h, w, config.search_block_size)
+            if config.strategy == "hybrid" else None
+        )
         plan = plan_batch(
-            imgs_dev, payloads, config, histograms=hists, nbits=nbits
+            imgs_dev, payloads, config, histograms=hists, nbits=nbits,
+            base_offsets=host_offsets,
         )
 
     if not config.allow_capacity_overflow:
@@ -700,6 +748,12 @@ def encode_batch_containers(
 
     max_s = int(plan.s.max(initial=0))
     packed_dev = None
+    with stage("batch_upload_wait"):
+        # the upload DMA's tail, attributed honestly: planning above is
+        # device-free, so whatever transfer time the host work didn't cover
+        # surfaces HERE as link cost (split_tunnel_ms in the bench) instead
+        # of inflating the first stage that happens to read a device result
+        jax.block_until_ready(imgs_dev)
     with stage("batch_embed"):
         if config.strategy == "block_adaptive":
             # variance-ranked placement: per-image tile bases (one vmapped
@@ -752,23 +806,33 @@ def encode_batch_containers(
                 else xor_maps_packed_batch(imgs_dev, stego_dev, max_s)
             )
         with stage("batch_unpack"):
-            # cached LUT gather per plane (utils.bits), expanded PER IMAGE
-            # into a preallocated output: the whole-batch form allocated
-            # fresh B x N x itemsize temporaries per plane (16 MB each at
-            # 32 x 512^2 u16) and measured 641 ms inside the TPU-runtime
-            # process vs 69.5 ms on the CPU backend for identical numpy
-            # work (round-4 healthy artifact) — >mmap-threshold allocation
-            # churn, the same reason the per-image batch_restore path was
-            # already 10x faster in the same process.
-            stego = np.empty_like(images)
-            max_s_i = packed.shape[1]
-            for i in range(b):
-                diff_i = bit_utils.packed_planes_to_diff(
-                    packed[i, :max_s_i], images.dtype
-                )
-                np.bitwise_xor(
-                    images[i], diff_i.reshape(h, w), out=stego[i]
-                )
+            if config.strategy in ("multi_plane", "hybrid"):
+                # O(payload) window reconstruction (round 5): the raster
+                # diffs are all-zero outside each plane's window, so the
+                # stego is one memcpy + a few LUT gathers per image —
+                # ~3% of the full (s, N) expansion's work at serving
+                # payloads (utils.bits.xor_packed_windows)
+                stego = np.stack([
+                    bit_utils.xor_packed_windows(
+                        images[i], packed[i],
+                        plan.starts[i], plan.lengths[i],
+                    )
+                    for i in range(b)
+                ])
+            else:
+                # block_adaptive diffs scatter over variance-ranked tiles —
+                # full cached-LUT expansion PER IMAGE into a preallocated
+                # output (the whole-batch form allocated fresh B x N x
+                # itemsize temporaries per plane and measured 641 ms vs
+                # 69.5 ms for identical numpy work — allocation churn)
+                stego = np.empty_like(images)
+                for i in range(b):
+                    diff_i = bit_utils.packed_planes_to_diff(
+                        packed[i], images.dtype
+                    )
+                    np.bitwise_xor(
+                        images[i], diff_i.reshape(h, w), out=stego[i]
+                    )
     else:
         packed = None
         with stage("batch_download"):
@@ -1012,9 +1076,11 @@ def _decode_raster_group(
         original = None
         if restore_original and c.meta.has_bitmaps:
             with stage("batch_restore"):
-                diff = c.diff(stego.dtype)
-                if diff is not None:
-                    original = stego[i] ^ diff
+                # O(payload) window restore (exact full-diff fallback
+                # inside — container.restore_original); the full (s, N)
+                # expansion measured 43-69 ms per 32-image batch for
+                # ~97%-zero bytes in the round-4 breakdowns
+                original = c.restore_original(stego[i])
         results.append(DecodeResult(
             payload_bits=np.asarray(
                 bits[i, : int(c.meta.payload_bits)], dtype=np.uint8

@@ -538,9 +538,10 @@ def decode_container(
 
     original = None
     if restore_original and meta.has_bitmaps:
-        diff = cont.diff(stego.dtype)
-        if diff is not None:
-            original = stego ^ diff
+        with stage("restore"):
+            # O(payload) window restore for raster v2.1 containers (exact
+            # full-diff fallback otherwise — container.restore_original)
+            original = cont.restore_original(stego)
     return DecodeResult(bits, stego, meta, original)
 
 

@@ -1,0 +1,147 @@
+"""Round-5 serving-path contracts.
+
+1. ``utils.bits.xor_packed_windows`` — the O(payload) stego/original
+   reconstruction — is bit-exact with the full ``packed_planes_to_diff``
+   expansion for any raster plan shape (wrapping, overlapping, clamped).
+2. ``parallel.batch.hybrid_base_offsets_host`` picks byte-identical start
+   offsets to the device scan (the serving plan stage must be device-free
+   without changing a single container byte).
+3. ``Container.restore_original`` equals ``stego ^ diff`` on well-formed
+   containers AND on adversarial blobs with bits outside the declared
+   windows (where it must detect the violation and fall back to the exact
+   full expansion).
+4. The fused batch encode path (which now plans device-free and
+   reconstructs stego through the window form) still produces containers
+   byte-identical to the single-image pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from codec_tcc_tpu.config import EncodeConfig
+from codec_tcc_tpu.io import container as container_io
+from codec_tcc_tpu.pipeline import decode_container, encode_array
+from codec_tcc_tpu.utils import bits as bit_utils
+
+
+def _window_packed(rng, n, s, starts, lengths):
+    """Bit-packed plane maps nonzero only inside each plane's window."""
+    packed = np.zeros((s, n // 8), np.uint8)
+    for p in range(s):
+        ln = min(int(lengths[p]), n)
+        if ln <= 0:
+            continue
+        st = int(starts[p]) % n
+        bits = np.zeros(n, np.uint8)
+        idx = (st + np.arange(ln)) % n
+        bits[idx] = rng.integers(0, 2, ln).astype(np.uint8)
+        packed[p] = np.packbits(bits)
+    return packed
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_xor_packed_windows_matches_full_expansion(dtype):
+    rng = np.random.default_rng(0)
+    h = w = 40
+    n = h * w
+    for trial in range(12):
+        img = rng.integers(0, np.iinfo(dtype).max + 1, (h, w)).astype(dtype)
+        s = int(rng.integers(1, 1 + 8 * np.dtype(dtype).itemsize // 2))
+        starts = rng.integers(0, n, s)
+        # mix short, wrapping, and full-length windows
+        lengths = rng.integers(0, n + 1, s)
+        if trial % 3 == 0:
+            starts[0] = n - 13          # force a wraparound
+            lengths[0] = 200
+        packed = _window_packed(rng, n, s, starts, lengths)
+        got = bit_utils.xor_packed_windows(img, packed, starts, lengths)
+        want = img ^ bit_utils.packed_planes_to_diff(
+            packed, img.dtype
+        ).reshape(h, w)
+        assert np.array_equal(got, want)
+        assert got.dtype == img.dtype
+
+
+def test_xor_packed_windows_zero_and_overlong():
+    img = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    packed = np.zeros((2, 8), np.uint8)
+    out = bit_utils.xor_packed_windows(img, packed, [0, 5], [0, 10_000])
+    assert np.array_equal(out, img)
+    # not a view of the input
+    out[0, 0] ^= 1
+    assert img[0, 0] == 0
+
+
+@pytest.mark.parametrize("geometry", [(64, 64), (50, 37)])
+def test_hybrid_offsets_host_matches_device(geometry):
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    h, w = geometry
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 4096, (5, h, w)).astype(np.uint16)
+    for blk in (8, 16):
+        host = batch_par.hybrid_base_offsets_host(images, h, w, blk)
+        dev = batch_par.hybrid_base_offsets(images, h, w, blk)
+        assert host == dev
+
+
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid"])
+def test_restore_original_window_route(strategy):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (48, 48)).astype(np.uint16)
+    cfg = EncodeConfig(strategy=strategy, codec="deflate",
+                       compute_metrics=False)
+    res = encode_array(img, rng.bytes(400), cfg)
+    cont = container_io.parse(res.container)
+    stego = decode_container(res.container, restore_original=False).stego
+    full = stego ^ cont.diff(stego.dtype)
+    got = cont.restore_original(stego)
+    assert np.array_equal(got, full)
+    assert np.array_equal(got, img)          # reversibility
+
+
+def test_restore_original_adversarial_out_of_window_bits():
+    """A blob with map bits OUTSIDE the declared windows must restore
+    exactly like the full-diff path (guard detects, falls back)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, (48, 48)).astype(np.uint16)
+    cfg = EncodeConfig(strategy="multi_plane", codec="deflate",
+                       compute_metrics=False)
+    res = encode_array(img, rng.bytes(40), cfg)
+    cont = container_io.parse(res.container)
+    m = cont.meta
+    n = m.height * m.width
+    packed = np.frombuffer(
+        cont._raw_maps_blob(), dtype=np.uint8
+    ).reshape(m.s, n // 8).copy()
+    # the short payload leaves the tail of plane 0 untouched: flip a bit
+    # far outside the window
+    tail = (int(m.plane_starts[0]) + int(m.eff_lengths[0])) // 8 + 4
+    assert tail < n // 8
+    packed[0, tail] ^= 0x40
+    cont.bitmaps_blob = container_io.compress_bitmaps_packed(packed)
+    stego = decode_container(res.container, restore_original=False).stego
+    want = stego ^ cont.diff(stego.dtype)
+    got = cont.restore_original(stego)
+    assert np.array_equal(got, want)
+    assert not np.array_equal(got, img)      # the flip really landed
+
+
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid"])
+def test_batch_containers_byte_identical_after_device_free_plan(strategy):
+    """encode_batch_containers (device-free plan + window unpack) must keep
+    producing containers byte-identical to the single-image pipeline."""
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 4096, (3, 40, 40)).astype(np.uint16)
+    payloads = [rng.bytes(120) for _ in range(3)]
+    cfg = EncodeConfig(strategy=strategy, codec="deflate",
+                       compute_metrics=False)
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    for i in range(3):
+        single = encode_array(imgs[i], payloads[i], cfg)
+        assert res.containers[i] == single.container
+        dec = decode_container(res.containers[i])
+        assert dec.payload == payloads[i]
+        assert np.array_equal(dec.original, imgs[i])
