@@ -320,17 +320,21 @@ def _untile(tiles: jax.Array, h: int, w: int, block: int) -> jax.Array:
 
 
 def _permute_rows_mxu(rows: jax.Array, onehot: jax.Array) -> jax.Array:
-    """Permute (ntiles, bs) 0/1 rows by a bf16 one-hot matrix on the MXU.
+    """Permute (ntiles, bs) 0/1 rows by an int8 one-hot matrix on the MXU.
 
     XLA lowers arbitrary-index row gathers on this hardware to a serialized
     per-row loop (~mu-s each: measured 2.4 s for a 128x8-plane batch of
-    1024-row permutations — tools/probe_block_variants2.py), while the same
-    permutation as a (ntiles x ntiles) @ (ntiles x bs) bf16 matmul runs the
-    whole batch in ~30 ms. Exact: each output element is a dot product with
-    exactly one nonzero 0/1 term, so the f32 accumulation is 0.0 or 1.0."""
-    out = jnp.dot(onehot, rows.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    return (out > 0.5).astype(jnp.uint8)
+    1024-row permutations — round-4 probe; tools/block_profile.py keeps the
+    per-stage attribution methodology), while the same permutation as a
+    (ntiles x ntiles) @ (ntiles x bs) one-hot matmul runs the whole batch in
+    milliseconds. int8 x int8 -> int32 (round 5): exact — each output element
+    is a dot of 0/1 terms with exactly one nonzero, so the accumulator holds
+    0 or 1 — and the s8 MXU path runs at 2x the bf16 rate with half the
+    one-hot HBM bytes and no f32 threshold pass (A/B'd on chip,
+    tools/block_profile.py)."""
+    out = jnp.dot(onehot, rows.astype(jnp.int8),
+                  preferred_element_type=jnp.int32)
+    return out.astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("nbits", "block"))
@@ -349,11 +353,15 @@ def embed_block_adaptive(
 
     Uniform tilings ride the MXU: the message window reshapes into fill-rank
     chunks of ``block^2`` bits and a per-plane one-hot permutation places
-    chunk ``base[t]/bs`` onto tile ``t`` (:func:`_permute_rows_mxu`); the
-    active mask is the same dense rank compare as before, with the rank
-    built from a broadcast of the (ntiles,) base map — no gathers anywhere.
-    Edge-tile geometries keep the elementwise formulation (a per-pixel
-    message gather), which XLA serializes but stays correct for any shape."""
+    chunk ``base[t]/bs`` onto tile ``t`` (:func:`_permute_rows_mxu`). The
+    whole plane loop runs in TILE space — the image transposes to
+    ``(ntiles, bs)`` rows once and back once, instead of one ``_untile``
+    relayout per plane (round-5 restructure: the per-plane transposes were
+    ~40% of the cycle's device time — tools/block_profile.py), and the
+    within-tile fill rank is just the row iota, so the active mask is a
+    broadcast compare with no (H, W) rank tensor at all. Edge-tile
+    geometries keep the elementwise formulation (a per-pixel message
+    gather), which XLA serializes but stays correct for any shape."""
     h, w = image.shape
     lpad = msg_bits.shape[0]
     acc = image
@@ -362,28 +370,24 @@ def embed_block_adaptive(
         nh, nw = h // block, w // block
         ntiles, bs = nh * nw, block * block
         karange = jnp.arange(ntiles, dtype=jnp.int32)
-        y = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        r2d = (y % block) * block + (x % block)
+        r = jnp.arange(bs, dtype=jnp.int32)[None, :]   # within-tile rank
         # +n zero tail so the per-plane window slice is always in bounds
         # (offsets <= lpad by construction; bits past seg_len are masked)
         msg_ext = jnp.concatenate([msg_bits, jnp.zeros(n, msg_bits.dtype)])
+        tacc = _tiles_of(image, block)
         for p in range(nbits):
             seg = jax.lax.dynamic_slice(msg_ext, (msg_off[p],), (n,))
             chunks = seg.reshape(ntiles, bs)
             k = base_offsets[p].astype(jnp.int32) // bs
-            onehot = (k[:, None] == karange[None, :]).astype(jnp.bfloat16)
-            bits2d = _untile(_permute_rows_mxu(chunks, onehot), h, w, block)
-            base2d = jnp.broadcast_to(
-                base_offsets[p].astype(jnp.int32).reshape(nh, 1, nw, 1),
-                (nh, block, nw, block),
-            ).reshape(h, w)
-            active = (base2d + r2d < seg_len[p]) & (p < s)
-            newv = (acc & _dtype_keep_mask(image.dtype, p)) | (
-                bits2d.astype(image.dtype) << p
+            onehot = (k[:, None] == karange[None, :]).astype(jnp.int8)
+            bits_t = _permute_rows_mxu(chunks, onehot)
+            base_col = base_offsets[p].astype(jnp.int32)[:, None]
+            active = (base_col + r < seg_len[p]) & (p < s)
+            newv = (tacc & _dtype_keep_mask(image.dtype, p)) | (
+                bits_t.astype(image.dtype) << p
             )
-            acc = jnp.where(active, newv, acc)
-        return acc
+            tacc = jnp.where(active, newv, tacc)
+        return _untile(tacc, h, w, block)
     for p in range(nbits):
         rank = _block_fill_rank(h, w, block, base_offsets[p])
         active = (rank < seg_len[p]) & (p < s)
@@ -468,14 +472,16 @@ def extract_block_aligned(
     if _uniform_tiling(h, w, block):
         # MXU route (see embed_block_adaptive): tile rows permuted to fill
         # order by the inverse one-hot — onehot[chunk, tile] = 1 iff tile t
-        # holds fill chunk k[t]. No gathers, no argsort.
+        # holds fill chunk k[t]. No gathers, no argsort; the stego tiles
+        # once (not once per plane) and planes extract in tile space.
         ntiles = nh * nw
         karange = jnp.arange(ntiles, dtype=jnp.int32)
+        tiles = _tiles_of(stego, block)
         for p in range(nbits):
             k = base_offsets[p].astype(jnp.int32) // bs
-            onehot = (k[None, :] == karange[:, None]).astype(jnp.bfloat16)
-            plane = ((stego >> p) & 1).astype(jnp.uint8)
-            fill = _permute_rows_mxu(_tiles_of(plane, block), onehot).reshape(n)
+            onehot = (k[None, :] == karange[:, None]).astype(jnp.int8)
+            plane_t = ((tiles >> p) & 1).astype(jnp.uint8)
+            fill = _permute_rows_mxu(plane_t, onehot).reshape(n)
             valid = (iota < seg_len[p]) & (p < s)
             rows.append(jnp.where(valid, fill, 0))
         return jnp.stack(rows)
