@@ -78,7 +78,8 @@ def _sync(out) -> float:
     jax.block_until_ready can resolve on dispatch ACK over the dev tunnel
     rather than on device completion (measured on chip: a 128 MB XOR sweep
     "repped" 0.0 ms through it, and 26.9 ms minutes earlier for identical
-    work — tools/probe_block_b.py). Pulling one device SCALAR to host cannot
+    work — round-4 probe, methodology kept in tools/block_profile.py).
+    Pulling one device SCALAR to host cannot
     complete before the compute that produced it, and the in-order stream
     means everything enqueued earlier finished too (CLAUDE.md's recipe).
     Every timed cycle in this file therefore returns a reduction scalar as
@@ -292,7 +293,7 @@ def main(backend: str = "auto") -> None:
     # Tunnel sync floor THIS RUN: a jitted scalar reduction over the already
     # device-resident batch is pure dispatch + 4-byte result round-trip
     # (device work < 1 ms). Measured 7-28 ms across days for identical work
-    # (tools/probe_block_b.py) — the artifact carries it so every cycle
+    # (tools/block_profile.py) — the artifact carries it so every cycle
     # number can be read against the run's tunnel health.
     floor_fn = jax.jit(lambda im: jnp.sum(im, dtype=jnp.float32))
     _sync(floor_fn(imgs_dev3))
@@ -381,11 +382,14 @@ def main(backend: str = "auto") -> None:
     if v is not None:
         extra["e2e_batch_mpix_s"] = round(v[0], 1)
         extra["e2e_batch_stage_ms"] = v[1]
+    v = _stage("serve", lambda: _bench_serve(image))
+    if v is not None:
+        extra["serve_ms"] = v
     extra["stage_wall_s"] = stage_wall
-    # headline fields LAST: the driver records only a 2,000-char tail of
-    # stdout, and the round-3 artifact lost its "value" field to that
-    # truncation (VERDICT weak #5) — the one number the artifact exists to
-    # carry must sit at the end of the line
+    # The worker prints the FULL artifact; the orchestrator preserves it to
+    # docs/artifacts/ and prints the slim driver line (round-5: the driver
+    # records only a 2,000-char stdout tail, and the fat line's tail lost
+    # every throughput field before the headline — VERDICT weak #4).
     print(
         json.dumps(
             {
@@ -592,6 +596,55 @@ def _bench_volume(D: int = 64):
         _sync(out)
         times.append((time.perf_counter() - t0) / 2)
     bd["cycle_rep_ms"] = [round(1e3 * t, 2) for t in times]
+
+    # floor correction + amortization (round-5, VERDICT weak #3): one
+    # 16.8 MPix dispatch runs ~13 ms against the tunnel's ~7-12 ms fixed
+    # dispatch cost, so the raw cycle rate mostly measures dispatch
+    # amortization, not the kernels. Like block_cycle_detail: (a) measure
+    # this leg's own sync floor (jitted scalar reduction over the resident
+    # volume — pure dispatch + 4-byte round trip); (b) CHAIN 3 cycles
+    # inside ONE jit (stego is a fixed point of the packed embed, so every
+    # chained cycle does identical work with real data deps — no CSE) and
+    # report the floor-corrected DEVICE rate a co-located host would see.
+    floor_fn = jax.jit(lambda im: jnp.sum(im, dtype=jnp.float32))
+    _sync(floor_fn(imgs3))
+    ftimes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(floor_fn(imgs3))
+        ftimes.append(time.perf_counter() - t0)
+    floor = float(np.median(ftimes))
+    bd["floor_ms"] = round(1e3 * floor, 2)
+
+    chain = 3
+
+    @jax.jit
+    def cycle_chained(im, cl, vl):
+        acc = jnp.int32(0)
+        x = im
+        for _ in range(chain):
+            x = pe.embed_batch_packed(x, cl, vl)
+            acc = acc + jnp.sum(
+                pe.extract_packed_batch(x, plan.nbits), dtype=jnp.int32
+            )
+        return x, acc
+
+    out = cycle_chained(imgs3, cl_d, vl_d)
+    _sync(out)
+    inner = 2
+    ctimes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = cycle_chained(imgs3, cl_d, vl_d)
+        _sync(out)
+        ctimes.append((time.perf_counter() - t0) / inner)
+    cmed = float(np.median(ctimes))
+    bd["chained_cycles"] = chain
+    bd["chained_rep_ms"] = [round(1e3 * t, 2) for t in ctimes]
+    # pipelined inner calls amortize one RTT across `inner` dispatches
+    dev = max(cmed - floor / inner, 1e-9)
+    bd["device_mpix_s"] = round(chain * D * n / dev / 1e6, 1)
     return D * n / float(np.median(times)) / 1e6, bd
 
 
@@ -801,7 +854,7 @@ def _bench_block(B: int = 256):
     by the e2e legs); this isolates the fused device dispatch like the
     other cycle legs. Device-built inputs (CLAUDE.md: large bench inputs
     must not ride a degraded relay). B=256 matches the LSB tier — the
-    forced-sync sweep (tools/probe_block_b.py) measured the cycle's DEVICE
+    forced-sync sweep (tools/block_profile.py) measured the cycle's DEVICE
     time B-linear at ~1.2 GPix/s (27.6 ms at B=128, 56.4 at B=256), so
     pixels-per-dispatch is what amortizes the tunnel's 7-28 ms sync floor."""
     import jax
@@ -990,6 +1043,11 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
 
     max_s = int(res.plan.s.max(initial=1)) if res.plan is not None else 4
     n = h * w
+    # one compiled add builds each rep's fresh device array (k as a traced
+    # arg): baking k into a jnp.full constant forced a fresh remote compile
+    # per rep over the tunnel (advisor finding, round 4)
+    pk_base = jnp.zeros((B, max_s, n // 8), dtype=jnp.uint8)
+    pk_fresh = jax.jit(lambda base, kk: base + kk)
     up_ms, down_ms = [], []
     for k in range(3):
         t0 = time.perf_counter()
@@ -998,7 +1056,7 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
         up_ms.append(1e3 * (time.perf_counter() - t0))
         # fresh device array per rep: np.asarray on a jax Array caches the
         # host copy, so re-downloading the same array would measure nothing
-        pk = jnp.full((B, max_s, n // 8), np.uint8(k), dtype=jnp.uint8)
+        pk = pk_fresh(pk_base, np.uint8(k))
         jax.block_until_ready(pk)
         t0 = time.perf_counter()
         np.asarray(pk)
@@ -1040,12 +1098,14 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
     # IDENTICAL single-core numpy/zlib code on every backend (compare them
     # 1:1 against extra.cpu_backend_e2e.u16_batch_stage_ms); the residual is
     # device dispatch work + the per-dispatch sync floor recorded in
-    # extra.sync_floor_ms. batch_upload is an async enqueue since round 4
-    # (its DMA overlaps batch_plan's host half), so the measured-stage
-    # tunnel sum is a lower bound — tunnel_ref_ms carries the pure-link
-    # cost of the same byte volumes measured unoverlapped on the same run.
+    # extra.sync_floor_ms. batch_upload is an async enqueue (its DMA
+    # overlaps batch_plan's now-device-free host half, round 5) and
+    # batch_upload_wait carries whatever transfer tail the host work didn't
+    # cover — so the tunnel sum is honest link time again, cross-checked by
+    # tunnel_ref_ms's unoverlapped measurement of the same byte volumes.
     tunnel = sum(breakdown.get(k, 0.0)
-                 for k in ("batch_upload", "batch_download"))
+                 for k in ("batch_upload", "batch_upload_wait",
+                           "batch_download"))
     host_shell = sum(breakdown.get(k, 0.0)
                      for k in ("batch_plan", "batch_unpack", "batch_pack",
                                "batch_codec_decode", "batch_extract",
@@ -1056,6 +1116,100 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3):
         max(breakdown["batch_total"] - tunnel - host_shell, 0.0), 1
     )
     return B * h * w / float(np.median(times)) / 1e6, breakdown
+
+
+def _bench_serve(image: np.ndarray, reps: int = 3):
+    """Warm per-request latency of the serving daemon over its Unix socket —
+    the production interface (VERDICT round-4 item 6: no artifact carried
+    it). The daemon runs as a THREAD in this worker process: the chip
+    serializes concurrent processes (CLAUDE.md), so the one process that
+    owns the chip must also own the daemon; requests still cross the real
+    socket + JSON protocol, so the figures include the full request path a
+    client pays (connect, serialize, dispatch, respond).
+
+    Returns per-op medians (ms): socket round-trip wall and the daemon's
+    own server-side ``wall_ms``."""
+    import tempfile
+    import threading
+
+    from codec_tcc_tpu import serve as serve_mod
+    from codec_tcc_tpu.io import dicom
+
+    tmp = tempfile.mkdtemp(prefix="bench_serve_")
+    sock = os.path.join(tmp, "ct.sock")
+    rng = np.random.default_rng(6)
+    inputs = []
+    for i in range(4):
+        img = image ^ rng.integers(0, 2, size=image.shape).astype(image.dtype)
+        path = os.path.join(tmp, f"in{i}.dcm")
+        dicom.save_image(img, path)
+        inputs.append(path)
+
+    th = threading.Thread(
+        target=serve_mod.serve, args=(sock,),
+        kwargs={"idle_timeout": 120.0}, daemon=True,
+    )
+    th.start()
+    deadline = time.perf_counter() + 60
+    while not os.path.exists(sock):
+        if time.perf_counter() > deadline:
+            raise RuntimeError("serve daemon socket never appeared")
+        time.sleep(0.05)
+
+    enc_req = {
+        "op": "encode", "input": inputs[0],
+        "output": os.path.join(tmp, "out.stgc"),
+        "message": "serve bench payload",
+        "config": {"strategy": "hybrid", "codec": "deflate",
+                   "compute_metrics": False},
+    }
+    dec_req = {"op": "decode", "input": enc_req["output"],
+               "output_prefix": os.path.join(tmp, "dec")}
+    encb_req = {
+        "op": "encode_batch", "inputs": inputs,
+        "output_dir": os.path.join(tmp, "batch"),
+        "message": "serve bench payload",
+        "config": {"strategy": "hybrid", "codec": "deflate",
+                   "compute_metrics": False},
+    }
+
+    def _round(req):
+        t0 = time.perf_counter()
+        resp = serve_mod.request(sock, req)
+        wall = 1e3 * (time.perf_counter() - t0)
+        if not resp.get("ok"):
+            raise RuntimeError(f"serve op failed: {resp.get('error')}")
+        return wall, float(resp.get("wall_ms", 0.0))
+
+    # warm every op once (first encode pays the jit compiles the daemon
+    # would normally absorb via --warmup)
+    _round(enc_req)
+    _round(dec_req)
+    _round(encb_req)
+    decb_req = {
+        "op": "decode_batch",
+        "inputs": sorted(
+            os.path.join(tmp, "batch", f) for f in
+            os.listdir(os.path.join(tmp, "batch")) if f.endswith(".stgc")
+        ),
+        "output_dir": os.path.join(tmp, "decb"),
+    }
+    _round(decb_req)
+
+    out = {}
+    for name, req in (("ping", {"op": "ping"}), ("encode", enc_req),
+                      ("decode", dec_req), ("encode_batch_4", encb_req),
+                      ("decode_batch_4", decb_req)):
+        socks, walls = [], []
+        for _ in range(reps):
+            a, b = _round(req)
+            socks.append(a)
+            walls.append(b)
+        out[name + "_ms"] = round(float(np.median(socks)), 2)
+        out[name + "_server_ms"] = round(float(np.median(walls)), 2)
+    serve_mod.request(sock, {"op": "shutdown"})
+    th.join(timeout=30)
+    return out
 
 
 def _cpu_e2e_main() -> None:
@@ -1147,6 +1301,94 @@ def _run_cpu_e2e(timeout: int = 900):
     return f"cpu-e2e worker failed rc={proc.returncode}: {tail[:160]}"
 
 
+def _preserve_artifact(obj: dict, tag: str) -> "str | None":
+    """Write the FULL artifact object (every stage dict, every breakdown)
+    under docs/artifacts/ using the bench_<date>_<HHMM>UTC_<tag>.json naming
+    convention (lexicographic == chronological; _last_healthy_artifact
+    reads these). Returns the repo-relative path, or None on failure."""
+    from datetime import datetime, timezone
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d_%H%M")
+    rel = f"docs/artifacts/bench_{stamp}UTC_{tag}.json"
+    try:
+        os.makedirs(os.path.join(here, "docs/artifacts"), exist_ok=True)
+        with open(os.path.join(here, rel), "w") as f:
+            f.write(json.dumps(obj) + "\n")
+        return rel
+    except Exception:
+        return None
+
+
+def _slim_line(obj: dict, artifact_rel: "str | None") -> str:
+    """The ONE driver-facing JSON line, guaranteed to fit the driver's
+    2,000-char stdout tail COMPLETE: headline + every *_mpix_s + the e2e
+    split + serve latencies + provenance, with the stage dictionaries left
+    in the preserved docs/artifacts/ file referenced by ``artifact``
+    (VERDICT round-4 weak #4: the fat line's tail truncated mid-dict and
+    the official artifact lost most throughput numbers). value/vs_baseline
+    sit LAST so even a pathological overflow truncates provenance, never
+    the headline."""
+    extra = obj.get("extra", {})
+    slim: dict = {}
+    if artifact_rel:
+        slim["artifact"] = artifact_rel
+    for k, val in extra.items():
+        if k.endswith("_mpix_s"):
+            slim[k] = val
+    det = extra.get("block_cycle_detail") or {}
+    if "device_mpix_s" in det:
+        slim["block_device_mpix_s"] = det["device_mpix_s"]
+    det = extra.get("volume_stage_s") or {}
+    if "device_mpix_s" in det:
+        slim["volume_device_mpix_s"] = det["device_mpix_s"]
+    eb = extra.get("e2e_batch_stage_ms") or {}
+    for k in ("batch_total", "split_tunnel_ms", "split_host_shell_ms",
+              "split_device_residual_ms"):
+        if k in eb:
+            slim["e2e_" + k] = eb[k]
+    cpu = extra.get("cpu_backend_e2e")
+    if isinstance(cpu, dict):
+        for k in ("u16_per_image_mpix_s", "u16_batch_mpix_s",
+                  "u8_per_image_mpix_s", "u8_batch_mpix_s"):
+            if k in cpu:
+                slim["cpu_" + k] = cpu[k]
+    elif cpu is not None:
+        slim["cpu_backend_e2e_error"] = str(cpu)[:120]
+    for k, val in (extra.get("serve_ms") or {}).items():
+        if not k.endswith("_server_ms"):
+            slim["serve_" + k] = val
+    if "sync_floor_ms" in extra:
+        slim["sync_floor_ms"] = extra["sync_floor_ms"]
+    if extra.get("last_healthy_run"):
+        slim["last_healthy_run"] = extra["last_healthy_run"]
+    if extra.get("error"):
+        slim["error"] = str(extra["error"])[:160]
+    if extra.get("fallbacks"):
+        slim["fallbacks"] = [str(x)[:60] for x in extra["fallbacks"]]
+    leg_errors = sorted(k for k in extra if k.endswith("_error"))
+    if leg_errors:
+        slim["leg_errors"] = leg_errors
+    out = {
+        "metric": obj.get("metric"),
+        "backend": obj.get("backend"),
+        "unit": obj.get("unit"),
+        "extra": slim,
+        "vs_baseline": obj.get("vs_baseline"),
+        "value": obj.get("value"),
+    }
+    # hard cap with graceful degradation: drop the least-load-bearing keys
+    # until the line provably fits
+    drop_order = ["fallbacks", "leg_errors", "last_healthy_run",
+                  "serve_ping_ms", "serve_decode_batch_4_ms",
+                  "serve_encode_batch_4_ms", "sync_floor_ms"]
+    line = json.dumps(out)
+    while len(line) > 1900 and drop_order:
+        slim.pop(drop_order.pop(0), None)
+        line = json.dumps(out)
+    return line
+
+
 def _tunnel_up(attempts: list) -> bool:
     """Fail-fast gate: one tiny device op in a fresh subprocess, three tries
     (the tunnel wedges individual processes ~1 in 3 on bad days — CLAUDE.md —
@@ -1205,18 +1447,21 @@ def _print_outage_line(error: str, attempts: list) -> None:
     """Print ONE parseable artifact line documenting a failed measurement
     instead of leaving the artifact empty; carry the newest preserved
     healthy-run number AND a freshly measured CPU-backend e2e (which needs
-    no tunnel) so the artifact stays self-explaining."""
+    no tunnel) so the artifact stays self-explaining. The full object goes
+    to docs/artifacts/; stdout gets the slim line (driver tail cap)."""
     extra = {"error": error, "worker_attempts": attempts}
     last = _last_healthy_artifact()
     if last:
         extra["last_healthy_run"] = last
     extra["cpu_backend_e2e"] = _run_cpu_e2e()
-    print(json.dumps({
+    obj = {
         "metric": "embed+extract throughput (512x512 uint16, batch 256)",
         "value": 0.0, "unit": "MPix/s/chip", "vs_baseline": 0.0,
         "backend": "none",
         "extra": extra,
-    }))
+    }
+    rel = _preserve_artifact(obj, "outage")
+    print(_slim_line(obj, rel))
 
 
 def _orchestrate() -> int:
@@ -1252,14 +1497,17 @@ def _orchestrate() -> int:
                 # surface dead-worker history and the CPU-backend e2e in the
                 # artifact itself, not just stderr/docs (round-2 verdict:
                 # provenance must be in the parsed JSON); a cpu-e2e failure
-                # must never lose the TPU number
+                # must never lose the TPU number. The full object is
+                # preserved under docs/artifacts/; stdout gets the slim
+                # line that provably fits the driver's 2,000-char tail.
                 try:
                     obj = json.loads(line)
                     if attempts:
                         obj.setdefault("extra", {})["worker_attempts"] = attempts
                     obj.setdefault("extra", {})["cpu_backend_e2e"] = \
                         _run_cpu_e2e()
-                    line = json.dumps(obj)
+                    rel = _preserve_artifact(obj, "run")
+                    line = _slim_line(obj, rel)
                 except Exception:
                     pass
                 print(line)

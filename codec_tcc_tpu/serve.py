@@ -392,7 +392,13 @@ def serve(
     def _sigterm(signum, frame):
         raise SystemExit(0)  # unwinds through finally: socket unlinked
 
-    prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        # not the main thread: embedded mode (e.g. the bench's in-process
+        # daemon — one process owns the chip AND the socket). Lifecycle is
+        # then the embedder's job; the shutdown op still works.
+        prev_handler = None
     try:
         srv.bind(socket_path)
         srv.listen(8)
@@ -422,7 +428,8 @@ def serve(
                 logger.warning("dropping connection: %s", exc)
         return 0
     finally:
-        signal.signal(signal.SIGTERM, prev_handler)
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         srv.close()
         if os.path.exists(socket_path):
             os.unlink(socket_path)
