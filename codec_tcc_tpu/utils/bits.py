@@ -67,9 +67,20 @@ def xor_packed_windows(
         spans = [(start, min(end, n))]
         if end > n:                       # hybrid wraparound: second span
             spans.append((0, end - n))
+        # merge the spans' BYTE ranges before applying: a byte holds the
+        # packed bits of every span that touches it, so one LUT XOR of that
+        # byte applies them all — applying it once per touching span would
+        # XOR twice and cancel (reachable when a wrapping window sits
+        # within 7 bits of full plane capacity with an unaligned start)
+        ranges = sorted((a // 8, (b + 7) // 8) for a, b in spans)
+        merged = [ranges[0]]
+        for b0, b1 in ranges[1:]:
+            if b0 <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b1))
+            else:
+                merged.append((b0, b1))
         lut = _plane_lut(p, dt)
-        for a, b in spans:
-            b0, b1 = a // 8, (b + 7) // 8
+        for b0, b1 in merged:
             g = lut[packed[p, b0:b1]].reshape(-1)
             seg = flat[8 * b0 : 8 * b1]
             np.bitwise_xor(seg, g, out=seg)

@@ -288,8 +288,11 @@ def test_bench_outage_line_carries_last_healthy_run():
     assert (root / last["artifact"]).is_file()
 
     # both failure paths (dead tunnel; all workers died after a passing
-    # probe) go through _print_outage_line: one parseable line, value 0,
-    # provenance in extra
+    # probe) go through _print_outage_line. Round-5 contract: stdout gets
+    # the SLIM line (driver 2,000-char tail cap) carrying the error and the
+    # last healthy provenance, while the FULL object — worker_attempts,
+    # cpu_backend_e2e, every stage dict — goes to the preserved
+    # docs/artifacts/ file (stubbed here so the suite never writes one).
     import contextlib
     import io
     import json
@@ -297,12 +300,27 @@ def test_bench_outage_line_carries_last_healthy_run():
     # stub the CPU-backend e2e measurement (a real subprocess worker takes
     # minutes); the contract here is that the outage line CARRIES the field
     bench._run_cpu_e2e = lambda timeout=900: {"stubbed": True}
+    preserved = {}
+
+    def _fake_preserve(obj, tag):
+        preserved["obj"] = obj
+        preserved["tag"] = tag
+        return f"docs/artifacts/bench_stub_{tag}.json"
+
+    bench._preserve_artifact = _fake_preserve
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench._print_outage_line("synthetic error", ["packed: rc=1 boom"])
-    obj = json.loads(buf.getvalue())
-    assert obj["backend"] == "none" and obj["value"] == 0.0
-    assert obj["extra"]["error"] == "synthetic error"
-    assert obj["extra"]["worker_attempts"] == ["packed: rc=1 boom"]
-    assert obj["extra"]["last_healthy_run"] == last
-    assert obj["extra"]["cpu_backend_e2e"] == {"stubbed": True}
+    line = buf.getvalue()
+    assert len(line.strip()) <= 2000  # fits the driver tail COMPLETE
+    slim = json.loads(line)
+    assert slim["backend"] == "none" and slim["value"] == 0.0
+    assert slim["extra"]["error"] == "synthetic error"
+    assert slim["extra"]["artifact"] == "docs/artifacts/bench_stub_outage.json"
+    assert slim["extra"]["last_healthy_run"] == last
+    full = preserved["obj"]
+    assert preserved["tag"] == "outage"
+    assert full["extra"]["error"] == "synthetic error"
+    assert full["extra"]["worker_attempts"] == ["packed: rc=1 boom"]
+    assert full["extra"]["last_healthy_run"] == last
+    assert full["extra"]["cpu_backend_e2e"] == {"stubbed": True}

@@ -62,6 +62,25 @@ def test_xor_packed_windows_matches_full_expansion(dtype):
         assert got.dtype == img.dtype
 
 
+def test_xor_packed_windows_full_capacity_wrap_overlap():
+    """A wrapping window within 7 bits of full plane capacity with an
+    unaligned start makes the two spans' BYTE ranges overlap; the shared
+    byte must be XORed exactly once (the un-merged form applied it twice,
+    cancelling every diff bit it held)."""
+    rng = np.random.default_rng(0)
+    h = w = 8
+    n = h * w
+    img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    for start, ln in ((10, n), (13, n - 3), (7, n - 7), (9, n - 8)):
+        starts, lengths = np.array([start]), np.array([ln])
+        packed = _window_packed(rng, n, 1, starts, lengths)
+        got = bit_utils.xor_packed_windows(img, packed, starts, lengths)
+        want = img ^ bit_utils.packed_planes_to_diff(
+            packed, img.dtype
+        ).reshape(h, w)
+        assert np.array_equal(got, want), (start, ln)
+
+
 def test_xor_packed_windows_zero_and_overlong():
     img = np.arange(64, dtype=np.uint16).reshape(8, 8)
     packed = np.zeros((2, 8), np.uint8)
