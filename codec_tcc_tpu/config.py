@@ -43,10 +43,23 @@ class EncodeConfig:
     container_version: int = 2
     # reporting
     compute_metrics: bool = True
+    # where the batch raster embed runs (round 5). The raster strategies'
+    # device work is O(payload) bit placement: on a single-host serving box
+    # the image upload + packed-map download cost orders of magnitude more
+    # link time than the same placement costs as host window work
+    # (ops.host_embed), while PEE / block_adaptive / metrics / multi-device
+    # meshes do real per-pixel device compute and keep the chip. "auto"
+    # routes raster batches host-side exactly when that wins (raster
+    # strategy, bit-packable geometry, no device metrics, no multi-device
+    # mesh); "device" / "host" force a side (bench legs pin "device" so the
+    # artifact still measures the chip route).
+    device_policy: str = "auto"
 
     def validate(self) -> "EncodeConfig":
         if self.strategy not in STRATEGIES:
             raise ValueError(f"strategy must be one of {STRATEGIES}")
+        if self.device_policy not in ("auto", "device", "host"):
+            raise ValueError("device_policy must be auto, device, or host")
         if not (0.0 < self.beta <= 1.0):
             raise ValueError("beta must be in (0, 1]")
         if self.block_size < 1 or self.search_block_size < 1:

@@ -15,6 +15,7 @@ arrays ship back as ``(B, nbits) int32`` tensors.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Union
@@ -699,18 +700,43 @@ def encode_batch_containers(
 
     from ..profiling import stage
 
-    # one host->device image transfer feeds histograms, block scans and the
-    # embed kernels (three separate uploads otherwise — the link is the
-    # bottleneck of the serving path, not the kernels)
-    with stage("batch_upload"):
-        # async enqueue only — no block_until_ready. The whole plan stage
-        # is pure host work (bincounts + host hybrid scan + exact decompose
-        # replay) and overlaps the DMA; batch_upload_wait below blocks just
-        # before the embed dispatch so the artifact attributes any transfer
-        # tail to the link, not to planning. On a degraded relay the sync
-        # upload alone measured 331 ms for 16 MB that a healthy tunnel
-        # moves in ~15 ms (tools/probe_host_stages.py).
-        imgs_dev = jnp.asarray(images)
+    # round-5 routing: the raster strategies' device work is O(payload)
+    # bit placement, so on a single-device serving host the image upload +
+    # packed-map download buys nothing — the measured e2e split put the
+    # link alone (~400 ms per 32x512^2 uint16 batch over the dev tunnel)
+    # above the CPU backend's whole pipeline. "auto" keeps the chip for
+    # the strategies with real per-pixel compute (PEE, block_adaptive,
+    # device metrics) and for multi-device meshes (see
+    # config.EncodeConfig.device_policy / ops.host_embed).
+    host_ok = config.strategy in ("multi_plane", "hybrid") and n % 8 == 0
+    if config.device_policy == "host" and not host_ok:
+        raise ValueError(
+            "device_policy='host' needs a raster strategy (multi_plane/"
+            "hybrid) and H*W % 8 == 0; use 'auto' or 'device'"
+        )
+    host_route = config.device_policy == "host" or (
+        config.device_policy == "auto"
+        and host_ok
+        and not config.compute_metrics
+        and (mesh is None or mesh.size == 1)
+    )
+
+    if not host_route:
+        # one host->device image transfer feeds histograms, block scans and
+        # the embed kernels (three separate uploads otherwise — the link is
+        # the bottleneck of the serving path, not the kernels)
+        with stage("batch_upload"):
+            imgs_dev = jnp.asarray(images)
+            if (os.cpu_count() or 1) <= 1:
+                # 1-core host: the tunnel client's transfer work needs the
+                # same core the plan's numpy does, so "overlapping" the DMA
+                # with planning is false parallelism that smears link time
+                # into whatever host stage runs next (the round-5 e2e
+                # artifact measured batch_plan at 335 ms for work an idle
+                # process does in ~70 — the delta was the in-flight
+                # upload). Block here so the stage split stays honest;
+                # multi-core hosts keep the async overlap, where it's real.
+                jax.block_until_ready(imgs_dev)
     with stage("batch_plan"):
         # DEVICE-FREE planning (round 5). Host bincount histograms: the
         # images are host-resident anyway, and the device histogram path
@@ -732,7 +758,7 @@ def encode_batch_containers(
             if config.strategy == "hybrid" else None
         )
         plan = plan_batch(
-            imgs_dev, payloads, config, histograms=hists, nbits=nbits,
+            images, payloads, config, histograms=hists, nbits=nbits,
             base_offsets=host_offsets,
         )
 
@@ -747,6 +773,27 @@ def encode_batch_containers(
                 )
 
     max_s = int(plan.s.max(initial=0))
+
+    if host_route:
+        from ..ops.host_embed import embed_raster_host_packed
+
+        with stage("batch_embed"):
+            packed = np.zeros((b, max(max_s, 1), n // 8), dtype=np.uint8)
+            stego = np.empty_like(images)
+            for i in range(b):
+                stego[i], packed[i] = embed_raster_host_packed(
+                    images[i], plan.msgs[i], plan.starts[i],
+                    plan.lengths[i], plan.offsets[i], int(plan.s[i]),
+                    max(max_s, 1),
+                )
+        metrics = None
+        if config.compute_metrics:
+            metrics = _batch_quality_reports(images, stego)
+        return _pack_batch_result(
+            images, stego, packed, plan, config, nbits, bits_stored, h, w,
+            metrics,
+        )
+
     packed_dev = None
     with stage("batch_upload_wait"):
         # the upload DMA's tail, attributed honestly: planning above is
@@ -838,14 +885,37 @@ def encode_batch_containers(
         with stage("batch_download"):
             stego = np.asarray(stego_dev)
 
+    return _pack_batch_result(
+        images, stego, packed, plan, config, nbits, bits_stored, h, w,
+        metrics,
+    )
+
+
+def _pack_batch_result(
+    images: np.ndarray,
+    stego: np.ndarray,
+    packed: Optional[np.ndarray],
+    plan: "BatchPlan",
+    config: EncodeConfig,
+    nbits: int,
+    bits_stored: Optional[int],
+    h: int,
+    w: int,
+    metrics: Optional[List[dict]],
+) -> "BatchEncodeResult":
+    """Shared container-pack tail of :func:`encode_batch_containers` — the
+    host zlib/container shell is identical whether the XOR maps came off
+    the device (packed download) or from the O(payload) host embed."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..profiling import stage
     from ..utils.pool import host_workers
 
     from ..io import container as container_io
     from ..io.codecs import get as get_codec
     from ..pipeline import _host_xor_maps
 
+    b = images.shape[0]
     codec = get_codec(config.codec)
 
     def pack_one(i: int) -> bytes:

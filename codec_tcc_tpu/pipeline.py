@@ -208,18 +208,47 @@ def encode_array(
     # power-of-two >= s (4/8/16) so a typical beta=0.4 cut (s=3-4) does a
     # quarter of the work of a full 16-plane unroll.
     kernel_bits = _plane_bucket(s, dtype_bits)
+    # round-5 routing (see config.EncodeConfig.device_policy and
+    # ops.host_embed): raster embeds are O(payload) bit placement, so the
+    # serving default ("auto") keeps them host-side — no image upload, no
+    # map download — and reserves the chip for strategies with real
+    # per-pixel compute (PEE, block_adaptive, fused device metrics).
+    raster_host_ok = (
+        config.strategy in ("multi_plane", "hybrid") and n % 8 == 0
+    )
+    if config.device_policy == "host" and not raster_host_ok:
+        raise ValueError(
+            "device_policy='host' needs a raster strategy (multi_plane/"
+            "hybrid) and H*W % 8 == 0; use 'auto' or 'device'"
+        )
+    host_route = config.device_policy == "host" or (
+        config.device_policy == "auto"
+        and raster_host_ok
+        and not config.compute_metrics
+    )
     # upload the image once; both the block scan and the fused embed step
     # read it (a second host->device copy costs more than the kernels here).
     # decompose above did NOT transfer it: numpy inputs take the host
     # np.bincount histogram path.
-    image_dev = jax.device_put(image)
+    image_dev = None if host_route else jax.device_put(image)
     if config.strategy == "hybrid":
-        counts0 = np.asarray(
-            block_ops.block_bit_counts(image_dev, 0, config.search_block_size)
-        )
-        start = block_ops.best_offset_from_counts(
-            counts0, h, w, config.search_block_size
-        )
+        if host_route:
+            from .parallel.batch import hybrid_base_offsets_host
+
+            # numpy twin of the device scan — byte-identical offsets
+            # (tests/test_round5_serving.py)
+            start = hybrid_base_offsets_host(
+                image[None], h, w, config.search_block_size
+            )[0]
+        else:
+            counts0 = np.asarray(
+                block_ops.block_bit_counts(
+                    image_dev, 0, config.search_block_size
+                )
+            )
+            start = block_ops.best_offset_from_counts(
+                counts0, h, w, config.search_block_size
+            )
         pp = segment_ops.raster_plane_plan(
             plan, n, kernel_bits, start, config.align_across_planes
         )
@@ -239,8 +268,27 @@ def encode_array(
 
     packed_maps_dev = None  # set by the fused packed-tier route below
     with stage("embed"):
-        # 3b+4. one fused device dispatch: embed + metric moments
-        if config.strategy == "block_adaptive":
+        # 3b+4. one fused device dispatch: embed + metric moments — or the
+        # O(payload) host window placement when the route is host-side
+        if host_route:
+            from .ops.host_embed import embed_raster_host_packed
+
+            stego, packed_maps = embed_raster_host_packed(
+                image, msg_pad, pp.starts, pp.lengths, pp.offsets,
+                s, max(s, 1),
+            )
+            maps = None
+            # forced-host with metrics requested still reports them (one
+            # fused reduction; transfers only in that explicit case)
+            stats = (
+                metric_ops.pair_stats(image, stego)
+                if config.compute_metrics else None
+            )
+            metrics = (
+                metric_ops.quality_report(stats)
+                if config.compute_metrics else None
+            )
+        elif config.strategy == "block_adaptive":
             bases = _block_bases(image_dev, kernel_bits, s, config.block_size, h, w)
             stego_dev, stats = _fused_block_embed_step(
                 image_dev, msg_pad, bases, pp.lengths, pp.offsets,
@@ -283,29 +331,34 @@ def encode_array(
                 image_dev, msg_pad, pp.starts, pp.lengths, pp.offsets,
                 np.int32(s), kernel_bits, config.compute_metrics,
             )
-        metrics = (
-            metric_ops.quality_report(stats) if config.compute_metrics else None
-        )
-        if n % 8 == 0:
-            # download bit-packed XOR maps instead of the stego image (the
-            # tunnel's device->host direction is the slow one) and rebuild
-            # stego host-side as orig ^ diff; the packed planes are the
-            # v2.1 container bitmap blob, so no second diff pass happens on
-            # host. Every strategy embeds into planes [0, s) only, so s
-            # planes cover the whole diff — no need to ship all kernel_bits.
-            packed_maps = np.asarray(
-                packed_maps_dev if packed_maps_dev is not None
-                else embed_ops.xor_maps_packed_batch(
-                    image_dev[None], stego_dev[None], s
-                )[0]
+        if not host_route:
+            metrics = (
+                metric_ops.quality_report(stats)
+                if config.compute_metrics else None
             )
-            diff = bit_utils.packed_planes_to_diff(packed_maps, image.dtype)
-            stego = image ^ diff.reshape(h, w)
-            maps = None  # v1 fallback rebuilds the raw planes on demand
-        else:
-            stego = np.asarray(stego_dev)
-            maps = _host_xor_maps(image, stego, s)
-            packed_maps = None
+            if n % 8 == 0:
+                # download bit-packed XOR maps instead of the stego image
+                # (the tunnel's device->host direction is the slow one) and
+                # rebuild stego host-side as orig ^ diff; the packed planes
+                # are the v2.1 container bitmap blob, so no second diff
+                # pass happens on host. Every strategy embeds into planes
+                # [0, s) only, so s planes cover the whole diff — no need
+                # to ship all kernel_bits.
+                packed_maps = np.asarray(
+                    packed_maps_dev if packed_maps_dev is not None
+                    else embed_ops.xor_maps_packed_batch(
+                        image_dev[None], stego_dev[None], s
+                    )[0]
+                )
+                diff = bit_utils.packed_planes_to_diff(
+                    packed_maps, image.dtype
+                )
+                stego = image ^ diff.reshape(h, w)
+                maps = None  # v1 fallback rebuilds the raw planes on demand
+            else:
+                stego = np.asarray(stego_dev)
+                maps = _host_xor_maps(image, stego, s)
+                packed_maps = None
 
     # 5. transport codec + container (v2 stores the bitmap planes bit-packed
     # before zlib — 8x less single-core deflate input; v1 must keep the

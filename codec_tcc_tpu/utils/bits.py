@@ -24,8 +24,24 @@ __all__ = [
     "expand_bits",
     "packed_planes_to_diff",
     "xor_packed_windows",
+    "merged_byte_ranges",
     "bounded_inflate",
 ]
+
+
+def merged_byte_ranges(spans) -> list:
+    """Union of the BYTE ranges covering bit spans ``[(a, b), ...)`` —
+    sorted, overlapping/adjacent ranges coalesced so a shared boundary byte
+    appears exactly once (the windowed XOR/embed helpers must touch each
+    byte once; see :func:`xor_packed_windows`)."""
+    ranges = sorted((a // 8, (b + 7) // 8) for a, b in spans)
+    merged = [ranges[0]]
+    for b0, b1 in ranges[1:]:
+        if b0 <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b1))
+        else:
+            merged.append((b0, b1))
+    return merged
 
 
 def xor_packed_windows(
@@ -72,13 +88,7 @@ def xor_packed_windows(
         # byte applies them all — applying it once per touching span would
         # XOR twice and cancel (reachable when a wrapping window sits
         # within 7 bits of full plane capacity with an unaligned start)
-        ranges = sorted((a // 8, (b + 7) // 8) for a, b in spans)
-        merged = [ranges[0]]
-        for b0, b1 in ranges[1:]:
-            if b0 <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], b1))
-            else:
-                merged.append((b0, b1))
+        merged = merged_byte_ranges(spans)
         lut = _plane_lut(p, dt)
         for b0, b1 in merged:
             g = lut[packed[p, b0:b1]].reshape(-1)

@@ -164,3 +164,123 @@ def test_batch_containers_byte_identical_after_device_free_plan(strategy):
         dec = decode_container(res.containers[i])
         assert dec.payload == payloads[i]
         assert np.array_equal(dec.original, imgs[i])
+
+
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_host_embed_route_matches_device_route(strategy, dtype):
+    """device_policy='host' (O(payload) window embed, ops.host_embed) must
+    produce stego batches AND containers byte-identical to the forced
+    device route for the same inputs."""
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    rng = np.random.default_rng(21)
+    imgs = rng.integers(
+        0, np.iinfo(dtype).max + 1, (4, 40, 40)
+    ).astype(dtype)
+    payloads = [rng.bytes(60 + 17 * i) for i in range(4)]
+    dev = batch_par.encode_batch_containers(
+        imgs, payloads,
+        EncodeConfig(strategy=strategy, codec="deflate",
+                     compute_metrics=False, device_policy="device"),
+    )
+    host = batch_par.encode_batch_containers(
+        imgs, payloads,
+        EncodeConfig(strategy=strategy, codec="deflate",
+                     compute_metrics=False, device_policy="host"),
+    )
+    assert np.array_equal(dev.stego, host.stego)
+    assert dev.containers == host.containers
+    for c, p, im in zip(host.containers, payloads, imgs):
+        d = decode_container(c)
+        assert d.payload == p
+        assert np.array_equal(d.original, im)
+
+
+def test_host_embed_route_capacity_edge_wrap():
+    """Exact-capacity hybrid payload: every plane's window wraps and the
+    last one ends within bits of full capacity — the host route's span/byte
+    handling must stay byte-identical to the device kernels."""
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    rng = np.random.default_rng(23)
+    imgs = rng.integers(0, 65536, (2, 24, 24)).astype(np.uint16)
+    cfg0 = EncodeConfig(strategy="hybrid", codec="deflate",
+                        compute_metrics=False)
+    # find each image's exact capacity at its cut point, then fill it
+    probe = batch_par.plan_batch(imgs, [b"", b""], cfg0)
+    payloads = []
+    for i in range(2):
+        cap_bits = int(probe.lengths[i, : probe.s[i]].sum())
+        payloads.append(
+            rng.integers(0, 2, cap_bits).astype(np.uint8)
+        )
+    dev = batch_par.encode_batch_containers(
+        imgs, payloads, cfg0.with_overrides(device_policy="device")
+    )
+    host = batch_par.encode_batch_containers(
+        imgs, payloads, cfg0.with_overrides(device_policy="host")
+    )
+    assert dev.containers == host.containers
+    for c, p, im in zip(host.containers, payloads, imgs):
+        d = decode_container(c)
+        assert np.array_equal(
+            np.frombuffer(d.payload_bits, np.uint8)
+            if isinstance(d.payload_bits, bytes) else d.payload_bits, p
+        )
+        assert np.array_equal(d.original, im)
+
+
+def test_host_policy_rejects_unsupported():
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    rng = np.random.default_rng(25)
+    imgs = rng.integers(0, 256, (2, 16, 16)).astype(np.uint8)
+    with pytest.raises(ValueError, match="device_policy"):
+        batch_par.encode_batch_containers(
+            imgs, [b"a", b"b"],
+            EncodeConfig(strategy="block_adaptive", codec="deflate",
+                         compute_metrics=False, device_policy="host"),
+        )
+
+
+def test_auto_policy_keeps_device_for_block_adaptive():
+    """auto must still route block_adaptive through the device kernels
+    (rank-compare permutations are device compute) — and round-trip."""
+    from codec_tcc_tpu.parallel import batch as batch_par
+
+    rng = np.random.default_rng(27)
+    imgs = rng.integers(0, 4096, (2, 32, 32)).astype(np.uint16)
+    payloads = [rng.bytes(40), rng.bytes(52)]
+    cfg = EncodeConfig(strategy="block_adaptive", codec="deflate",
+                       compute_metrics=False, block_size=8)
+    res = batch_par.encode_batch_containers(imgs, payloads, cfg)
+    for c, p, im in zip(res.containers, payloads, imgs):
+        d = decode_container(c)
+        assert d.payload == p
+        assert np.array_equal(d.original, im)
+
+
+@pytest.mark.parametrize("strategy", ["multi_plane", "hybrid"])
+def test_single_image_host_route_matches_device(strategy):
+    """pipeline.encode_array with device_policy='host' must emit a
+    byte-identical container to the forced device route (the serving
+    daemon's single-image encode op rides this)."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 4096, (40, 40)).astype(np.uint16)
+    payload = rng.bytes(200)
+    dev = encode_array(
+        img, payload,
+        EncodeConfig(strategy=strategy, codec="deflate",
+                     compute_metrics=False, device_policy="device"),
+    )
+    host = encode_array(
+        img, payload,
+        EncodeConfig(strategy=strategy, codec="deflate",
+                     compute_metrics=False, device_policy="host"),
+    )
+    assert dev.container == host.container
+    assert np.array_equal(dev.stego, host.stego)
+    d = decode_container(host.container)
+    assert d.payload == payload
+    assert np.array_equal(d.original, img)

@@ -158,6 +158,22 @@ def main(B: int = 256, h: int = 512, w: int = 512, block: int = 16) -> None:
         return _permute_all(kk, rows, jnp.bfloat16, jnp.float32)
 
     @jax.jit
+    def msgslice_only(msgs):
+        # the per-plane message window slice under vmap: per-image offsets
+        # make lax.dynamic_slice a BATCHED GATHER of n elements per (image,
+        # plane) — isolate it to see whether XLA serializes it the way it
+        # serializes arbitrary-index row gathers
+        def one(mg, of):
+            msg_ext = jnp.concatenate([mg, jnp.zeros(n, mg.dtype)])
+            acc = jnp.int32(0)
+            for p in range(nbits):
+                seg = jax.lax.dynamic_slice(msg_ext, (of[p],), (n,))
+                acc = acc + jnp.sum(seg, dtype=jnp.int32)
+            return acc
+
+        return jnp.sum(jax.vmap(one)(msgs, offsets), dtype=jnp.int32)
+
+    @jax.jit
     def elementwise_only(imgs, msgs):
         # the embed minus its matmuls: dynamic_slice + tile relayout + the
         # per-plane masked combines, with the permutation as identity
@@ -188,6 +204,7 @@ def main(B: int = 256, h: int = 512, w: int = 512, block: int = 16) -> None:
         ("embed_only", embed_only, (imgs_dev, msgs_d)),
         ("extract_only", extract_only, (stego_d,)),
         ("onehot_only", onehot_only, (k_idx,)),
+        ("msgslice_only", msgslice_only, (msgs_d,)),
         ("matmul_int8", matmul_int8, (k_idx, rows_u8)),
         ("matmul_bf16", matmul_bf16, (k_idx, rows_u8)),
         ("elementwise_only", elementwise_only, (imgs_dev, msgs_d)),
