@@ -332,9 +332,24 @@ def _permute_rows_mxu(rows: jax.Array, onehot: jax.Array) -> jax.Array:
     0 or 1 — and the s8 MXU path runs at 2x the bf16 rate with half the
     one-hot HBM bytes and no f32 threshold pass (A/B'd on chip,
     tools/block_profile.py)."""
+    if _PERMUTE_DTYPE == "bf16":
+        out = jnp.dot(
+            onehot.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(jnp.int32).astype(jnp.uint8)
     out = jnp.dot(onehot, rows.astype(jnp.int8),
                   preferred_element_type=jnp.int32)
     return out.astype(jnp.uint8)
+
+
+# CODEC_TCC_PERMUTE_DTYPE=bf16 A/Bs the permutation matmul's MXU path on
+# hardware (tools/block_profile.py; exact either way — every output is a
+# 0/1 dot with one nonzero term, and f32 accumulation of 0/1 products is
+# exact)
+import os as _os
+
+_PERMUTE_DTYPE = _os.environ.get("CODEC_TCC_PERMUTE_DTYPE", "int8")
 
 
 @partial(jax.jit, static_argnames=("nbits", "block"))
@@ -347,6 +362,7 @@ def embed_block_adaptive(
     s: jax.Array,             # scalar int32
     nbits: int,
     block: int,
+    msg_rows: "jax.Array | None" = None,  # (nbits, ntiles, block^2) pre-sliced
 ) -> jax.Array:
     """Strategy 2 (intended semantics of src/codec.py:320-410, defect B2
     fixed): variance-ranked block fill with no data-dependent shapes.
@@ -371,16 +387,27 @@ def embed_block_adaptive(
         ntiles, bs = nh * nw, block * block
         karange = jnp.arange(ntiles, dtype=jnp.int32)
         r = jnp.arange(bs, dtype=jnp.int32)[None, :]   # within-tile rank
-        # +n zero tail so the per-plane window slice is always in bounds
-        # (offsets <= lpad by construction; bits past seg_len are masked)
-        msg_ext = jnp.concatenate([msg_bits, jnp.zeros(n, msg_bits.dtype)])
+        if msg_rows is None:
+            # per-plane window slice with a TRACED offset: under vmap this
+            # is a batched gather that XLA serializes (~24 ms of a 50 ms
+            # B=256 cycle, tools/block_profile.py msgslice_only) — callers
+            # on the hot paths pre-slice on host (block_msg_rows) and pass
+            # msg_rows instead; this fallback keeps the standalone
+            # single-dispatch form correct
+            msg_ext = jnp.concatenate(
+                [msg_bits, jnp.zeros(n, msg_bits.dtype)]
+            )
+            msg_rows = jnp.stack([
+                jax.lax.dynamic_slice(
+                    msg_ext, (msg_off[p],), (n,)
+                ).reshape(ntiles, bs)
+                for p in range(nbits)
+            ])
         tacc = _tiles_of(image, block)
         for p in range(nbits):
-            seg = jax.lax.dynamic_slice(msg_ext, (msg_off[p],), (n,))
-            chunks = seg.reshape(ntiles, bs)
             k = base_offsets[p].astype(jnp.int32) // bs
             onehot = (k[:, None] == karange[None, :]).astype(jnp.int8)
-            bits_t = _permute_rows_mxu(chunks, onehot)
+            bits_t = _permute_rows_mxu(msg_rows[p], onehot)
             base_col = base_offsets[p].astype(jnp.int32)[:, None]
             active = (base_col + r < seg_len[p]) & (p < s)
             newv = (tacc & _dtype_keep_mask(image.dtype, p)) | (
@@ -398,6 +425,32 @@ def embed_block_adaptive(
         )
         acc = jnp.where(active, newv, acc)
     return acc
+
+
+def block_msg_rows(
+    msg_bits, msg_off, nbits: int, h: int, w: int, block: int
+):
+    """HOST pre-slice of each plane's message window into chunk layout —
+    ``(nbits, ntiles, block^2)`` with row ``j`` of plane ``p`` holding
+    ``msg[msg_off[p] + j*bs : ... + bs]`` (zero-padded past the buffer).
+    Pure numpy memcpys at plan time; passing the result as
+    ``embed_block_adaptive``'s ``msg_rows`` removes the kernel's traced
+    window slice (a batched gather XLA serializes — half the round-4 block
+    cycle, tools/block_profile.py)."""
+    import numpy as np
+
+    msg_bits = np.asarray(msg_bits, dtype=np.uint8)
+    nh, nw = -(-h // block), -(-w // block)
+    ntiles, bs = nh * nw, block * block
+    ext = np.zeros(
+        int(np.max(msg_off, initial=0)) + ntiles * bs, dtype=np.uint8
+    )
+    ext[: msg_bits.size] = msg_bits[: ext.size]
+    rows = np.zeros((nbits, ntiles * bs), dtype=np.uint8)
+    for p in range(nbits):
+        off = int(msg_off[p])
+        rows[p] = ext[off : off + ntiles * bs]
+    return rows.reshape(nbits, ntiles, bs)
 
 
 @partial(jax.jit, static_argnames=("nbits", "out_len"))
@@ -431,9 +484,61 @@ def extract_block_message_device(
 ) -> jax.Array:
     """Block-adaptive twin of :func:`extract_message_device`:
     :func:`extract_block_aligned` + :func:`assemble_message_device` fused
-    into one dispatch."""
-    aligned = extract_block_aligned(stego, base_offsets, seg_len, s, nbits, block)
-    return assemble_message_device(aligned, msg_off, seg_len, out_len)
+    into one dispatch.
+
+    Uniform tilings take an all-MXU assembly (round 5): the roll-by-offset
+    placement in :func:`assemble_message_device` is a batched dynamic op
+    XLA serializes under vmap (like the embed side's window slice —
+    tools/block_profile.py), but with ``msg_off[p] = q*bs + r`` the
+    placement is a ROW permutation (fold ``q`` and the inverse fill
+    permutation into one small one-hot) followed by a LANE shift by ``r``
+    (one ``(2bs, bs)`` shift one-hot): message row ``j``, lane ``c`` reads
+    fill position ``m = (j - q)*bs + (c - r)``, i.e. ``F2[j-q][c+bs-r]``
+    where ``F2[u] = fill[u-1] ++ fill[u]`` with zero rows padded on both
+    ends. Static shapes throughout; the only traced values live inside
+    one-hot compares. Bit-exact with the roll form (property-tested),
+    including the later-plane-overwrites-earlier aliasing semantics."""
+    h, w = stego.shape
+    if not _uniform_tiling(h, w, block):
+        aligned = extract_block_aligned(
+            stego, base_offsets, seg_len, s, nbits, block
+        )
+        return assemble_message_device(aligned, msg_off, seg_len, out_len)
+    nh, nw = h // block, w // block
+    ntiles, bs = nh * nw, block * block
+    nrows_out = -(-out_len // bs)
+    karange = jnp.arange(ntiles, dtype=jnp.int32)
+    urange = jnp.arange(ntiles + 1, dtype=jnp.int32)
+    jcol = jnp.arange(nrows_out, dtype=jnp.int32)[:, None]
+    crow = jnp.arange(bs, dtype=jnp.int32)[None, :]
+    lane_u = jnp.arange(2 * bs, dtype=jnp.int32)[:, None]
+    g = jcol * bs + crow                       # (nrows_out, bs) msg position
+    tiles = _tiles_of(stego, block)
+    acc = jnp.zeros((nrows_out, bs), dtype=jnp.uint8)
+    for p in range(nbits):
+        k = base_offsets[p].astype(jnp.int32) // bs
+        inv = (k[None, :] == karange[:, None]).astype(jnp.int8)
+        plane_t = ((tiles >> p) & 1).astype(jnp.uint8)
+        fill = _permute_rows_mxu(plane_t, inv)         # (ntiles, bs)
+        off = msg_off[p].astype(jnp.int32)
+        q, r = off // bs, off % bs
+        # F2[u] = fill[u-1] ++ fill[u], u in [0, ntiles+1), zero-padded
+        fpad = jnp.concatenate(
+            [jnp.zeros((1, bs), fill.dtype), fill,
+             jnp.zeros((1, bs), fill.dtype)]
+        )
+        f2 = jnp.concatenate([fpad[:-1], fpad[1:]], axis=1)  # (nt+1, 2bs)
+        rowsel = (urange[None, :] == jcol - q).astype(jnp.int8)
+        gathered = _permute_rows_mxu(f2, rowsel)       # (nrows_out, 2bs)
+        shift = (lane_u == crow + bs - r).astype(jnp.int8)   # (2bs, bs)
+        placed = jnp.dot(
+            gathered.astype(jnp.int8), shift,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.uint8)
+        m = g - off
+        valid = (m >= 0) & (m < seg_len[p]) & (p < s)
+        acc = jnp.where(valid, placed, acc)
+    return acc.reshape(-1)[:out_len]
 
 
 @partial(jax.jit, static_argnames=("nbits", "block"))

@@ -229,16 +229,28 @@ def _batch_block_bases(
 
 
 @partial(jax.jit, static_argnames=("nbits", "block"))
-def _block_embed_batch(imgs, msgs, bases, lengths, offsets, s, nbits, block):
+def _block_embed_batch(imgs, msgs, bases, lengths, offsets, s, nbits, block,
+                       msg_rows=None):
     """One fused dispatch: vmapped variance-ranked block embed (the batched
-    twin of ``pipeline._fused_block_embed_step``'s embed half)."""
+    twin of ``pipeline._fused_block_embed_step``'s embed half).
+
+    ``msg_rows`` — ``(B, nbits, ntiles, block^2)`` host-pre-sliced plane
+    windows (``ops.embed.block_msg_rows``) — removes the kernel's traced
+    window slice on uniform tilings; when given, ``msgs`` may be a tiny
+    dummy (the uniform route never reads it)."""
     from ..ops.embed import embed_block_adaptive
 
+    if msg_rows is None:
+        return jax.vmap(
+            lambda im, mg, ba, le, of, ss: embed_block_adaptive(
+                im, mg, ba, le, of, ss, nbits, block
+            )
+        )(imgs, msgs, bases, lengths, offsets, s)
     return jax.vmap(
-        lambda im, mg, ba, le, of, ss: embed_block_adaptive(
-            im, mg, ba, le, of, ss, nbits, block
+        lambda im, mg, ba, le, of, ss, mr: embed_block_adaptive(
+            im, mg, ba, le, of, ss, nbits, block, mr
         )
-    )(imgs, msgs, bases, lengths, offsets, s)
+    )(imgs, msgs, bases, lengths, offsets, s, msg_rows)
 
 
 def _preplaced_layout(n: int):
@@ -815,10 +827,29 @@ def encode_batch_containers(
             bases = _batch_block_bases(
                 block_imgs, plan.nbits, plan.s, config.block_size, h, w
             )
+            if h % config.block_size == 0 and w % config.block_size == 0:
+                # host pre-slice of each plane's message window: the
+                # in-kernel traced slice is a batched gather XLA
+                # serializes (half the round-4 block cycle); the uniform
+                # route never reads the raw msgs buffer, so ship a dummy
+                from ..ops.embed import block_msg_rows
+
+                mrows = jnp.asarray(np.stack([
+                    block_msg_rows(
+                        plan.msgs[i], plan.offsets[i], plan.nbits,
+                        h, w, config.block_size,
+                    )
+                    for i in range(b)
+                ]))
+                msgs_arg = jnp.zeros((b, 8), jnp.uint8)
+            else:
+                mrows = None
+                msgs_arg = jnp.asarray(plan.msgs)
             stego_dev = _block_embed_batch(
-                block_imgs, jnp.asarray(plan.msgs), jnp.asarray(bases),
+                block_imgs, msgs_arg, jnp.asarray(bases),
                 jnp.asarray(plan.lengths), jnp.asarray(plan.offsets),
                 jnp.asarray(plan.s), plan.nbits, config.block_size,
+                mrows,
             )
         elif _packed_with_maps_eligible((b, h, w), plan.nbits, mesh, max_s):
             # packed tier + bit-packed XOR maps as one program (the

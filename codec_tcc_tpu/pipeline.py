@@ -104,10 +104,11 @@ def _fused_embed_step(image, msg, starts, lengths, offsets, s, nbits, with_stats
 
 @partial(jax.jit, static_argnames=("nbits", "block", "with_stats"))
 def _fused_block_embed_step(
-    image, msg, bases, lengths, offsets, s, nbits, block, with_stats
+    image, msg, bases, lengths, offsets, s, nbits, block, with_stats,
+    msg_rows=None,
 ):
     stego = embed_ops.embed_block_adaptive(
-        image, msg, bases, lengths, offsets, s, nbits, block
+        image, msg, bases, lengths, offsets, s, nbits, block, msg_rows
     )
     stats = metric_ops.pair_stats(image, stego) if with_stats else None
     return stego, stats
@@ -290,11 +291,24 @@ def encode_array(
             )
         elif config.strategy == "block_adaptive":
             bases = _block_bases(image_dev, kernel_bits, s, config.block_size, h, w)
-            stego_dev, stats = _fused_block_embed_step(
-                image_dev, msg_pad, bases, pp.lengths, pp.offsets,
-                np.int32(s), kernel_bits, config.block_size,
-                config.compute_metrics,
-            )
+            if h % config.block_size == 0 and w % config.block_size == 0:
+                # uniform tiling: host pre-slice kills the kernel's traced
+                # window slice (ops.embed.block_msg_rows)
+                mrows = embed_ops.block_msg_rows(
+                    msg_pad, pp.offsets, kernel_bits, h, w,
+                    config.block_size,
+                )
+                stego_dev, stats = _fused_block_embed_step(
+                    image_dev, np.zeros(8, np.uint8), bases, pp.lengths,
+                    pp.offsets, np.int32(s), kernel_bits,
+                    config.block_size, config.compute_metrics, mrows,
+                )
+            else:
+                stego_dev, stats = _fused_block_embed_step(
+                    image_dev, msg_pad, bases, pp.lengths, pp.offsets,
+                    np.int32(s), kernel_bits, config.block_size,
+                    config.compute_metrics,
+                )
         elif _single_pallas_ok():
             # TPU raster route through the batch fast tiers (packed ->
             # preplaced): ships only the payload-covering message prefix
