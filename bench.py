@@ -622,26 +622,39 @@ def _bench_volume(D: int = 64):
     # first on-chip run of the floor-subtracted form reported 60.9 GPix/s —
     # the flaky tunnel's single-dispatch floor drifted ABOVE the chained
     # reps between measurements, so the subtraction amplified minute-scale
-    # link weather into nonsense. Chaining C cycles inside ONE jit (stego
-    # is a fixed point of the packed embed, so every chained cycle does
-    # identical work with real data deps — no CSE) and differencing two
-    # chain lengths measured with IDENTICAL sync structure cancels the
-    # dispatch floor exactly: t(C2) - t(C1) = (C2-C1) device cycles.
-    # Interleaved min-of-reps so both chains share the same link weather.
+    # link weather into nonsense. Chaining C cycles inside ONE jit and
+    # differencing two chain lengths measured with IDENTICAL sync structure
+    # cancels the dispatch floor exactly: t(C2) - t(C1) = (C2-C1) device
+    # cycles. Each iteration XORs a bit derived from the previous extract
+    # into the image first — without that data feedback XLA's bitwise
+    # algebra collapses the whole chain to one cycle
+    # (((x&~c)|v &~c)|v = (x&~c)|v, then CSE), which the first run proved
+    # by timing chain=10 identical to chain=2. The XOR fuses into the
+    # embed's own elementwise sweep, so each chained cycle still costs one
+    # real embed+extract. Interleaved min-of-reps so both chains share the
+    # same link weather.
+    # fori_loop, not an unrolled chain, and LONG chains: device work
+    # shorter than the sync RTT hides entirely inside it (the in-order
+    # stream starts on enqueue; the ~12 ms scalar-fetch round trip masks
+    # ~2 ms of kernels completely — chain=10 timed identical to chain=2
+    # even with the feedback), so the two points must straddle the RTT
     def chained(c):
         @jax.jit
         def fn(im, cl, vl):
-            acc = jnp.int32(0)
-            x = im
-            for _ in range(c):
-                x = pe.embed_batch_packed(x, cl, vl)
-                acc = acc + jnp.sum(
-                    pe.extract_packed_batch(x, plan.nbits), dtype=jnp.int32
+            def body(_, carry):
+                x, acc = carry
+                x = pe.embed_batch_packed(
+                    x ^ (acc & 1).astype(x.dtype), cl, vl
                 )
-            return x, acc
+                acc = acc + jnp.sum(
+                    pe.extract_packed_batch(x, plan.nbits),
+                    dtype=jnp.int32,
+                )
+                return x, acc
+            return jax.lax.fori_loop(0, c, body, (im, jnp.int32(0)))
         return fn
 
-    c1, c2 = 2, 10
+    c1, c2 = 8, 64
     f1, f2 = chained(c1), chained(c2)
     _sync(f1(imgs3, cl_d, vl_d))
     _sync(f2(imgs3, cl_d, vl_d))
@@ -663,7 +676,16 @@ def _bench_volume(D: int = 64):
     if dev_cycle > 50e-6:  # >50 us of signal per cycle, else link noise won
         bd["device_mpix_s"] = round(D * n / dev_cycle / 1e6, 1)
     else:
+        # the s=4 packed cycle is a few HBM sweeps over a 34 MB volume
+        # (~0.1-0.2 ms) — real device work is INVISIBLE under the ~12-25 ms
+        # sync RTT even 64-chained, and the min-diff drowns in link noise.
+        # Report the defensible measured bound instead of a noise-born
+        # point estimate: the chained call provably completed c2 full
+        # cycles within its own wall, so rate >= c2*work/wall.
         bd["device_rate_floor_dominated"] = True
+        bd["device_mpix_s_lower_bound"] = round(
+            c2 * D * n / min(t2s) / 1e6, 1
+        )
     return D * n / float(np.median(times)) / 1e6, bd
 
 
@@ -1411,6 +1433,8 @@ def _slim_line(obj: dict, artifact_rel: "str | None") -> str:
     det = extra.get("volume_stage_s") or {}
     if "device_mpix_s" in det:
         slim["volume_device_mpix_s"] = det["device_mpix_s"]
+    elif "device_mpix_s_lower_bound" in det:
+        slim["volume_device_mpix_s_gte"] = det["device_mpix_s_lower_bound"]
     eb = extra.get("e2e_batch_stage_ms") or {}
     for k in ("batch_total", "split_tunnel_ms", "split_host_shell_ms",
               "split_device_residual_ms"):
