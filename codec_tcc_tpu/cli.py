@@ -59,6 +59,12 @@ def _build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--no-bitmaps", action="store_true",
                      help="omit XOR location maps (smaller file, no restore)")
     enc.add_argument("--container-version", type=int, default=2, choices=(1, 2))
+    enc.add_argument("--device-policy", choices=("auto", "device", "host"),
+                     default="auto",
+                     help="where the raster embed runs (round 5): auto "
+                          "keeps O(payload) bit placement host-side and "
+                          "the chip for PEE/block/metrics; device/host "
+                          "force a side")
     enc.add_argument("--report", help="write a JSON run report here")
     enc.add_argument("--profile-dir",
                      help="capture an XLA trace (TensorBoard/Perfetto) here")
@@ -168,6 +174,9 @@ def _build_parser() -> argparse.ArgumentParser:
     benc.add_argument("--beta", type=float, default=0.4)
     benc.add_argument("--strategy", choices=STRATEGIES, default="hybrid")
     benc.add_argument("--codec", default="deflate")
+    benc.add_argument("--device-policy", choices=("auto", "device", "host"),
+                      default="auto",
+                      help="where raster embeds run (see encode)")
     benc.add_argument("--no-retry-failed", action="store_true",
                       help="on resume, skip items that failed before")
     benc.add_argument("--fused", action="store_true",
@@ -258,6 +267,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         pee_threshold=args.pee_threshold,
         store_bitmaps=not args.no_bitmaps,
         container_version=args.container_version,
+        device_policy=args.device_policy,
     )
     from .profiling import get_profiler, trace_to
 
@@ -579,7 +589,8 @@ def cmd_encode_batch(args: argparse.Namespace) -> int:
     else:
         with open(args.payload_file, "rb") as f:
             payload = f.read()
-    cfg = EncodeConfig(beta=args.beta, strategy=args.strategy, codec=args.codec)
+    cfg = EncodeConfig(beta=args.beta, strategy=args.strategy,
+                       codec=args.codec, device_policy=args.device_policy)
     if args.fused:
         return _encode_batch_fused(args, cfg, payload)
     runner = BatchRunner(args.output_dir, cfg)
