@@ -1103,7 +1103,11 @@ def _bench_e2e_batch(image: np.ndarray, B: int = 32, reps: int = 3,
     }
     breakdown["batch_total"] = round(1e3 * float(np.median(times)), 2)
     breakdown["batch_rep_totals_ms"] = [round(1e3 * t, 1) for t in times]
-    breakdown["batch_bytes_up"] = int(imgs.nbytes)
+    # the auto route moves nothing over the link — recording the image
+    # size as bytes_up there would invent a phantom upload in the artifact
+    breakdown["batch_bytes_up"] = (
+        int(imgs.nbytes) if device_policy == "device" else 0
+    )
 
     if device_policy != "device":
         # the auto route moves no bytes and dispatches nothing — the

@@ -55,6 +55,30 @@ class EncodeConfig:
     # artifact still measures the chip route).
     device_policy: str = "auto"
 
+    def resolve_host_route(self, n_pixels: int, n_devices: int = 1) -> bool:
+        """THE device-policy routing decision — shared by the single-image
+        pipeline and the batch encoder so the same config can never route
+        differently between them. Raises for a forced ``host`` policy the
+        window form cannot serve. ``n_devices`` > 1 (a real mesh) keeps the
+        sharded device route under ``auto``."""
+        host_ok = (
+            self.strategy in ("multi_plane", "hybrid") and n_pixels % 8 == 0
+        )
+        if self.device_policy == "host":
+            if not host_ok:
+                raise ValueError(
+                    "device_policy='host' needs a raster strategy "
+                    "(multi_plane/hybrid) and H*W % 8 == 0; use 'auto' "
+                    "or 'device'"
+                )
+            return True
+        return (
+            self.device_policy == "auto"
+            and host_ok
+            and not self.compute_metrics
+            and n_devices <= 1
+        )
+
     def validate(self) -> "EncodeConfig":
         if self.strategy not in STRATEGIES:
             raise ValueError(f"strategy must be one of {STRATEGIES}")

@@ -194,25 +194,24 @@ class Container:
         raw = self._raw_maps_blob()
         if raw is None:
             return None
+        from ..utils.bits import merged_byte_ranges, raster_window_spans
+
         n = m.height * m.width
         nb = n // 8
         packed = np.frombuffer(raw, dtype=np.uint8).reshape(m.s, nb)
         for p in range(m.s):
-            ln = min(int(m.eff_lengths[p]), n)
-            if ln <= 0:
-                covered = [(0, 0)]
-            else:
-                start = int(m.plane_starts[p]) % n
-                end = start + ln
-                covered = (
-                    [(start // 8, (min(end, n) + 7) // 8)]
-                    if end <= n
-                    else [(0, (end - n + 7) // 8), (start // 8, nb)]
+            # the SAME span/byte-coverage definitions the applier uses
+            # (utils.bits) — guard and applier can never disagree about
+            # which bytes a window covers
+            covered = merged_byte_ranges(
+                raster_window_spans(
+                    m.plane_starts[p], m.eff_lengths[p], n
                 )
+            )
             # complement byte ranges must be zero, else exact fallback
             pos = 0
             outside_clean = True
-            for b0, b1 in sorted(covered):
+            for b0, b1 in covered:
                 if b0 > pos and packed[p, pos:b0].any():
                     outside_clean = False
                     break

@@ -26,11 +26,13 @@ _NATIVE_DIR = os.path.join(
 )
 
 
-def _asan_enabled() -> bool:
-    """See jpegls_binding._asan_enabled: CODEC_TCC_ASAN=1 selects a
-    sanitizer-instrumented shim build for the fuzz campaign (the shim's own
-    buffer handling is the audited surface; system libjxl stays as-is)."""
-    return os.environ.get("CODEC_TCC_ASAN") == "1"
+# ONE definition of the sanitizer gate + flag set for both native codecs
+# (CODEC_TCC_ASAN=1 selects instrumented builds for the fuzz campaign —
+# the shim's own buffer handling is the audited surface; system libjxl
+# stays as-is). Keep codec_tcc_tpu/native/Makefile's ASANFLAGS in sync:
+# a drift would leave the builds differently instrumented than the
+# committed fuzz record claims.
+from .jpegls_binding import _SANITIZE_FLAGS, _asan_enabled
 
 
 _LIB_PATH = os.path.join(
@@ -62,9 +64,7 @@ def _build(libjxl: str) -> None:
     base = os.path.basename(libjxl)
     link = ["-l:" + base] if base.startswith("lib") else ["-l" + base]
     libdir = os.path.dirname(libjxl) if "/" in libjxl else None
-    opt = (["-O1", "-g", "-fno-omit-frame-pointer",
-            "-fsanitize=address,undefined", "-fno-sanitize-recover=all"]
-           if _asan_enabled() else ["-O2"])
+    opt = list(_SANITIZE_FLAGS) if _asan_enabled() else ["-O2"]
     cmd = ["g++", *opt, "-std=c++17", "-fPIC", "-shared", "-Wall",
            "-o", _LIB_PATH, src]
     if libdir:

@@ -536,8 +536,15 @@ def extract_block_message_device(
             preferred_element_type=jnp.int32,
         ).astype(jnp.uint8)
         m = g - off
-        valid = (m >= 0) & (m < seg_len[p]) & (p < s)
-        acc = jnp.where(valid, placed, acc)
+        # the roll-form composition it replaces masks plane rows with
+        # (p < s) BEFORE assembly but assembles on window membership
+        # alone — so a degenerate plan giving a past-cut-point plane a
+        # nonzero seg_len OVERWRITES earlier planes' bits with zeros
+        # there; gating the write on (p < s) instead would silently skip
+        # it (bit-exactness drift caught by review repro)
+        valid = (m >= 0) & (m < seg_len[p])
+        val = jnp.where(p < s, placed, jnp.zeros_like(placed))
+        acc = jnp.where(valid, val, acc)
     return acc.reshape(-1)[:out_len]
 
 

@@ -62,17 +62,17 @@ def embed_raster_host_packed(
     flat = image.reshape(-1)
     packed = np.zeros((max_s, n // 8), dtype=np.uint8)
     for p in range(min(int(s), max_s)):
-        ln = min(int(lengths[p]), n)
-        if ln <= 0:
+        raw_spans = bit_utils.raster_window_spans(starts[p], lengths[p], n)
+        if not raw_spans:
             continue
         start = int(starts[p]) % n
         off = int(offsets[p])
-        # spans in (bit_a, bit_b, msg_a) form: second span continues the
-        # message where the first wrapped off the raster end
-        end = start + ln
-        spans = [(start, min(end, n), off)]
-        if end > n:
-            spans.append((0, end - n, off + (n - start)))
+        # annotate each span with where its bits sit in the message: the
+        # wrap span continues after the first span's (n - start) bits
+        spans = [
+            (a, b, off if a == start else off + (n - start))
+            for a, b in raw_spans
+        ]
         for a, b, ma in spans:
             b0 = a // 8
             b1 = (b + 7) // 8

@@ -720,17 +720,8 @@ def encode_batch_containers(
     # the strategies with real per-pixel compute (PEE, block_adaptive,
     # device metrics) and for multi-device meshes (see
     # config.EncodeConfig.device_policy / ops.host_embed).
-    host_ok = config.strategy in ("multi_plane", "hybrid") and n % 8 == 0
-    if config.device_policy == "host" and not host_ok:
-        raise ValueError(
-            "device_policy='host' needs a raster strategy (multi_plane/"
-            "hybrid) and H*W % 8 == 0; use 'auto' or 'device'"
-        )
-    host_route = config.device_policy == "host" or (
-        config.device_policy == "auto"
-        and host_ok
-        and not config.compute_metrics
-        and (mesh is None or mesh.size == 1)
+    host_route = config.resolve_host_route(
+        n, 1 if mesh is None else mesh.size
     )
 
     if not host_route:
@@ -889,14 +880,16 @@ def encode_batch_containers(
                 # diffs are all-zero outside each plane's window, so the
                 # stego is one memcpy + a few LUT gathers per image —
                 # ~3% of the full (s, N) expansion's work at serving
-                # payloads (utils.bits.xor_packed_windows)
-                stego = np.stack([
-                    bit_utils.xor_packed_windows(
+                # payloads (utils.bits.xor_packed_windows). Preallocated
+                # output + per-image writes, like the block branch below:
+                # np.stack over B live temporaries re-buys the whole-batch
+                # allocation churn this function's history documents
+                stego = np.empty_like(images)
+                for i in range(b):
+                    stego[i] = bit_utils.xor_packed_windows(
                         images[i], packed[i],
                         plan.starts[i], plan.lengths[i],
                     )
-                    for i in range(b)
-                ])
             else:
                 # block_adaptive diffs scatter over variance-ranked tiles —
                 # full cached-LUT expansion PER IMAGE into a preallocated

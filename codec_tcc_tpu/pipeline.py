@@ -214,19 +214,7 @@ def encode_array(
     # serving default ("auto") keeps them host-side — no image upload, no
     # map download — and reserves the chip for strategies with real
     # per-pixel compute (PEE, block_adaptive, fused device metrics).
-    raster_host_ok = (
-        config.strategy in ("multi_plane", "hybrid") and n % 8 == 0
-    )
-    if config.device_policy == "host" and not raster_host_ok:
-        raise ValueError(
-            "device_policy='host' needs a raster strategy (multi_plane/"
-            "hybrid) and H*W % 8 == 0; use 'auto' or 'device'"
-        )
-    host_route = config.device_policy == "host" or (
-        config.device_policy == "auto"
-        and raster_host_ok
-        and not config.compute_metrics
-    )
+    host_route = config.resolve_host_route(n)
     # upload the image once; both the block scan and the fused embed step
     # read it (a second host->device copy costs more than the kernels here).
     # decompose above did NOT transfer it: numpy inputs take the host

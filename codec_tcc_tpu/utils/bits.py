@@ -24,16 +24,37 @@ __all__ = [
     "expand_bits",
     "packed_planes_to_diff",
     "xor_packed_windows",
+    "raster_window_spans",
     "merged_byte_ranges",
     "bounded_inflate",
 ]
+
+
+def raster_window_spans(start: int, ln: int, n: int) -> list:
+    """The <= 2 half-open BIT spans of a raster window ``[start, start+ln)
+    mod n`` (second span when it wraps). THE single definition of raster
+    window geometry — the windowed XOR applier
+    (:func:`xor_packed_windows`), the O(payload) host embed
+    (``ops.host_embed``), and ``Container.restore_original``'s
+    outside-the-window zero guard all derive from it, so they can never
+    disagree about which bits a window covers."""
+    ln = min(int(ln), n)
+    if ln <= 0:
+        return []
+    start = int(start) % n
+    end = start + ln
+    if end <= n:
+        return [(start, end)]
+    return [(start, n), (0, end - n)]
 
 
 def merged_byte_ranges(spans) -> list:
     """Union of the BYTE ranges covering bit spans ``[(a, b), ...)`` —
     sorted, overlapping/adjacent ranges coalesced so a shared boundary byte
     appears exactly once (the windowed XOR/embed helpers must touch each
-    byte once; see :func:`xor_packed_windows`)."""
+    byte once; see :func:`xor_packed_windows`). Empty input -> []."""
+    if not spans:
+        return []
     ranges = sorted((a // 8, (b + 7) // 8) for a, b in spans)
     merged = [ranges[0]]
     for b0, b1 in ranges[1:]:
@@ -75,14 +96,9 @@ def xor_packed_windows(
         raise ValueError("xor_packed_windows needs N % 8 == 0")
     s = packed.shape[0]
     for p in range(s):
-        ln = min(int(lengths[p]), n)
-        if ln <= 0:
+        spans = raster_window_spans(starts[p], lengths[p], n)
+        if not spans:
             continue
-        start = int(starts[p]) % n
-        end = start + ln
-        spans = [(start, min(end, n))]
-        if end > n:                       # hybrid wraparound: second span
-            spans.append((0, end - n))
         # merge the spans' BYTE ranges before applying: a byte holds the
         # packed bits of every span that touches it, so one LUT XOR of that
         # byte applies them all — applying it once per touching span would

@@ -105,6 +105,41 @@ def test_fused_block_extract_matches_roll_assembly(block, out_len):
         assert np.array_equal(np.asarray(got), np.asarray(want)), trial
 
 
+def test_fused_extract_past_cut_plane_overwrites_with_zeros():
+    """Degenerate plan: a plane AT/PAST the cut point with nonzero seg_len
+    aliasing an earlier plane's window. The roll-form composition masks
+    its row to zeros but still assembles it — overwriting the earlier
+    plane's bits with zeros. The fused MXU path must reproduce that
+    exactly (review repro: gating the write on p < s silently skipped it
+    and returned plane 0's bits instead)."""
+    rng = np.random.default_rng(12)
+    block, h, w = 4, 16, 16
+    nbits, s = 3, 1
+    stego = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    ntiles = (h // block) * (w // block)
+    bs = block * block
+    seg_len = np.array([50, 30, 0], np.int32)
+    msg_off = np.array([0, 0, 0], np.int32)
+    bases = np.stack([
+        rng.permutation(ntiles).astype(np.int32) * bs for _ in range(nbits)
+    ])
+    args = (
+        jnp.asarray(stego), jnp.asarray(bases), jnp.asarray(seg_len),
+        jnp.asarray(msg_off), jnp.int32(s),
+    )
+    aligned = embed_ops.extract_block_aligned(
+        args[0], args[1], args[2], args[4], nbits, block
+    )
+    want = embed_ops.assemble_message_device(aligned, args[3], args[2], 64)
+    got = embed_ops.extract_block_message_device(
+        args[0], args[1], args[2], args[3], args[4], nbits, block, 64
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # and the overwrite really happened: plane 1's aliased window zeroes
+    # the first 30 bits
+    assert not np.asarray(want)[:30].any()
+
+
 def test_block_roundtrip_through_new_routes():
     """Embed with pre-sliced rows, extract with the MXU assembly — the
     message must round-trip exactly (end-to-end sanity on the pair)."""
