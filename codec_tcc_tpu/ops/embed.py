@@ -507,8 +507,6 @@ def extract_block_message_device(
     nh, nw = h // block, w // block
     ntiles, bs = nh * nw, block * block
     nrows_out = -(-out_len // bs)
-    karange = jnp.arange(ntiles, dtype=jnp.int32)
-    urange = jnp.arange(ntiles + 1, dtype=jnp.int32)
     jcol = jnp.arange(nrows_out, dtype=jnp.int32)[:, None]
     crow = jnp.arange(bs, dtype=jnp.int32)[None, :]
     lane_u = jnp.arange(2 * bs, dtype=jnp.int32)[:, None]
@@ -517,19 +515,23 @@ def extract_block_message_device(
     acc = jnp.zeros((nrows_out, bs), dtype=jnp.uint8)
     for p in range(nbits):
         k = base_offsets[p].astype(jnp.int32) // bs
-        inv = (k[None, :] == karange[:, None]).astype(jnp.int8)
         plane_t = ((tiles >> p) & 1).astype(jnp.uint8)
-        fill = _permute_rows_mxu(plane_t, inv)         # (ntiles, bs)
         off = msg_off[p].astype(jnp.int32)
         q, r = off // bs, off % bs
-        # F2[u] = fill[u-1] ++ fill[u], u in [0, ntiles+1), zero-padded
-        fpad = jnp.concatenate(
-            [jnp.zeros((1, bs), fill.dtype), fill,
-             jnp.zeros((1, bs), fill.dtype)]
+        # fold the inverse fill permutation INTO the row placement: message
+        # row j needs fill rows j-q-1 and j-q, and fill row m is the tile t
+        # with k[t] == m — so two (nrows_out x ntiles) one-hots select the
+        # tiles directly (out-of-range m selects nothing, giving the same
+        # zero padding the two-step form built explicitly). Half the
+        # matmul FLOPs and no (ntiles, 3bs) fill/F2 intermediates.
+        sel = (k[None, None, :] ==
+               (jcol - q)[None, :, :] - jnp.array([1, 0], jnp.int32)[:, None, None]
+               ).astype(jnp.int8)              # (2, nrows_out, ntiles)
+        g12 = jnp.einsum(
+            "sjt,tc->sjc", sel, plane_t.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
         )
-        f2 = jnp.concatenate([fpad[:-1], fpad[1:]], axis=1)  # (nt+1, 2bs)
-        rowsel = (urange[None, :] == jcol - q).astype(jnp.int8)
-        gathered = _permute_rows_mxu(f2, rowsel)       # (nrows_out, 2bs)
+        gathered = jnp.concatenate([g12[0], g12[1]], axis=1)  # (nr, 2bs)
         shift = (lane_u == crow + bs - r).astype(jnp.int8)   # (2bs, bs)
         placed = jnp.dot(
             gathered.astype(jnp.int8), shift,
