@@ -284,3 +284,31 @@ def test_single_image_host_route_matches_device(strategy):
     d = decode_container(host.container)
     assert d.payload == payload
     assert np.array_equal(d.original, img)
+
+
+def test_resolve_host_route_decision_table():
+    """EncodeConfig.resolve_host_route is THE routing decision shared by
+    the single-image and batch encoders — pin its table."""
+    base = EncodeConfig(strategy="hybrid", codec="deflate",
+                        compute_metrics=False)
+    n = 64 * 64
+    assert base.resolve_host_route(n) is True
+    # metrics requested -> device under auto
+    assert base.with_overrides(
+        compute_metrics=True).resolve_host_route(n) is False
+    # multi-device mesh -> device under auto
+    assert base.resolve_host_route(n, n_devices=8) is False
+    # forced host overrides metrics and mesh
+    forced = base.with_overrides(device_policy="host",
+                                 compute_metrics=True)
+    assert forced.resolve_host_route(n, n_devices=8) is True
+    # forced device
+    assert base.with_overrides(
+        device_policy="device").resolve_host_route(n) is False
+    # non-raster strategy or non-byte-aligned geometry
+    assert base.with_overrides(
+        strategy="block_adaptive").resolve_host_route(n) is False
+    assert base.resolve_host_route(63 * 63) is False
+    with pytest.raises(ValueError, match="device_policy"):
+        base.with_overrides(
+            strategy="pee", device_policy="host").resolve_host_route(n)
