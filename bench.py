@@ -387,7 +387,8 @@ def main(backend: str = "auto") -> None:
     # PEE/block/volume/metrics; measured in the SAME process as the device
     # route above so the two are ambient-tax comparable
     v = _stage("e2e_batch_auto",
-               lambda: _bench_e2e_batch(image, device_policy="auto"))
+               lambda: _bench_e2e_batch(image, reps=5,
+                                        device_policy="auto"))
     if v is not None:
         extra["e2e_batch_auto_mpix_s"] = round(v[0], 1)
         extra["e2e_batch_auto_stage_ms"] = v[1]
